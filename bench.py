@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count-style action that materializes
+every row (``df.toLocalIterator`` would serialize; ``write.format
+("noop")`` is the standard no-overhead sink for benchmarking).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gostream_spark.registry import all_queries  # noqa: E402
+from gostream_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="gostream_spark_bench")
+
+    queries = {n: q for n, q in all_queries().items() if q.bench}
+    timings: dict[str, float] = {}
+    # Warm the JVM/codegen once on the flagship before timing.
+    queries_list = sorted(queries)
+    if queries_list:
+        queries[queries_list[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    for name in queries_list:
+        t0 = time.perf_counter()
+        queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

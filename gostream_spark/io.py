@@ -1,0 +1,67 @@
+"""Sources/sinks (SURVEY.md §2.1).
+
+S1 parquet scan, S3 in-memory source, S5 parquet sink. Streaming
+sources (S2) live in ``gostream_spark.streaming.source``.
+
+Scale note: each query loads only the tables it needs with a plain
+``spark.read.parquet`` — Catalyst prunes columns and pushes filters
+into the scan, which is the behavior that matters at 100 TB (verify
+with ``df.explain``: ``PushedFilters`` / ``ReadSchema``). No caching
+by default: at the design scale the input does not fit in memory, so
+the engine is built to be scan-efficient instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any scale factor
+# (region=5, nation=25 rows always; supplier scales but stays tiny
+# relative to the fact tables).
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S1: bounded parquet scan of one fixture table."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load several tables at once; defaults to all of them."""
+    names = names or TABLES
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views for the SQL entry point
+    (SURVEY.md §3.2 E2)."""
+    for name, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """S5: parquet sink. At scale, partition by a low-cardinality
+    time/key column so downstream scans get partition pruning."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
