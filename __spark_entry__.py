@@ -8,11 +8,18 @@ driver's shape.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gostream_spark import registry
+# The driver loads this file via importlib.spec_from_file_location,
+# which does not add this directory to sys.path — bootstrap it so
+# ``import gostream_spark`` resolves regardless of the driver's cwd.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gostream_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -29,10 +29,11 @@ def main() -> None:
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}
-    # Warm the JVM/codegen once on the flagship before timing.
     queries_list = sorted(queries)
-    if queries_list:
-        queries[queries_list[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm each query's plan once (codegen + first-scan page cache) so
+    # the timed run measures steady-state execution, not JVM warm-up.
+    for name in queries_list:
+        queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in queries_list:
         t0 = time.perf_counter()
         queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

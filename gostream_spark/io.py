@@ -14,6 +14,7 @@ the engine is built to be scan-efficient instead.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -39,10 +40,23 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """S1: bounded parquet scan of one fixture table."""
+    """S1: bounded parquet scan of one fixture table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader cannot represent; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it arrives as raw nanos
+    and is converted here to a microsecond TimestampType (``x div
+    1000`` — integer division; a double round-trip would lose
+    precision at 1e18 nanos). DuckDB oracles read the same column at
+    full nanosecond precision; all hash-compared outputs are formatted
+    at second precision so the truncation is invisible.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -1,4 +1,4 @@
 """Query catalog: importing this package registers every implemented
 query from SURVEY.md §2 into ``gostream_spark.registry``."""
 
-from gostream_spark.queries import flagship  # noqa: F401
+from gostream_spark.queries import flagship, joins  # noqa: F401

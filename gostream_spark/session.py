@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read it as raw nanos (io.load_table converts
+        # to a microsecond TimestampType column).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -16,8 +16,10 @@ def test_query_parity(spark, sf_dir, name):
     q = _QUERIES[name]
     df = q.fn(spark, sf_dir)
     if q.oracle is None:
-        # rows-only check, mirroring the driver's weaker gate
-        assert df.count() >= 0
+        # rows-only check, mirroring the driver's weaker gate — but at
+        # least demand a non-empty result (matches the driver's entry
+        # smoke check).
+        assert df.count() > 0
         assert len(df.columns) > 0
     else:
         compare(df, q.oracle, sf_dir)
