@@ -1,4 +1,11 @@
 """Query catalog: importing this package registers every implemented
 query from SURVEY.md §2 into ``gostream_spark.registry``."""
 
-from gostream_spark.queries import flagship, joins  # noqa: F401
+from gostream_spark.queries import (  # noqa: F401
+    aggregation,
+    flagship,
+    joins,
+    projection,
+    scalar_functions,
+    windows,
+)

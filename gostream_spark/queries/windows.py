@@ -1,0 +1,371 @@
+"""Window functions, ranking, sort, limit, and set operators
+(SURVEY.md §2.6, W1-W9).
+
+Every analytic window here partitions by a key before sorting, so the
+sort is per-partition (shuffle on the key + local sort) — linear-ish
+at 100 TB. The two global-order queries (top-k, positional sort)
+document their scale posture inline: `ORDER BY ... LIMIT k` is safe
+(Spark takes per-partition top-k then merges k·p rows on the driver
+side of the exchange); an unbounded global `row_number()` is NOT, and
+is used only on a LIMIT-bounded subset here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.parity import dec2, ts_str
+from gostream_spark.registry import register
+
+# --- W1 row_number / rank / dense_rank ---------------------------------
+
+_W1_ORACLE = """
+SELECT c_custkey, c_mktsegment, bucket,
+       row_number() OVER (PARTITION BY c_mktsegment ORDER BY bucket DESC, c_custkey) AS rn,
+       rank()       OVER (PARTITION BY c_mktsegment ORDER BY bucket DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY bucket DESC) AS drnk
+FROM (SELECT c_custkey, c_mktsegment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bucket
+      FROM customer)
+"""
+
+
+@register("window_rank", oracle=_W1_ORACLE, tags=("W1",))
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: row_number / rank / dense_rank per market segment over a
+    bucketed balance (buckets create real ties, so rank vs dense_rank
+    vs row_number genuinely differ; row_number's ordering adds the
+    unique key so it stays deterministic under ties)."""
+    customer = load_table(spark, sf_dir, "customer")
+    bucketed = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bucket"),
+    )
+    by_bucket = Window.partitionBy("c_mktsegment").orderBy(F.col("bucket").desc())
+    unique = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("bucket").desc(), F.col("c_custkey")
+    )
+    return bucketed.select(
+        "c_custkey",
+        "c_mktsegment",
+        "bucket",
+        F.row_number().over(unique).alias("rn"),
+        F.rank().over(by_bucket).alias("rnk"),
+        F.dense_rank().over(by_bucket).alias("drnk"),
+    )
+
+
+# --- W2 lag / lead ------------------------------------------------------
+
+_W2_ORACLE = """
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       round(CAST(value AS DOUBLE), 2) AS value,
+       coalesce(round(CAST(lag(value)  OVER w AS DOUBLE), 2), -1.0) AS prev_value,
+       coalesce(round(CAST(lead(value) OVER w AS DOUBLE), 2), -1.0) AS next_value,
+       coalesce(lag(event_id) OVER w, -1) AS prev_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("window_lag_lead", oracle=_W2_ORACLE, tags=("W2",))
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead along each user's event timeline (partition
+    boundaries yield -1 sentinels instead of NULLs for hash
+    stability)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts"),
+        F.round(F.col("value"), 2).cast("double").alias("value"),
+        F.coalesce(F.round(F.lag("value").over(w), 2).cast("double"), F.lit(-1.0)).alias(
+            "prev_value"
+        ),
+        F.coalesce(F.round(F.lead("value").over(w), 2).cast("double"), F.lit(-1.0)).alias(
+            "next_value"
+        ),
+        F.coalesce(F.lag("event_id").over(w), F.lit(-1)).alias("prev_event"),
+    )
+
+
+# --- W3 frame aggregates (running + range) ------------------------------
+
+_W3_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS running_spend,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS order_seq
+FROM orders
+"""
+
+
+@register("window_running", oracle=_W3_ORACLE, tags=("W3",))
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running (cumulative) frame per customer — the classic
+    running-total bolt. Decimal sum keeps the cumulative value exact
+    at every prefix."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum(dec2("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+_W3_RANGE_ORACLE = """
+SELECT o_orderkey, o_custkey, day_no,
+       count(*) OVER (PARTITION BY o_custkey ORDER BY day_no
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS orders_last_30d,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  OVER (PARTITION BY o_custkey ORDER BY day_no
+                        RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS spend_last_30d
+FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+             date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS day_no
+      FROM orders)
+"""
+
+
+@register("window_range_frame", oracle=_W3_RANGE_ORACLE, tags=("W3",))
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: value-range frame — per customer, orders and spend within
+    the trailing 30 days of each order (event-time range expressed as
+    epoch-day offsets so both engines share integer range
+    arithmetic)."""
+    orders = load_table(spark, sf_dir, "orders")
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    with_day = orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", day_no.alias("day_no")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_no").rangeBetween(-30, 0)
+    return with_day.select(
+        "o_orderkey",
+        "o_custkey",
+        "day_no",
+        F.count(F.lit(1)).over(w).alias("orders_last_30d"),
+        F.round(F.sum(dec2("o_totalprice")).over(w), 2).cast("double").alias("spend_last_30d"),
+    )
+
+
+# --- W4 top-k global ----------------------------------------------------
+
+_W4_ORACLE = """
+SELECT o_orderkey, o_custkey, round(CAST(o_totalprice AS DOUBLE), 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@register("topk_global", oracle=_W4_ORACLE, tags=("W4",))
+def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: global top-k. `orderBy().limit(k)` compiles to TakeOrdered:
+    each partition keeps its local top-k and only k rows per partition
+    merge — no global sort, safe at any scale. The unique-key tiebreak
+    makes the selected rowset deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(F.col("o_totalprice"), 2).cast("double").alias("total_price"),
+        )
+    )
+
+
+# --- W5 top-k per group -------------------------------------------------
+
+_W5_ORACLE = """
+SELECT n_nationkey, c_custkey, c_name,
+       round(CAST(c_acctbal AS DOUBLE), 2) AS acctbal, rn
+FROM (
+  SELECT n_nationkey, c_custkey, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY n_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+) WHERE rn <= 3
+"""
+
+
+@register("topk_per_group", oracle=_W5_ORACLE, tags=("W5",))
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: top-3 customers by balance per nation via ranked window +
+    filter. At extreme scale, pre-aggregate per partition (local
+    top-k) before the window to cut shuffle volume; AQE's skew
+    handling covers hot nations."""
+    customer = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_nationkey",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .select(
+            "n_nationkey",
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal"), 2).cast("double").alias("acctbal"),
+            "rn",
+        )
+    )
+
+
+# --- W6 multi-key sort (order asserted via position column) -------------
+
+_W6_ORACLE = """
+SELECT pos, o_orderkey, o_orderpriority,
+       round(CAST(o_totalprice AS DOUBLE), 2) AS total_price
+FROM (
+  SELECT row_number() OVER (ORDER BY o_orderpriority ASC, o_totalprice DESC,
+                            o_orderkey ASC) AS pos,
+         o_orderkey, o_orderpriority, o_totalprice
+  FROM orders
+) WHERE pos <= 100
+"""
+
+
+@register("sort_multi_key", oracle=_W6_ORACLE, tags=("W6",))
+def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: multi-key sort (asc/desc mix). The driver's hash is
+    order-insensitive, so sort correctness is asserted by materializing
+    the global position of each row; bounded to the first 100 positions
+    because an unbounded single-partition row_number is exactly the
+    plan to avoid at scale (a plain `orderBy` without the position
+    column range-partitions and stays parallel)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(
+        F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            F.row_number().over(w).alias("pos"),
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+        )
+        .filter(F.col("pos") <= 100)
+        .select(
+            "pos",
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.col("o_totalprice"), 2).cast("double").alias("total_price"),
+        )
+    )
+
+
+# --- W7 union -----------------------------------------------------------
+
+_W7_ORACLE = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+"""
+
+
+@register("set_union", oracle=_W7_ORACLE, tags=("W7",))
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: UNION (distinct) of two key sets — union is free
+    (partition concatenation); the distinct is one hash shuffle on the
+    key."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    urgent_keys = customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey")
+    rich_keys = customer.filter(F.col("c_acctbal") > 8000).select("c_custkey")
+    return urgent_keys.union(rich_keys).distinct()
+
+
+# --- W8 intersect / except ---------------------------------------------
+
+_W8_INTERSECT_ORACLE = """
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+INTERSECT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+@register("set_intersect", oracle=_W8_INTERSECT_ORACLE, tags=("W8",))
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: INTERSECT — customers who are both urgent-order placers and
+    high-balance (planned as a left-semi hash join on the key)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    urgent_keys = customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey")
+    rich_keys = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return urgent_keys.intersect(rich_keys)
+
+
+_W8_EXCEPT_ORACLE = """
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+EXCEPT
+SELECT c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+@register("set_except", oracle=_W8_EXCEPT_ORACLE, tags=("W8",))
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: EXCEPT — high-balance customers with no urgent orders
+    (planned as a left-anti hash join)."""
+    customer = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    urgent_keys = customer.join(
+        urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+    ).select("c_custkey")
+    rich_keys = customer.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return rich_keys.exceptAll(urgent_keys.distinct()).distinct()
+
+
+# --- W9 distinct --------------------------------------------------------
+
+_W9_ORACLE = """
+SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+"""
+
+
+@register("distinct_pairs", oracle=_W9_ORACLE, tags=("W9",))
+def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: distinct on a column subset — one hash aggregate on the
+    pair; partial distinct runs map-side so the shuffle carries only
+    unique pairs per partition."""
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select("c_mktsegment", "c_nationkey").dropDuplicates()
