@@ -3,8 +3,11 @@ query from SURVEY.md §2 into ``gostream_spark.registry``."""
 
 from gostream_spark.queries import (  # noqa: F401
     aggregation,
+    event_time,
     flagship,
     joins,
+    llm_similarity,
+    llm_text,
     projection,
     scalar_functions,
     windows,

@@ -1,0 +1,192 @@
+"""Event-time operators in batch clothing (SURVEY.md §2.7, T1-T3/T5).
+
+These are the deterministic batch twins of the streaming operators in
+``gostream_spark.streaming``: Spark's ``window`` / ``session_window``
+functions compute identical event-time buckets in batch and streaming
+mode (batch mode simply has no watermark/late-data concern), so the
+DuckDB oracles here certify the exact semantics the streaming facade
+runs with.
+
+Scale: every query is (map-side bucket computation) → (hash aggregate
+on bucket × key) — one shuffle whose width is the bucket×key
+cardinality, independent of input size. Sliding windows multiply input
+by (size/slide) before aggregation; that fan-out happens map-side and
+collapses in the partial aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.parity import TS_FMT_DUCK, dec2, ts_str
+from gostream_spark.registry import register
+
+# --- T1 tumbling window -------------------------------------------------
+
+_T1_ORACLE = f"""
+SELECT strftime(date_trunc('day', ts), '{TS_FMT_DUCK}') AS win_start,
+       strftime(date_trunc('day', ts) + INTERVAL 1 DAY, '{TS_FMT_DUCK}') AS win_end,
+       event_type,
+       count(*) AS event_cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register("tumbling_window", oracle=_T1_ORACLE, tags=("T1",), bench=True)
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: daily tumbling-window aggregate per event type — the
+    streaming `groupBy(window(ts, '1 day'), ...)` computed in batch.
+    Windows align to the epoch, so bucket assignment is a pure map-side
+    expression."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            ts_str("w.start").alias("win_start"),
+            ts_str("w.end").alias("win_end"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )
+
+
+# --- T2 sliding (hopping) window ---------------------------------------
+
+_T2_ORACLE = f"""
+WITH slotted AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot, event_type, value
+  FROM events
+), expanded AS (
+  SELECT (slot - offs.i) * 3600 AS win_epoch, event_type, value
+  FROM slotted, (VALUES (0), (1), (2), (3), (4), (5)) offs(i)
+)
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(win_epoch),
+                '{TS_FMT_DUCK}') AS win_start,
+       strftime(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(win_epoch + 6 * 3600),
+                '{TS_FMT_DUCK}') AS win_end,
+       event_type,
+       count(*) AS event_cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM expanded
+GROUP BY 1, 2, 3
+"""
+
+
+@register("sliding_window", oracle=_T2_ORACLE, tags=("T2",))
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 6-hour windows sliding every hour — each event lands in 6
+    buckets (the oracle reproduces Spark's epoch-aligned bucket
+    arithmetic explicitly). The ×6 fan-out is map-side and collapses
+    in the partial aggregate before the shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_cnt"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            ts_str("w.start").alias("win_start"),
+            ts_str("w.end").alias("win_end"),
+            "event_type",
+            "event_cnt",
+            "total_value",
+        )
+    )
+
+
+# --- T3 session window --------------------------------------------------
+
+_T3_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS event_cnt
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("session_window", oracle=_T3_ORACLE, tags=("T3",))
+def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: gap-based session windows (30-minute inactivity gap) per
+    user — `session_window(ts, '30 minutes')`. The oracle is the
+    classic lag-gap → running-sum sessionization, which provably
+    produces the same (start, last+gap) sessions. Session windows
+    shuffle once on user_id; state per key is bounded by the session
+    count, not the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            "user_id",
+            ts_str("w.start").alias("session_start"),
+            ts_str("w.end").alias("session_end"),
+            "event_cnt",
+        )
+    )
+
+
+# --- T5 dedup (keep-first) ----------------------------------------------
+
+_T5_ORACLE = f"""
+SELECT user_id, event_type,
+       strftime(date_trunc('day', ts), '{TS_FMT_DUCK}') AS day,
+       event_id AS first_event,
+       strftime(ts, '{TS_FMT_DUCK}') AS first_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type, date_trunc('day', ts)
+                           ORDER BY ts, event_id) = 1
+"""
+
+
+@register("events_dedup_first", oracle=_T5_ORACLE, tags=("T5", "W9"))
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (batch twin): keep the FIRST event per (user, type, day).
+    Plain ``dropDuplicates`` keeps an arbitrary row (partition-order
+    dependent), so the engine's deterministic dedup is
+    row_number()=1 over an explicit order — same single shuffle, and
+    the semantics the streaming `withWatermark().dropDuplicates()`
+    guarantees by arrival order."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", "event_type", day.alias("day")).orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            ts_str(day).alias("day"),
+            F.col("event_id").alias("first_event"),
+            ts_str("ts").alias("first_ts"),
+        )
+    )

@@ -1,0 +1,378 @@
+"""Embedding-similarity and near-dup operators (SURVEY.md §2.8:
+L2-L5) over the ``embeddings`` (64-dim float vectors) and
+``documents`` fixtures.
+
+Cross-engine determinism: every dot product / norm is a float64 fold
+in array-element order (both engines cast float32 → float64 exactly,
+then accumulate sequentially), rounded to 6 decimals only at the
+output boundary. Cross-ROW float sums (centroid averaging) route
+through DECIMAL so partition order can't shift the result.
+
+Scale posture (the part that matters at 100 TB):
+- Brute-force top-k (L3) broadcasts the QUERY vector — one scan of
+  the corpus, per-partition top-k via TakeOrdered. Linear, shuffle-free.
+- Pairwise joins (L2/L4) are quadratic by definition; here they run
+  on an explicit subset and exist as the exact ORACLE for the
+  LSH-bucketed scale path (`minhash_lsh_buckets`,
+  `similarity_lsh_buckets`), which is the form to run at scale:
+  candidates only form within a bucket, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.functions import cosine_similarity
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+# DuckDB twins of functions.dot_product / l2_norm (float64, in order).
+_DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+_DUCK_NORM = (
+    "sqrt(list_aggregate(list_transform({a}, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"({_DUCK_DOT.format(a=a, b=b)} / "
+        f"({_DUCK_NORM.format(a=a)} * {_DUCK_NORM.format(a=b)}))"
+    )
+
+
+# --- L3 top-k cosine search --------------------------------------------
+
+_L3_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, label, cos, rn FROM (
+  SELECT e.vec_id, e.label,
+         round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS cos,
+         row_number() OVER (ORDER BY round({_duck_cosine('e.embedding', 'q.qv')}, 6) DESC,
+                            e.vec_id) AS rn
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+) WHERE rn <= 10
+"""
+
+
+@register("similarity_topk", oracle=_L3_ORACLE, tags=("L3",), bench=True)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: brute-force top-10 cosine neighbors of one query vector.
+    The query vector is a 1-row broadcast; the corpus is scanned once
+    with a row-local fold — linear and shuffle-free, the exact
+    baseline every ANN variant is judged against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.select(
+        "vec_id", "label", "cos", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 10)
+
+
+# --- L4 pairwise similarity join ---------------------------------------
+
+_L4_ORACLE = f"""
+WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0)
+SELECT vec_a, vec_b, cos, rn FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos,
+         row_number() OVER (ORDER BY round({_duck_cosine('a.embedding', 'b.embedding')}, 6)
+                            DESC, a.vec_id, b.vec_id) AS rn
+  FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+  WHERE {_duck_cosine('a.embedding', 'b.embedding')} >= 0.15
+) WHERE rn <= 20
+"""
+
+
+@register("similarity_pairs", oracle=_L4_ORACLE, tags=("L4",))
+def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: pairwise similarity join — top-20 most-similar pairs above
+    a 0.15 cosine floor, over an explicit 1-in-10 subset. This is the
+    EXACT form (quadratic in the subset); at corpus scale the same
+    semantics run through `similarity_lsh_buckets` so candidates pair
+    only within hash buckets."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = cosine_similarity(F.col("ea"), F.col("eb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.15)
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_a"), F.col("vec_b"))
+    return pairs.select("vec_a", "vec_b", "cos", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 20
+    )
+
+
+# --- L5 nearest-centroid assignment ------------------------------------
+
+_L5_ORACLE = f"""
+WITH elems AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+), cent_elems AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM elems GROUP BY label, pos
+), centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_elems GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label,
+         c.c_label,
+         round({_duck_cosine('e.embedding', 'c.cv')}, 6) AS cos,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY round({_duck_cosine('e.embedding', 'c.cv')}, 6) DESC,
+                            c.c_label) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+)
+SELECT vec_id, label, c_label AS pred_label, cos,
+       label = c_label AS correct
+FROM scored WHERE rn = 1
+"""
+
+
+@register("nearest_centroid", oracle=_L5_ORACLE, tags=("L5",))
+def nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: nearest-centroid assignment. Centroids = per-label element
+    averages (cross-row sums routed through DECIMAL so partition order
+    can't move a bit, then rounded); the 10-row centroid table
+    broadcasts and each vector scores against all centroids row-
+    locally — a linear scan at any corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent_elems = elems.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(18,7)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    centroids = cent_elems.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    )
+    cos = F.round(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("c_label"))
+    return (
+        emb.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "label", "c_label", cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "label",
+            F.col("c_label").alias("pred_label"),
+            "cos",
+            (F.col("label") == F.col("c_label")).alias("correct"),
+        )
+    )
+
+
+# --- L2 near-dup: exact shingle-Jaccard (oracle form) -------------------
+
+_L2_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % 5 = 0
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter_cnt, jaccard, rn FROM (
+  SELECT i.doc_a, i.doc_b, i.inter_cnt,
+         round(CAST(i.inter_cnt AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - i.inter_cnt), 6) AS jaccard,
+         row_number() OVER (ORDER BY round(CAST(i.inter_cnt AS DOUBLE)
+                                           / (sa.n_sh + sb.n_sh - i.inter_cnt), 6) DESC,
+                            i.doc_a, i.doc_b) AS rn
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+) WHERE rn <= 10
+"""
+
+
+@register("neardup_jaccard_pairs", oracle=_L2_ORACLE, tags=("L2",))
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: near-dup detection — top-10 document pairs by 3-gram
+    shingle Jaccard over a 1-in-5 subset. Candidates form only through
+    the shared-shingle join (pairs with zero overlap never
+    materialize); at 100 TB the candidate generation moves to MinHash
+    banding (`minhash_lsh_buckets`) so hot shingles can't explode the
+    join."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.zip_with(
+            F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda x, yz: F.concat(x, F.lit(" "), yz),
+    )
+    sh = (
+        docs.filter(n >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("inter_cnt").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")),
+        6,
+    )
+    scored = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", "inter_cnt", jac.alias("jaccard"))
+    )
+    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
+    return scored.select(
+        "doc_a", "doc_b", "inter_cnt", "jaccard", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 10)
+
+
+# --- L2/L4 scale path: MinHash banding (rows-only) ----------------------
+
+
+def _minhash_sig(sh_col: Column, i: int) -> Column:
+    """One minhash component: min over shingles of a seeded xxhash64.
+    xxhash64 is Spark-internal (not DuckDB-reproducible), hence the
+    rows-only check — the exact-Jaccard twin above is the oracle."""
+    return F.array_min(
+        F.transform(sh_col, lambda s: F.xxhash64(F.concat(s, F.lit(f"#{i}"))))
+    )
+
+
+@register("minhash_lsh_buckets", oracle=None, tags=("L2", "L4"))
+def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path: MinHash(k=8) → 4 bands of 2 rows → per-band
+    bucket statistics. Near-dup candidates at 100 TB come from
+    equal (band, band_hash) buckets — a hash-partitioned groupBy, so
+    cost is linear in corpus size plus the (tiny) intra-bucket
+    verification joins; all-pairs never materializes. Output: per-band
+    bucket count, largest bucket, and candidate-pair count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.zip_with(
+                F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
+        )
+    )
+    with_sh = docs.filter(n >= 3).select("doc_id", shingles.alias("sh"))
+    sig = with_sh.select(
+        "doc_id", *[_minhash_sig(F.col("sh"), i).alias(f"mh{i}") for i in range(8)]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)"
+    )
+    buckets = stacked.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint")
+        ).alias("candidate_pairs"),
+    )
+
+
+@register("similarity_lsh_buckets", oracle=None, tags=("L3", "L4"))
+def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4 scale path: random-hyperplane (SimHash-style) LSH for
+    cosine similarity — 16 fixed pseudo-random hyperplanes (seeded by
+    dimension index, so fully deterministic and shippable to every
+    executor as literals), each vector → 16-bit signature; bucket by
+    the first 8 bits. ANN queries then probe only matching buckets
+    (plus Hamming-1 neighbors for recall) instead of the full corpus.
+    Output: bucket histogram stats. Rows-only: the signature depends on
+    Spark-evaluated float folds, not a cross-engine surface."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Deterministic "random" hyperplane component for (plane p, dim d):
+    # sign of sin(p * 64 + d) — fixed, identical on every executor.
+    def plane_bit(p: int) -> Column:
+        signed = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda d: F.signum(F.sin(d + F.lit(p * 64))),
+                ),
+                lambda x, s: x.cast("double") * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return (signed > 0).cast("int")
+
+    sig = emb.select(
+        "vec_id",
+        sum(
+            [plane_bit(p) * F.lit(2**p) for p in range(8)],
+            F.lit(0),
+        ).alias("bucket"),
+    )
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.min("bucket_size").alias("min_bucket"),
+            F.sum("bucket_size").alias("n_vectors"),
+        )
+    )

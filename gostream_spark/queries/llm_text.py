@@ -1,0 +1,386 @@
+"""LLM-data-pipeline text operators (SURVEY.md §2.8: L1, L6-L8) plus
+the training-data-pipeline extensions the driver mandates: language-ID
+heuristic, quality scoring, token counting, document fingerprinting.
+
+All token work is built-in array functions over `split(text, ' ')` —
+JVM-side, no Python UDFs, so a 100 TB documents table is one scan +
+one shuffle per aggregate. Dedup keys hash/shuffle on content, never
+collect; TF-IDF is two hash aggregates (term×doc, then term).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+STOPWORDS = ("the", "a")
+
+# --- L1 exact dedup -----------------------------------------------------
+
+_L1_ORACLE = """
+SELECT doc_id, md5(text) AS text_md5, lang, source,
+       count(*) OVER (PARTITION BY text) AS copies
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+"""
+
+
+@register("docs_dedup_exact", oracle=_L1_ORACLE, tags=("L1",), bench=True)
+def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact dedup by content — keep the lowest doc_id per
+    distinct text (deterministic, unlike bare dropDuplicates). One
+    shuffle partitioned by the text content; at 100 TB pre-hash with
+    xxhash64(text) as the shuffle key and compare full text only
+    within hash buckets so the exchange moves 8-byte keys, not
+    documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            "lang",
+            "source",
+            F.count(F.lit(1)).over(Window.partitionBy("text")).alias("copies"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- L6 tokenize / ngrams / stopwords ----------------------------------
+
+
+def _toks(c: str = "text") -> Column:
+    return F.split(F.col(c), " ")
+
+
+_L6_ORACLE = """
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, t -> t NOT IN ('the', 'a'))) AS n_tokens_nostop,
+       len(list_distinct(toks)) AS n_distinct,
+       CASE WHEN len(toks) > 1
+            THEN len(list_distinct(list_transform(range(1, len(toks)),
+                                                  i -> toks[i] || ' ' || toks[i+1])))
+            ELSE 0 END AS n_distinct_bigrams
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@register("text_token_stats", oracle=_L6_ORACLE, tags=("L6",))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: tokenize / stopword-filter / n-gram counts per document —
+    pure array expressions, zero shuffles (row-local)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.filter("toks", lambda t: ~t.isin(*STOPWORDS))).alias("n_tokens_nostop"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.when(n > 1, F.size(F.array_distinct(bigrams))).otherwise(0).alias(
+            "n_distinct_bigrams"
+        ),
+    )
+
+
+_L6B_ORACLE = """
+WITH big AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+  WHERE len(toks) > 1
+), counted AS (
+  SELECT bigram, count(*) AS cnt FROM big GROUP BY bigram
+)
+SELECT bigram, cnt, rn FROM (
+  SELECT bigram, cnt, row_number() OVER (ORDER BY cnt DESC, bigram) AS rn
+  FROM counted
+) WHERE rn <= 15
+"""
+
+
+@register("top_bigrams", oracle=_L6B_ORACLE, tags=("L6", "W5"))
+def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: corpus-wide top-15 bigrams — explode (map-side) → hash
+    count → global top-k (TakeOrdered-style tiny tail)."""
+    docs = load_table(spark, sf_dir, "documents").select(_toks().alias("toks"))
+    n = F.size("toks")
+    bigrams = F.zip_with(
+        F.slice("toks", 1, n - 1),
+        F.slice("toks", 2, n - 1),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    counted = (
+        docs.filter(n > 1)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
+    return counted.select("bigram", "cnt", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= 15
+    )
+
+
+# --- L7 TF-IDF top terms ------------------------------------------------
+
+_L7_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token NOT IN ('the', 'a') GROUP BY doc_id, token
+), byterm AS (
+  SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY token
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT token, df, total_tf, score, rn FROM (
+  SELECT token, df, total_tf,
+         round(total_tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS score,
+         row_number() OVER (ORDER BY round(total_tf * ln(CAST(n_docs AS DOUBLE) / df), 6)
+                            DESC, token) AS rn
+  FROM byterm, n
+) WHERE rn <= 20
+"""
+
+
+@register("tfidf_top_terms", oracle=_L7_ORACLE, tags=("L7",))
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: TF-IDF — term frequency × inverse document frequency, top
+    20 terms corpus-wide. Two hash aggregates ((doc,term) then term);
+    the corpus size joins in as a broadcast scalar. Skewed hot terms
+    are already collapsed map-side by the partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("token")).filter(
+        ~F.col("token").isin(*STOPWORDS)
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    byterm = tf.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = byterm.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "df",
+        "total_tf",
+        F.round(
+            F.col("total_tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("token"))
+    return scored.select(
+        "token", "df", "total_tf", "score", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 20)
+
+
+# --- L8 language/source filtering + stats ------------------------------
+
+_L8_ORACLE = """
+SELECT lang, source,
+       count(*) AS doc_cnt,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 2) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents
+WHERE lang IN ('en', 'fr', 'de')
+GROUP BY lang, source
+"""
+
+
+@register("lang_source_stats", oracle=_L8_ORACLE, tags=("L8",))
+def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: language/source filter + per-group corpus stats (the
+    filter is pushed into the parquet scan — verify `PushedFilters`
+    in the plan)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "fr", "de")
+    )
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars").cast("double") / F.count(F.lit(1)), 2).alias("avg_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --- Extension: quality scoring ----------------------------------------
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
+         len(list_distinct(toks)) AS n_distinct
+  FROM t
+)
+SELECT doc_id,
+       round(0.4 * least(1.0, n_tokens / 100.0)
+             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS quality,
+       CASE WHEN round(0.4 * least(1.0, n_tokens / 100.0)
+                       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+                       + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) >= 0.75
+            THEN 'high'
+            WHEN round(0.4 * least(1.0, n_tokens / 100.0)
+                       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
+                       + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) >= 0.5
+            THEN 'medium' ELSE 'low' END AS quality_class
+FROM m
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("L8", "ext"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: document quality score — length, stopword-ratio and
+    lexical-diversity components (the standard cheap pre-filters for
+    training-data curation). Row-local; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
+    n = F.size("toks").cast("double")
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).cast("double")
+    n_distinct = F.size(F.array_distinct("toks")).cast("double")
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n / 100.0)
+        + 0.3 * (1.0 - n_stop / n)
+        + 0.3 * (n_distinct / n),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        quality.alias("quality"),
+        F.when(quality >= 0.75, "high")
+        .when(quality >= 0.5, "medium")
+        .otherwise("low")
+        .alias("quality_class"),
+    )
+
+
+# --- Extension: language-ID heuristic ----------------------------------
+
+_LANGID_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), hits AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN ('the', 'a', 'of'))) AS en_hits,
+         len(list_filter(toks, x -> x IN ('le', 'une', 'est'))) AS fr_hits,
+         len(list_filter(toks, x -> x IN ('der', 'das', 'und'))) AS de_hits
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang, en_hits, fr_hits, de_hits,
+       CASE WHEN en_hits = 0 AND fr_hits = 0 AND de_hits = 0 THEN 'unknown'
+            WHEN en_hits >= fr_hits AND en_hits >= de_hits THEN 'en'
+            WHEN fr_hits >= de_hits THEN 'fr'
+            ELSE 'de' END AS predicted_lang
+FROM hits
+"""
+
+
+@register("lang_id_heuristic", oracle=_LANGID_ORACLE, tags=("ext",))
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: stopword-profile language ID (n-gram-style
+    heuristic). The fixture corpus is an English-ish word soup under
+    every lang label, so the prediction column mostly reads 'en' —
+    the operator's plumbing (profile match + argmax with deterministic
+    tie order) is what's under test."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang"), _toks().alias("toks")
+    )
+    def hits(*words: str) -> Column:
+        return F.size(F.filter("toks", lambda t: t.isin(*words)))
+
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        hits("the", "a", "of").alias("en_hits"),
+        hits("le", "une", "est").alias("fr_hits"),
+        hits("der", "das", "und").alias("de_hits"),
+    )
+    return scored.select(
+        "doc_id",
+        "labeled_lang",
+        "en_hits",
+        "fr_hits",
+        "de_hits",
+        F.when(
+            (F.col("en_hits") == 0) & (F.col("fr_hits") == 0) & (F.col("de_hits") == 0),
+            "unknown",
+        )
+        .when(
+            (F.col("en_hits") >= F.col("fr_hits")) & (F.col("en_hits") >= F.col("de_hits")),
+            "en",
+        )
+        .when(F.col("fr_hits") >= F.col("de_hits"), "fr")
+        .otherwise("de")
+        .alias("predicted_lang"),
+    )
+
+
+# --- Extension: document fingerprint -----------------------------------
+
+_FP_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|'))
+         AS set_fingerprint,
+       substring(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|')),
+                 1, 8) AS fp_prefix
+FROM documents
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE, tags=("ext", "F7"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: order-insensitive content fingerprint — md5 of the
+    sorted distinct token set. Near-dup docs that differ only in word
+    order or repetition collide, exact-content variants don't; the
+    8-hex prefix is the bucketing key for a fingerprint-join dedup at
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(_toks())), "|")
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("set_fingerprint"),
+        F.substring(F.md5(canon), 1, 8).alias("fp_prefix"),
+    )
+
+
+# --- Extension: token counting (whitespace + BPE-ish estimate) ----------
+
+_TOKCOUNT_ORACLE = """
+SELECT doc_id,
+       len(toks) AS ws_tokens,
+       CAST(list_aggregate(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
+                           'sum') AS BIGINT) AS bpe_tokens_est,
+       length(text) AS chars
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@register("token_count", oracle=_TOKCOUNT_ORACLE, tags=("ext", "L6"))
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: token counting — whitespace tokens plus a BPE-ish
+    estimate (ceil(len/4) subwords per word, the standard chars/4
+    heuristic applied per word). Row-local arithmetic only."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.aggregate(
+        F.transform(_toks(), lambda t: F.ceil(F.length(t) / 4.0)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).alias("ws_tokens"),
+        bpe.alias("bpe_tokens_est"),
+        F.length("text").alias("chars"),
+    )
