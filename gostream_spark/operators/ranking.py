@@ -1,0 +1,30 @@
+"""Top-k operators (SURVEY.md §2.6 W4/W5).
+
+``topk`` compiles to TakeOrdered (per-partition heap + k·p merge,
+never a global sort); ``topk_per_group`` is the ranked-window form —
+one shuffle on the group key. Both require the ordering to be total
+(append a unique tiebreak column) or the selected rowset is
+nondeterministic under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk(df: DataFrame, k: int, *order_by: Column) -> DataFrame:
+    """W4: global top-k under a total order."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    k: int,
+    partition_by: list[Column | str],
+    order_by: list[Column | str],
+    rank_col: str = "rn",
+) -> DataFrame:
+    """W5: top-k per group; keeps the rank as ``rank_col``."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)

@@ -10,5 +10,6 @@ from gostream_spark.queries import (  # noqa: F401
     llm_text,
     projection,
     scalar_functions,
+    streaming_queries,
     windows,
 )

@@ -16,10 +16,16 @@ collapses in the partial aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
+from gostream_spark.operators import (
+    keep_first,
+    session_windowed,
+    sliding_windowed,
+    tumbling_windowed,
+)
 from gostream_spark.parity import TS_FMT_DUCK, dec2, ts_str
 from gostream_spark.registry import register
 
@@ -44,10 +50,15 @@ def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("event_cnt"),
-            F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+        tumbling_windowed(
+            ev,
+            "ts",
+            "1 day",
+            keys=("event_type",),
+            aggs=(
+                F.count(F.lit(1)).alias("event_cnt"),
+                F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+            ),
         )
         .select(
             ts_str("w.start").alias("win_start"),
@@ -89,10 +100,16 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the partial aggregate before the shuffle."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("event_cnt"),
-            F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+        sliding_windowed(
+            ev,
+            "ts",
+            "6 hours",
+            "1 hour",
+            keys=("event_type",),
+            aggs=(
+                F.count(F.lit(1)).alias("event_cnt"),
+                F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+            ),
         )
         .select(
             ts_str("w.start").alias("win_start"),
@@ -142,8 +159,13 @@ def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, not the event count."""
     ev = load_table(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        session_windowed(
+            ev,
+            "ts",
+            "30 minutes",
+            keys=("user_id",),
+            aggs=(F.count(F.lit(1)).alias("event_cnt"),),
+        )
         .select(
             "user_id",
             ts_str("w.start").alias("session_start"),
@@ -176,12 +198,12 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarantees by arrival order."""
     ev = load_table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
-    w = Window.partitionBy("user_id", "event_type", day.alias("day")).orderBy(
-        "ts", "event_id"
-    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        keep_first(
+            ev.withColumn("day_key", day),
+            keys=["user_id", "event_type", "day_key"],
+            order_by=["ts", "event_id"],
+        )
         .select(
             "user_id",
             "event_type",

@@ -18,11 +18,12 @@ runtime (skew split, broadcast demotion). 100 TB notes per query:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
-from gostream_spark.parity import TS_FMT_DUCK, dec2, dec4, ts_str
+from gostream_spark.operators import asof_join
+from gostream_spark.parity import TS_FMT_DUCK, dec2, ts_str
 from gostream_spark.registry import register
 
 # --- J1 inner equi-join ------------------------------------------------
@@ -290,33 +291,21 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     per partition — O(n log n) per key, no quadratic blow-up when a
     user has many events. This is the form that survives 100 TB.
     """
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
+    ev = load_table(spark, sf_dir, "events")
+    joined = asof_join(
+        ev,
+        key="user_id",
+        ts="ts",
+        probe_filter=F.col("event_type") == "purchase",
+        build_filter=F.col("event_type") == "click",
+        carry=["event_id", "ts"],
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
-    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
-    tagged = ev.select(
+    return joined.filter(F.col("asof_event_id").isNotNull()).select(
+        F.col("event_id").alias("purchase_id"),
         "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
-        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts_raw"),
-    )
-    return (
-        tagged.filter((F.col("event_type") == "purchase") & F.col("click_id").isNotNull())
-        .select(
-            F.col("event_id").alias("purchase_id"),
-            "user_id",
-            ts_str("ts").alias("purchase_ts"),
-            "click_id",
-            ts_str("click_ts_raw").alias("click_ts"),
-        )
+        ts_str("ts").alias("purchase_ts"),
+        F.col("asof_event_id").alias("click_id"),
+        ts_str("asof_ts").alias("click_ts"),
     )
 
 

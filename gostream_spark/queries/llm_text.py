@@ -14,6 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
+from gostream_spark.operators import keep_first
 from gostream_spark.registry import register
 
 STOPWORDS = ("the", "a")
@@ -36,19 +37,11 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     xxhash64(text) as the shuffle key and compare full text only
     within hash buckets so the exchange moves 8-byte keys, not
     documents."""
-    docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("text").orderBy("doc_id")
-    return (
-        docs.select(
-            "doc_id",
-            F.md5("text").alias("text_md5"),
-            "lang",
-            "source",
-            F.count(F.lit(1)).over(Window.partitionBy("text")).alias("copies"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "copies", F.count(F.lit(1)).over(Window.partitionBy("text"))
+    )
+    return keep_first(docs, keys=["text"], order_by=["doc_id"]).select(
+        "doc_id", F.md5("text").alias("text_md5"), "lang", "source", "copies"
     )
 
 

@@ -1,0 +1,137 @@
+"""Driver-visible streaming queries (SURVEY.md §2.1 S2/S4-S6, §2.7
+T1/T4-T8 executed for real, not batch-twinned).
+
+Each entry builds a genuine Structured Streaming pipeline (readStream
+file source → watermark → stateful op → sink), drives it to
+completion with an ``availableNow`` trigger, and returns the
+materialized sink as a batch DataFrame — which makes true streaming
+execution oracle-checkable: with all input available, the final
+result must equal the batch-SQL answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.parity import TS_FMT_DUCK, ts_str
+from gostream_spark.registry import register
+from gostream_spark.streaming import (
+    dedup_stream,
+    enrich_stream,
+    file_stream,
+    run_available_now,
+    run_foreach_batch_parquet,
+    running_count_stateful,
+    windowed_counts,
+)
+
+# --- S2+T1+T4+T7+T8: watermarked windowed counts, complete mode ---------
+
+_TUMBLE_ORACLE = f"""
+SELECT strftime(date_trunc('day', ts), '{TS_FMT_DUCK}') AS win_start,
+       event_type,
+       count(*) AS event_cnt
+FROM events GROUP BY 1, 2
+"""
+
+
+@register("streaming_tumbling_counts", oracle=_TUMBLE_ORACLE, tags=("S2", "T1", "T4", "T7", "T8"))
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T1: file-stream source → 1h watermark → daily
+    tumbling counts → memory sink in COMPLETE mode, availableNow.
+    With the whole fixture available, the final complete-mode table
+    must equal the batch group-by — the oracle asserts exactly that."""
+    ev = file_stream(spark, sf_dir, "events")
+    result = run_available_now(windowed_counts(ev), output_mode="complete")
+    return result.select(
+        ts_str("w.start").alias("win_start"), "event_type", "event_cnt"
+    )
+
+
+# --- T5+T4: streaming dedup over a duplicated stream --------------------
+
+_DEDUP_ORACLE = """
+SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events
+"""
+
+
+@register("streaming_dedup", oracle=_DEDUP_ORACLE, tags=("S2", "T4", "T5"))
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T5: the stream unioned with itself (every event twice)
+    → watermarked dropDuplicates on event_id → append-mode memory
+    sink. The dedup must collapse the union back to the original
+    event set."""
+    ev = file_stream(spark, sf_dir, "events")
+    doubled = ev.union(file_stream(spark, sf_dir, "events"))
+    deduped = dedup_stream(doubled, keys=["event_id"])
+    result = run_available_now(deduped, output_mode="append")
+    return result.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --- J9 streaming twin: stream-static enrichment ------------------------
+
+_ENRICH_ORACLE = """
+SELECT c_mktsegment, count(*) AS event_cnt
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@register("streaming_enriched_counts", oracle=_ENRICH_ORACLE, tags=("S2", "J9"))
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming J9: event stream joined per micro-batch to the static
+    customer dim (broadcast), appended to the memory sink, then
+    aggregated — equals the batch join."""
+    ev = file_stream(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    enriched = enrich_stream(ev, customer, ev.user_id == customer.c_custkey)
+    result = run_available_now(
+        enriched.select("event_id", "c_mktsegment"), output_mode="append"
+    )
+    return result.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("event_cnt"))
+
+
+# --- T6: arbitrary stateful op (applyInPandasWithState) -----------------
+
+_STATEFUL_ORACLE = """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
+@register("streaming_stateful_counts", oracle=_STATEFUL_ORACLE, tags=("S2", "T6", "T8"))
+def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T6: per-user running counts held in explicit group
+    state (the stateful bolt), update-mode memory sink. The sink holds
+    one row per (key, update); the latest update per key — i.e. the
+    max running count — must equal the batch per-user count."""
+    ev = file_stream(spark, sf_dir, "events")
+    updates = running_count_stateful(ev)
+    result = run_available_now(updates, output_mode="update")
+    return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+# --- S5/S6: foreachBatch parquet sink round-trip ------------------------
+
+_SINK_ORACLE = """
+SELECT event_type, count(*) AS event_cnt FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_sink_roundtrip", oracle=_SINK_ORACLE, tags=("S2", "S5", "S6"))
+def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/S6: stream → foreachBatch → parquet sink (append per
+    micro-batch) → re-read the sink and aggregate. Proves the
+    arbitrary-sink edge: what lands in the files is exactly the stream
+    contents."""
+    ev = file_stream(spark, sf_dir, "events").select("event_id", "event_type")
+    session, out = run_foreach_batch_parquet(ev)
+    return (
+        session.read.parquet(out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
+from gostream_spark.operators import ranking
 from gostream_spark.parity import dec2, ts_str
 from gostream_spark.registry import register
 
@@ -180,8 +181,7 @@ def topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the selected rowset deterministic."""
     orders = load_table(spark, sf_dir, "orders")
     return (
-        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(25)
+        ranking.topk(orders, 25, F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .select(
             "o_orderkey",
             "o_custkey",
@@ -212,19 +212,16 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling covers hot nations."""
     customer = load_table(spark, sf_dir, "customer")
     nation = F.broadcast(load_table(spark, sf_dir, "nation"))
-    w = Window.partitionBy("n_nationkey").orderBy(
-        F.col("c_acctbal").desc(), F.col("c_custkey")
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey).select(
+        "n_nationkey", "c_custkey", "c_name", "c_acctbal"
     )
     return (
-        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
-        .select(
-            "n_nationkey",
-            "c_custkey",
-            "c_name",
-            "c_acctbal",
-            F.row_number().over(w).alias("rn"),
+        ranking.topk_per_group(
+            joined,
+            3,
+            partition_by=["n_nationkey"],
+            order_by=[F.col("c_acctbal").desc(), F.col("c_custkey")],
         )
-        .filter(F.col("rn") <= 3)
         .select(
             "n_nationkey",
             "c_custkey",

@@ -1,0 +1,86 @@
+"""Streaming operators (SURVEY.md §2.7 T1/T4/T5/T6, §2.5 J9).
+
+Each returns a streaming DataFrame; drive with
+``runner.run_available_now``. Window/dedup semantics are the shared
+``gostream_spark.operators`` expressions, so the batch oracles certify
+them; what's added here is the streaming-only machinery: watermarks
+(T4 — bound state and drop late rows), stream-static joins, and
+arbitrary per-key state via applyInPandasWithState (T6 — the
+reference's stateful bolt).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType, StructField, StructType
+
+from gostream_spark.operators import tumbling_windowed
+
+
+def windowed_counts(
+    events: DataFrame, duration: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """T1+T4: watermarked tumbling-window counts per event type. The
+    watermark bounds window state: buckets older than
+    max(event_time) - watermark are finalized and evicted — without it
+    a 100 TB/day stream would hold every bucket forever."""
+    with_wm = events.withWatermark("ts", watermark)
+    return tumbling_windowed(
+        with_wm,
+        "ts",
+        duration,
+        keys=("event_type",),
+        aggs=(F.count(F.lit(1)).alias("event_cnt"),),
+    )
+
+
+def dedup_stream(
+    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+) -> DataFrame:
+    """T5: streaming dedup — keeps the first arrival per key; the
+    watermark lets Spark expire seen-key state, making infinite-stream
+    dedup feasible (state is bounded by keys within the watermark
+    horizon)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:
+    """J9: stream-static join — the static dim is broadcast to every
+    micro-batch (stateless; no join state accumulates)."""
+    return events.join(F.broadcast(dim), on, how)
+
+
+_STATE_SCHEMA = StructType([StructField("cnt", LongType())])
+_OUT_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("n_events", LongType())]
+)
+
+
+def _count_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (cnt,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        cnt += len(pdf)
+    state.update((cnt,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+
+def running_count_stateful(events: DataFrame) -> DataFrame:
+    """T6: arbitrary per-key state — a running event count per user
+    via ``applyInPandasWithState`` (the stateful bolt: user code, Arrow
+    batches in, explicit state handle with optional timeouts). Emits
+    the updated count for each key touched in each micro-batch; state
+    lives in the executor-local state store keyed by user."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count_fn,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,92 @@
+"""Streaming execution helpers (SURVEY.md §2.1 S4/S5/S6, §2.7 T7/T8).
+
+``run_available_now`` drives a streaming pipeline to completion with
+the ``availableNow`` trigger (process everything currently available,
+then stop) — the deterministic harness that makes streaming results
+collectable and oracle-checkable. Sinks: in-memory table (S4) or
+foreachBatch→parquet (S5/S6).
+
+Checkpoints live under ``.tmp/`` in the repo (gitignored); every run
+gets a fresh checkpoint + query name so reruns in one session never
+collide.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), ".tmp")
+_counter = itertools.count()
+
+
+def _scratch(kind: str) -> str:
+    path = os.path.join(_TMP_ROOT, f"{kind}-{uuid.uuid4().hex[:12]}")
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def run_available_now(
+    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 300
+) -> DataFrame:
+    """Run a streaming DataFrame to completion into a memory sink (S4)
+    and return the sink's contents as a batch DataFrame.
+
+    output_mode exercises T8: 'append' for stateless/dedup pipelines,
+    'complete' for aggregations, 'update' for stateful per-key
+    emission (the memory sink then holds one row per update — callers
+    aggregate to the latest). availableNow (T7) processes all
+    currently-available input, possibly across several micro-batches,
+    then stops.
+    """
+    name = f"gs_mem_{next(_counter)}_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch("ckpt")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    spark = sdf.sparkSession
+    result = spark.table(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+def run_foreach_batch_parquet(
+    sdf: DataFrame, out_dir: str | None = None, timeout_sec: int = 300
+) -> tuple[SparkSession, str]:
+    """S5/S6: drive the stream through foreachBatch into a parquet
+    sink (append per micro-batch). Returns (session, sink path) so the
+    caller can re-read the materialized output. foreachBatch is the
+    arbitrary-terminal-bolt escape hatch: the batch DataFrame handed
+    to the function supports the full batch API."""
+    out = out_dir or _scratch("sink")
+    ckpt = _scratch("ckpt")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return sdf.sparkSession, out

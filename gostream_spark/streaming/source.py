@@ -1,0 +1,46 @@
+"""Streaming sources (SURVEY.md §2.1 S2) — the spout equivalents.
+
+``file_stream`` replays a bounded fixture table as a stream (the
+standard replay harness for deterministic streaming tests; at
+production scale the same code points at a continuously-appended
+directory or a Kafka source). Schema comes from a one-off batch read
+of the same file — streaming file sources require an explicit schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import TABLES, table_path
+
+
+def file_stream(
+    spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """S2: file-based stream over one fixture table. Applies the same
+    nanos→micros timestamp normalization as the batch reader so batch
+    and streaming pipelines see identical schemas."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = table_path(sf_dir, name)
+    schema = spark.read.parquet(path).schema
+    # The streaming file source wants a directory; scope it to this
+    # table's file with a glob filter.
+    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"{name}.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(sf_dir.rstrip("/"))
+    if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return sdf
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """S2: synthetic tick source (the reference's tick-tuple spout) —
+    columns (timestamp, value)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )

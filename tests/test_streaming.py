@@ -1,0 +1,123 @@
+"""Streaming scenario tests (SURVEY.md §5.2): multi-micro-batch
+behaviors the batch oracles can't certify — watermark late-data
+dropping (T4) and cross-batch dedup state (T5)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from gostream_spark.streaming.ops import dedup_stream, windowed_counts
+from gostream_spark.streaming.runner import run_available_now
+from gostream_spark.streaming.source import rate_stream
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def _write_event_files(spark, rows_per_file):
+    """Write one parquet file per batch of rows, with increasing
+    mtimes so the file-stream source processes them in order."""
+    d = os.path.join(TMP, f"events-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    for i, rows in enumerate(rows_per_file):
+        df = spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+        )
+        sub = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        dest = os.path.join(d, f"file{i}.parquet")
+        shutil.move(os.path.join(sub, part), dest)
+        shutil.rmtree(sub, ignore_errors=True)
+        t = time.time() + i * 10
+        os.utime(dest, (t, t))
+    return d
+
+
+def _stream_dir(spark, path):
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(path)
+    )
+
+
+def test_dedup_state_spans_batches(spark):
+    """T5: a key seen in batch 1 must be suppressed in batch 2."""
+    from datetime import datetime
+
+    mk = lambda i, h: (i, datetime(2024, 1, 1, h, 0, 0), i % 3, "click")
+    d = _write_event_files(
+        spark,
+        [
+            [mk(1, 10), mk(2, 10), mk(3, 10)],
+            [mk(3, 11), mk(4, 11), mk(5, 11)],  # 3 is a cross-batch dup
+        ],
+    )
+    out = run_available_now(
+        dedup_stream(_stream_dir(spark, d), keys=["event_id"], watermark="10 hours"),
+        output_mode="append",
+    )
+    ids = sorted(r.event_id for r in out.select("event_id").collect())
+    assert ids == [1, 2, 3, 4, 5]
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_watermark_drops_late_rows(spark):
+    """T4: once a window has been finalized and evicted (watermark
+    passed its end), a straggler for that window is DROPPED — the
+    append-mode sink sees the window exactly once, with the on-time
+    rows only. (Verified against stateOperators'
+    numRowsDroppedByWatermark: the 12:30 straggler is counted as
+    dropped in its arrival batch.)"""
+    from datetime import datetime
+
+    d = _write_event_files(
+        spark,
+        [
+            # batch 0: three 12:00-window events + a 23:00 event that
+            # pushes the watermark to 22:00
+            [
+                (1, datetime(2024, 1, 1, 12, 0), 0, "click"),
+                (2, datetime(2024, 1, 1, 12, 10), 0, "click"),
+                (3, datetime(2024, 1, 1, 12, 20), 0, "click"),
+                (4, datetime(2024, 1, 1, 23, 0), 0, "click"),
+            ],
+            # batch 1: watermark 22:00 applies -> the 12:00 window is
+            # emitted and its state evicted during this batch
+            [(5, datetime(2024, 1, 1, 23, 10), 0, "click")],
+            # batch 2: a 12:30 straggler for the already-evicted window
+            # (must be dropped, NOT re-emitted) + a fresh 23:50 event
+            # whose window never finalizes before the stream ends
+            [
+                (6, datetime(2024, 1, 1, 12, 30), 0, "click"),
+                (7, datetime(2024, 1, 1, 23, 50), 0, "click"),
+            ],
+        ],
+    )
+    out = run_available_now(
+        windowed_counts(_stream_dir(spark, d), duration="1 hour", watermark="1 hour"),
+        output_mode="append",
+    )
+    rows = {
+        r["start"].strftime("%H:%M"): r["event_cnt"]
+        for r in out.select(F.col("w.start").alias("start"), "event_cnt").collect()
+    }
+    # exactly one emission of the 12:00 window, with the 3 on-time rows;
+    # the straggler neither re-opened it nor produced a duplicate row.
+    assert rows == {"12:00": 3}
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rate_source_is_streaming(spark):
+    """S2: the tick-tuple spout equivalent builds a streaming frame."""
+    df = rate_stream(spark, rows_per_second=5)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
