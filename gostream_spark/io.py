@@ -72,6 +72,12 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+def memory_source(spark: SparkSession, rows, schema) -> DataFrame:
+    """S3: in-memory source (the reference's test spout) — rows +
+    explicit schema, for scaffolding and scenario tests."""
+    return spark.createDataFrame(rows, schema)
+
+
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     """S5: parquet sink. At scale, partition by a low-cardinality
     time/key column so downstream scans get partition pruning."""

@@ -8,8 +8,11 @@ from gostream_spark.queries import (  # noqa: F401
     joins,
     llm_similarity,
     llm_text,
+    multimodal,
     projection,
     scalar_functions,
+    sql_entry,
     streaming_queries,
+    udfs,
     windows,
 )

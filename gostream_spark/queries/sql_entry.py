@@ -1,0 +1,57 @@
+"""SQL entry point (SURVEY.md §3.2 E2): queries expressed as SQL
+strings over registered temp views — the second lifecycle path
+(parser → same analyzer/optimizer as the DataFrame API).
+
+The Spark SQL text and the DuckDB oracle are nearly identical here by
+design: ANSI SQL is the portability surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gostream_spark.io import register_views
+from gostream_spark.registry import register
+
+# TPC-H-Q3-shaped: unshipped-revenue by order, via pure SQL.
+_SQL_SPARK = """
+SELECT o_orderkey,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue,
+       date_format(o_orderdate, 'yyyy-MM-dd') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+_SQL_ORACLE = """
+SELECT o_orderkey,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+@register("sql_shipping_priority", oracle=_SQL_ORACLE, tags=("E2", "J8"), bench=True)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the TPC-H-Q3 shape executed from a SQL string over temp
+    views — proves the parser entry point feeds the same Catalyst
+    pipeline (broadcast selection, filter pushdown into both fact
+    scans) as the DataFrame API."""
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_SQL_SPARK)

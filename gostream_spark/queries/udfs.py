@@ -1,0 +1,176 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.9, U1-U3) — the escape
+hatch for bolt logic the built-ins can't express.
+
+Engine policy (SURVEY §2.9): built-ins first; when Python is
+unavoidable, Arrow-vectorized pandas UDFs (U1), grouped
+``applyInPandas`` (U2), and Python UDTFs (U3) — never row-at-a-time
+``@udf`` in a hot path. Cross-engine determinism: all float math
+inside the Python code is integer/cent-based so partition order and
+pandas summation order cannot move a bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+# --- U1 scalar pandas UDF ----------------------------------------------
+
+
+def _spend_band_fn(total: pd.Series, key: pd.Series) -> pd.Series:
+    """Vectorized scalar logic: integer spend band + key residue
+    (exact integer math — no float drift)."""
+    return (total // 50000).astype("int64") * 10 + (key % 7).astype("int64")
+
+
+_U1_ORACLE = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice / 50000) AS BIGINT) * 10 + (o_orderkey % 7) AS spend_band
+FROM orders
+"""
+
+
+@register("udf_spend_band", oracle=_U1_ORACLE, tags=("U1",))
+def udf_spend_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: Arrow-batched pandas UDF (10-100× a row-at-a-time Python
+    UDF; still ~an order slower than the equivalent built-in Column
+    expression the oracle uses — which is the point of the policy)."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend_band = pandas_udf(_spend_band_fn, "bigint")
+    return orders.select(
+        "o_orderkey", spend_band("o_totalprice", "o_orderkey").alias("spend_band")
+    )
+
+
+# --- U2 grouped-map UDAF (applyInPandas) --------------------------------
+
+
+def _priority_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Exact per-group aggregate in pandas: cent-integer sums, so the
+    result is independent of row order within the group."""
+    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    n = len(pdf)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+            "order_cnt": [n],
+            "total_spend": [round(int(cents.sum()) / 100.0, 2)],
+            "avg_spend": [round(int(cents.sum()) / 100.0 / n, 2)],
+        }
+    )
+
+
+_U2_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS order_cnt,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS total_spend,
+       round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+             / count(*), 2) AS avg_spend
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("udaf_priority_stats", oracle=_U2_ORACLE, tags=("U2",))
+def udaf_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: custom aggregation via grouped applyInPandas — the whole
+    group streams to one Python worker as Arrow batches. At 100 TB
+    this requires group cardinality × size awareness (a hot key pulls
+    its entire group into one worker); prefer mergeable built-ins when
+    the aggregate decomposes."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").applyInPandas(
+        _priority_stats,
+        schema="o_orderpriority string, order_cnt bigint, total_spend double, avg_spend double",
+    )
+
+
+# --- U3 Python UDTF -----------------------------------------------------
+
+
+class _TokenizeTF:
+    """1→N table function: (position, token, length) per whitespace
+    token — the UDTF form of the flatMap bolt."""
+
+    def eval(self, text: str):  # noqa: D102
+        if text:
+            for i, tok in enumerate(text.split(" ")):
+                yield i, tok, len(tok)
+
+
+_U3_ORACLE = """
+SELECT doc_id,
+       generate_subscripts(toks, 1) - 1 AS pos,
+       unnest(toks) AS token,
+       length(unnest(toks)) AS tok_len
+FROM (SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id % 50 = 0)
+"""
+
+
+@register("udtf_tokenize", oracle=_U3_ORACLE, tags=("U3",))
+def udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: Python UDTF via LATERAL join — one output table per input
+    row. The built-in posexplode twin (`explode_tokens`) is the hot-
+    path form; the UDTF exists for logic that genuinely needs Python
+    (custom tokenizers)."""
+    spark.udtf.register(
+        "gs_tokenize", udtf(_TokenizeTF, returnType="pos int, token string, tok_len int")
+    )
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """
+        SELECT doc_id, t.pos, t.token, t.tok_len
+        FROM documents, LATERAL gs_tokenize(text) t
+        WHERE doc_id % 50 = 0
+        """
+    )
+
+
+# --- U1b iterator-of-batches pandas UDF (mapInPandas shape) -------------
+
+
+def _doc_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-batch feature extraction with exact
+    integer features."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_words": pdf["text"].str.count(" ").astype("int64") + 1,
+                "n_chars": pdf["text"].str.len().astype("int64"),
+                "caps_ratio_pct": (
+                    pdf["text"].str.count(r"[A-Z]") * 100 // pdf["text"].str.len()
+                ).astype("int64"),
+            }
+        )
+
+
+_U1B_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       length(text) AS n_chars,
+       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 100 / length(text) AS BIGINT)
+         AS caps_ratio_pct
+FROM documents
+"""
+
+
+@register("mapinpandas_doc_features", oracle=_U1B_ORACLE, tags=("U1", "L6"))
+def mapinpandas_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: mapInPandas — iterator-of-Arrow-batches form, the shape for
+    per-partition Python feature extraction (and the L9 multimodal
+    decode path). Batch size follows
+    spark.sql.execution.arrow.maxRecordsPerBatch; partitioning is
+    inherited, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _doc_features, schema="doc_id bigint, n_words bigint, n_chars bigint, caps_ratio_pct bigint"
+    )

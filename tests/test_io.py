@@ -1,0 +1,41 @@
+"""S3/S4/S5 source/sink tests (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table, memory_source, write_parquet
+from gostream_spark.operators import keep_first
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def test_memory_source_and_collect_sink(spark):
+    """S3 + S4: in-memory rows through an operator, collected back."""
+    df = memory_source(
+        spark,
+        [(1, "a"), (2, "a"), (3, "b")],
+        "id BIGINT, k STRING",
+    )
+    out = keep_first(df, keys=["k"], order_by=["id"]).collect()
+    assert sorted((r.k, r.id) for r in out) == [("a", 1), ("b", 3)]
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir):
+    """S5: partitioned parquet sink; re-read sees identical data and
+    the partition column prunes."""
+    out = os.path.join(TMP, f"sink-{uuid.uuid4().hex[:8]}")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    write_parquet(docs, out, partition_by=["lang"])
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    one_lang = back.filter(F.col("lang") == "en")
+    # partition pruning: the filter must reach the scan as a partition filter
+    plan = one_lang._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert one_lang.count() == docs.filter(F.col("lang") == "en").count()
+    shutil.rmtree(out, ignore_errors=True)
