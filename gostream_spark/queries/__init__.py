@@ -13,6 +13,7 @@ from gostream_spark.queries import (  # noqa: F401
     scalar_functions,
     sql_entry,
     streaming_queries,
+    streaming_similarity,
     udfs,
     windows,
 )

@@ -149,7 +149,7 @@ GROUP BY user_id, session_no
 """
 
 
-@register("session_window", oracle=_T3_ORACLE, tags=("T3",))
+@register("session_window", oracle=_T3_ORACLE, tags=("T3",), bench=True)
 def session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3: gap-based session windows (30-minute inactivity gap) per
     user — `session_window(ts, '30 minutes')`. The oracle is the
