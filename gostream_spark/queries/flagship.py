@@ -44,7 +44,7 @@ GROUP BY l_returnflag, l_linestatus
 @register(
     "pricing_summary",
     oracle=_ORACLE,
-    tags=("A1", "P2", "F3", "flagship"),
+    tags=("S1", "P1", "P2", "P4", "F2", "F3", "A1", "A9", "flagship"),
     bench=True,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,88 @@
+"""Property-based tests (hypothesis) for the operator library —
+semantic invariants on randomized inputs, complementing the
+fixture-oracle gate. Few examples per property (each example runs a
+Spark job); deadline disabled accordingly."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from gostream_spark.operators import keep_first, tumbling_windowed
+from gostream_spark.operators.ranking import topk_per_group
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),     # key
+        st.integers(min_value=0, max_value=100),   # ord
+        st.integers(min_value=0, max_value=1000),  # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_keep_first_is_min_per_key(spark, rows):
+    df = spark.createDataFrame(rows, "k INT, o INT, v INT")
+    out = keep_first(df, keys=["k"], order_by=["o", "v"]).collect()
+    got = {r.k: (r.o, r.v) for r in out}
+    want = {}
+    for k, o, v in rows:
+        if k not in want or (o, v) < want[k]:
+            want[k] = (o, v)
+    assert len(out) == len(want)
+    assert got == want
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
+def test_topk_per_group_is_true_topk(spark, rows):
+    df = spark.createDataFrame(rows, "k INT, o INT, v INT")
+    out = topk_per_group(
+        df, 3, partition_by=["k"], order_by=[F.col("o").desc(), F.col("v").desc()]
+    ).collect()
+    by_key: dict[int, list[tuple[int, int]]] = {}
+    for k, o, v in rows:
+        by_key.setdefault(k, []).append((o, v))
+    for k, vals in by_key.items():
+        want = sorted(vals, reverse=True)[:3]
+        got = sorted(((r.o, r.v) for r in out if r.k == k), reverse=True)
+        assert got == want
+
+
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=72 * 3600 - 1), min_size=1, max_size=40
+    )
+)
+@settings(**_SETTINGS)
+def test_tumbling_windows_partition_rows(spark, offsets):
+    """Every row lands in exactly one epoch-aligned hourly bucket:
+    counts sum to the input size and each bucket matches the floor of
+    its members' timestamps."""
+    base = datetime(2024, 1, 1)
+    rows = [(i, base + timedelta(seconds=s)) for i, s in enumerate(offsets)]
+    df = spark.createDataFrame(rows, "id INT, ts TIMESTAMP")
+    out = tumbling_windowed(
+        df, "ts", "1 hour", aggs=(F.count(F.lit(1)).alias("cnt"),)
+    ).collect()
+    assert sum(r.cnt for r in out) == len(rows)
+    want: dict[datetime, int] = {}
+    for _, s in enumerate(offsets):
+        start = base + timedelta(hours=s // 3600)
+        want[start] = want.get(start, 0) + 1
+    got = {r.w.start: r.cnt for r in out}
+    assert got == want
+    for r in out:
+        assert (r.w.end - r.w.start) == timedelta(hours=1)
