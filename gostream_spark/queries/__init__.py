@@ -12,6 +12,7 @@ from gostream_spark.queries import (  # noqa: F401
     multimodal,
     projection,
     scalar_functions,
+    skew_and_ivf,
     sql_entry,
     streaming_queries,
     streaming_similarity,

@@ -1,0 +1,132 @@
+"""Scale-pattern queries: salted aggregation (skew mitigation) and an
+IVF-style two-stage ANN search — each exact-oracle-checked so the
+rewrite is PROVEN equivalent to the direct form, not just asserted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.functions import cosine_similarity
+from gostream_spark.io import load_table
+from gostream_spark.operators.skew import salted_agg
+from gostream_spark.parity import dec2
+from gostream_spark.queries.llm_similarity import _duck_cosine
+from gostream_spark.registry import register
+
+# --- salted two-stage aggregation --------------------------------------
+
+_SALT_ORACLE = """
+SELECT event_type,
+       count(*) AS event_cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+"""
+
+
+@register("skew_salted_agg", oracle=_SALT_ORACLE, tags=("A1", "ext"))
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a low-cardinality (hence
+    skew-prone) key. The oracle is the DIRECT group-by: passing proves
+    the salt rewrite exact (decimal partials merge associatively).
+    At 100 TB this caps the largest reducer at input/salt_n rows."""
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs=(
+            F.count(F.lit(1)).alias("p_cnt"),
+            F.sum(dec2("value")).alias("p_sum"),
+        ),
+        final_aggs=(
+            F.sum("p_cnt").alias("event_cnt"),
+            F.round(F.sum("p_sum"), 2).cast("double").alias("total_value"),
+        ),
+        salt_n=16,
+    )
+
+
+# --- IVF-style two-stage ANN search ------------------------------------
+
+_IVF_ORACLE = f"""
+WITH elems AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM embeddings
+), cent_elems AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM elems GROUP BY label, pos
+), centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_elems GROUP BY label
+), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c_label FROM (
+    SELECT c.c_label,
+           row_number() OVER (ORDER BY round({_duck_cosine('c.cv', 'q.qv')}, 6) DESC,
+                              c.c_label) AS crn
+    FROM centroids c, q
+  ) WHERE crn <= 3
+)
+SELECT vec_id, label, cos, rn FROM (
+  SELECT e.vec_id, e.label,
+         round({_duck_cosine('e.embedding', 'q.qv')}, 6) AS cos,
+         row_number() OVER (ORDER BY round({_duck_cosine('e.embedding', 'q.qv')}, 6) DESC,
+                            e.vec_id) AS rn
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND e.label IN (SELECT c_label FROM probe)
+) WHERE rn <= 10
+"""
+
+
+@register("ivf_topk", oracle=_IVF_ORACLE, tags=("L3", "ext"))
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroids (the
+    inverted-file cells); the query scores the 10 centroids, probes
+    the top-3 cells, and runs exact top-k only inside them — scanning
+    ~30% of the corpus here, and 1/nlist·nprobe of it in general.
+    This is the scale path when LSH recall is insufficient; the
+    brute-force twin (`similarity_topk`) is the recall baseline. Exact
+    oracle: DuckDB replicates both stages bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # coarse quantizer: per-label centroids (decimal-routed, rounded)
+    elems = emb.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "v"
+    )
+    cent_elems = elems.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(18,7)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    centroids = cent_elems.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cw = Window.orderBy(
+        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).desc(), F.col("c_label")
+    )
+    probe = (
+        centroids.crossJoin(q)
+        .withColumn("crn", F.row_number().over(cw))
+        .filter(F.col("crn") <= 3)
+        .select("c_label")
+    )
+    candidates = emb.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probe), emb.label == F.col("c_label")
+    )
+    scored = candidates.crossJoin(q).select(
+        "vec_id",
+        "label",
+        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+    )
+    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.select(
+        "vec_id", "label", "cos", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 10)
