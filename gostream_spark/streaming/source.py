@@ -23,6 +23,9 @@ def file_stream(
     and streaming pipelines see identical schemas."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # see io.load_table: engine must work under any caller session
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, name)
     schema = spark.read.parquet(path).schema
     # The streaming file source wants a directory; scope it to this
