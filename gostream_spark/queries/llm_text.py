@@ -45,6 +45,28 @@ def docs_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- wordcount (the reference's canonical demo topology) ----------------
+
+_WC_ORACLE = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+SELECT token, count(*) AS cnt FROM tok GROUP BY token
+"""
+
+
+@register("wordcount", oracle=_WC_ORACLE, tags=("A1", "P3", "flagship"))
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's canonical demo topology (SURVEY §2.4 A1:
+    splitter spout → fields-grouped counting bolt) in its entirety:
+    split → explode → groupBy → count. Map-side explode, partial
+    counts collapse before the single shuffle on the token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 # --- L6 tokenize / ngrams / stopwords ----------------------------------
 
 
