@@ -61,6 +61,57 @@ def test_topk_per_group_is_true_topk(spark, rows):
         assert got == want
 
 
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),        # user/key
+        st.integers(min_value=0, max_value=10_000),   # ts offset seconds
+        st.booleans(),                                 # is_probe (else build)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(evs=events_strategy)
+@settings(**_SETTINGS)
+def test_asof_join_attaches_latest_earlier_build(spark, evs):
+    from gostream_spark.operators import asof_join
+
+    base = datetime(2024, 1, 1)
+    # microsecond-unique timestamps: the operator's tie behavior at
+    # identical (ts) is deterministic but intentionally unspecified
+    rows = [
+        (i, k, base + timedelta(seconds=s, microseconds=i), "p" if probe else "b")
+        for i, (k, s, probe) in enumerate(evs)
+    ]
+    df = spark.createDataFrame(rows, "event_id INT, k INT, ts TIMESTAMP, typ STRING")
+    out = asof_join(
+        df,
+        key="k",
+        ts="ts",
+        probe_filter=F.col("typ") == "p",
+        build_filter=F.col("typ") == "b",
+        carry=["event_id", "ts"],
+    ).collect()
+    by_id = {r[0]: r for r in rows}
+    for r in out:
+        assert r.typ == "p"
+        if r.asof_event_id is None:
+            # no build row at-or-before this probe for the same key
+            assert not any(
+                rr[1] == r.k and rr[3] == "b" and rr[2] <= r.ts for rr in rows
+            )
+        else:
+            build = by_id[r.asof_event_id]
+            assert build[3] == "b" and build[1] == r.k
+            assert build[2] <= r.ts
+            # latest: no other build row strictly between
+            assert not any(
+                rr[1] == r.k and rr[3] == "b" and build[2] < rr[2] <= r.ts
+                for rr in rows
+            )
+
+
 @given(
     offsets=st.lists(
         st.integers(min_value=0, max_value=72 * 3600 - 1), min_size=1, max_size=40

@@ -121,3 +121,25 @@ def test_rate_source_is_streaming(spark):
     df = rate_stream(spark, rows_per_second=5)
     assert df.isStreaming
     assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_processing_time_trigger(spark):
+    """T7: processingTime trigger — micro-batches fire on the wall
+    clock; the rate spout produces rows while the query runs."""
+    df = rate_stream(spark, rows_per_second=100).select("value")
+    name = f"rate_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 20
+        while time.time() < deadline and spark.table(name).count() == 0:
+            time.sleep(0.5)
+        assert spark.table(name).count() > 0
+        assert q.isActive
+    finally:
+        q.stop()
