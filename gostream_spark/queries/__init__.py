@@ -3,6 +3,7 @@ query from SURVEY.md §2 into ``gostream_spark.registry``."""
 
 from gostream_spark.queries import (  # noqa: F401
     aggregation,
+    analytics_demo,
     dedup_advanced,
     event_time,
     flagship,
@@ -12,6 +13,7 @@ from gostream_spark.queries import (  # noqa: F401
     multimodal,
     projection,
     scalar_functions,
+    scalar_functions_extra,
     skew_and_ivf,
     sql_entry,
     streaming_queries,

@@ -1,0 +1,168 @@
+"""Second-wave scalar-function coverage (SURVEY.md §2.3) — the
+representatives the first-wave family queries didn't touch:
+pad/translate/initcap/split_part (F1), hour/quarter/add_months/
+last_day (F2), array set-algebra/sequence/flatten (F5), ordered
+collect_list (A6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.parity import TS_FMT_DUCK, ts_str
+from gostream_spark.registry import register
+
+# --- F1 wave 2 ----------------------------------------------------------
+
+_F1B_ORACLE = """
+SELECT p_partkey,
+       lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+       upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS name_capitalized,
+       split_part(p_brand, '#', 2) AS brand_no,
+       translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels,
+       reverse(p_name) AS name_rev,
+       left(p_type, 3) AS type_head,
+       repeat('*', p_size % 5) AS stars
+FROM part
+"""
+
+
+@register("string_functions_extra", oracle=_F1B_ORACLE, tags=("F1",))
+def string_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 wave 2: lpad/capitalize/split_part/translate/reverse/left/
+    repeat (initcap itself has no DuckDB twin; the capitalize
+    composition exercises the same surface)."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+        ).alias("name_capitalized"),
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_no"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+        F.reverse("p_name").alias("name_rev"),
+        F.substring("p_type", 1, 3).alias("type_head"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+    )
+
+
+# --- F2 wave 2 ----------------------------------------------------------
+
+_F2B_ORACLE = f"""
+SELECT event_id,
+       hour(ts) AS ev_hour,
+       minute(ts) AS ev_minute,
+       quarter(ts) AS ev_quarter,
+       CAST(dayofyear(ts) AS INTEGER) AS ev_doy,
+       strftime(last_day(ts), '%Y-%m-%d') AS month_end,
+       strftime(ts + INTERVAL 2 MONTH, '{TS_FMT_DUCK}') AS plus_2mo
+FROM events
+"""
+
+
+@register("datetime_functions_extra", oracle=_F2B_ORACLE, tags=("F2",))
+def datetime_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 wave 2: hour/minute/quarter/dayofyear/last_day/month
+    interval arithmetic (``add_months`` itself returns DATE and drops
+    the time-of-day; ``ts + INTERVAL`` is the timestamp-preserving
+    form, matching DuckDB's)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.hour("ts").alias("ev_hour"),
+        F.minute("ts").alias("ev_minute"),
+        F.quarter("ts").alias("ev_quarter"),
+        F.dayofyear("ts").alias("ev_doy"),
+        F.date_format(F.last_day("ts"), "yyyy-MM-dd").alias("month_end"),
+        ts_str(F.expr("ts + INTERVAL 2 MONTH")).alias("plus_2mo"),
+    )
+
+
+# --- F5 wave 2 ----------------------------------------------------------
+
+_F5B_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  WHERE doc_id % 25 = 0
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.toks, b.toks)) AS common_tokens,
+       len(list_distinct(list_concat(a.toks, b.toks))) AS union_tokens,
+       list_contains(a.toks, 'spark') AS a_has_spark,
+       len(list_filter(a.toks, x -> length(x) > 5)) AS a_long_tokens
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+"""
+
+
+@register("array_functions_extra", oracle=_F5B_ORACLE, tags=("F5",))
+def array_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 wave 2: array set algebra (intersect/union via
+    distinct-concat), contains, filter-by-predicate — on token sets of
+    a small doc subset (all row-local once the pair join lands)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    t = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("common_tokens"),
+            F.size(F.array_distinct(F.concat("ta", "tb"))).alias("union_tokens"),
+            F.array_contains("ta", "spark").alias("a_has_spark"),
+            F.size(F.filter("ta", lambda x: F.length(x) > 5)).alias("a_long_tokens"),
+        )
+    )
+
+
+# --- A6 wave 2: ordered collect_list ------------------------------------
+
+_A6B_ORACLE = """
+SELECT o_custkey,
+       array_to_string(list(o_orderkey ORDER BY o_orderdate, o_orderkey), ',')
+         AS order_history
+FROM orders
+WHERE o_custkey % 20 = 0
+GROUP BY o_custkey
+"""
+
+
+@register("agg_ordered_history", oracle=_A6B_ORACLE, tags=("A6",))
+def agg_ordered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 wave 2: time-ordered collect_list — canonicalized by sorting
+    (orderdate, orderkey) structs post-collect, since Spark's
+    collect_list order is partition-arrival order (the canonical
+    workaround; SURVEY §2.4 A6)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    pairs = F.collect_list(F.struct("o_orderdate", "o_orderkey"))
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(pairs), lambda x: x["o_orderkey"].cast("string")),
+            ",",
+        ).alias("order_history")
+    )
+
+
+# --- A7 wave 2: GROUPING SETS via SQL (also E2) -------------------------
+
+_A7B_SQL = """
+SELECT coalesce(o_orderstatus, '(all)') AS status,
+       coalesce(o_orderpriority, '(all)') AS priority,
+       count(*) AS order_cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@register("agg_grouping_sets", oracle=_A7B_SQL, tags=("A7", "E2"))
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 wave 2: explicit GROUPING SETS through the SQL entry point —
+    identical text runs on both engines."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_A7B_SQL)
