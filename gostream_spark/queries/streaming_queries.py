@@ -115,6 +115,54 @@ def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+# --- J10 for real: watermarked stream-stream join -----------------------
+
+_SS_JOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts <= p.ts
+"""
+
+
+@register("streaming_stream_stream_join", oracle=_SS_JOIN_ORACLE, tags=("S2", "J10", "T4"))
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 executed as a REAL stream-stream join: both sides
+    watermarked, the time-range condition bounds the join state Spark
+    must hold (clicks older than purchase-watermark - 1h are evicted).
+    With all input available, the appended matches equal the batch
+    join — the oracle asserts exactly that."""
+    p = (
+        file_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        file_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
+    return run_available_now(joined, output_mode="append")
+
+
 # --- S5/S6: foreachBatch parquet sink round-trip ------------------------
 
 _SINK_ORACLE = """

@@ -76,7 +76,15 @@ def running_count_stateful(events: DataFrame) -> DataFrame:
     via ``applyInPandasWithState`` (the stateful bolt: user code, Arrow
     batches in, explicit state handle with optional timeouts). Emits
     the updated count for each key touched in each micro-batch; state
-    lives in the executor-local state store keyed by user."""
+    lives in the executor-local state store keyed by user.
+
+    Spark 4's newer ``transformWithStateInPandas`` (timers, TTL,
+    composite state) is the intended upgrade, but its Python driver
+    worker requires ``google.protobuf``, which this environment lacks
+    (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
+    ImportError) — on a cluster image with protobuf, swap this
+    function's body for a StatefulProcessor with the same state
+    schema; the operator contract is unchanged."""
     return events.groupBy("user_id").applyInPandasWithState(
         _count_fn,
         outputStructType=_OUT_SCHEMA,
