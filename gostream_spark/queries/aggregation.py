@@ -209,6 +209,37 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A7b pivot (crosstab) ----------------------------------------------
+
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS cnt_f,
+       count(*) FILTER (o_orderstatus = 'O') AS cnt_o,
+       count(*) FILTER (o_orderstatus = 'P') AS cnt_p
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@register("agg_pivot", oracle=_PIVOT_ORACLE, tags=("A7", "A1"))
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 (pivot form): order counts cross-tabulated priority ×
+    status. Pivot values are listed explicitly — at scale, an
+    unlisted-values pivot triggers an extra distinct pass to discover
+    them; always enumerate when the domain is known."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("cnt_p"),
+    )
+
+
 # --- A8 statistical aggregates -----------------------------------------
 
 _A8_ORACLE = """

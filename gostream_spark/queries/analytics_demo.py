@@ -121,8 +121,9 @@ def retention_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_ORACLE = """
 SELECT c_mktsegment, event_type,
        count(*) AS event_cnt,
-       round(CAST(count(*) AS DOUBLE) * 100
-             / sum(count(*)) OVER (PARTITION BY c_mktsegment), 2) AS pct_of_segment
+       CAST(floor(CAST(count(*) AS DOUBLE) * 10000
+                  / sum(count(*)) OVER (PARTITION BY c_mktsegment)) AS BIGINT)
+         AS pct_bp_of_segment
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment, event_type
 """
@@ -131,8 +132,11 @@ GROUP BY c_mktsegment, event_type
 @register("segment_event_mix", oracle=_MIX_ORACLE, tags=("demo", "J9", "W3"))
 def segment_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Demo: event-type mix per customer segment with a windowed
-    share-of-segment percentage — broadcast enrich + hash aggregate +
-    partition-window normalization."""
+    share-of-segment in basis points — broadcast enrich + hash
+    aggregate + partition-window normalization. floor of a single
+    exact division (not a rounded percentage: count ratios hit
+    round-half boundaries where the engines' rounding modes
+    disagree)."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -147,7 +151,9 @@ def segment_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         "event_type",
         "event_cnt",
-        F.round(
-            F.col("event_cnt").cast("double") * 100 / F.sum("event_cnt").over(w), 2
-        ).alias("pct_of_segment"),
+        F.floor(
+            F.col("event_cnt").cast("double") * 10000 / F.sum("event_cnt").over(w)
+        )
+        .cast("bigint")
+        .alias("pct_bp_of_segment"),
     )

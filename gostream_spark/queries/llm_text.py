@@ -239,20 +239,18 @@ WITH t AS (
          len(list_filter(toks, x -> x IN ('the', 'a'))) AS n_stop,
          len(list_distinct(toks)) AS n_distinct
   FROM t
+), s AS (
+  SELECT doc_id,
+         40 * least(n_tokens, 100)
+         + CAST(floor(3000.0 * (n_tokens - n_stop + n_distinct) / n_tokens) AS BIGINT)
+           AS quality_bp
+  FROM m
 )
-SELECT doc_id,
-       round(0.4 * least(1.0, n_tokens / 100.0)
-             + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-             + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) AS quality,
-       CASE WHEN round(0.4 * least(1.0, n_tokens / 100.0)
-                       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-                       + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) >= 0.75
-            THEN 'high'
-            WHEN round(0.4 * least(1.0, n_tokens / 100.0)
-                       + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / n_tokens)
-                       + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tokens), 4) >= 0.5
-            THEN 'medium' ELSE 'low' END AS quality_class
-FROM m
+SELECT doc_id, quality_bp,
+       CASE WHEN quality_bp >= 7500 THEN 'high'
+            WHEN quality_bp >= 5000 THEN 'medium'
+            ELSE 'low' END AS quality_class
+FROM s
 """
 
 
@@ -260,22 +258,27 @@ FROM m
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: document quality score — length, stopword-ratio and
     lexical-diversity components (the standard cheap pre-filters for
-    training-data curation). Row-local; no shuffle."""
+    training-data curation), expressed in integer basis points:
+    0.4·min(1, n/100) + 0.3·(1 - stop/n) + 0.3·(distinct/n) scaled by
+    10000 collapses to 40·min(n,100) + floor(3000·(n-stop+distinct)/n).
+    The single floor of a single exact division is the cross-engine-
+    deterministic form — a multi-term float sum rounded at 4 decimals
+    lands on round-half boundaries for rational token ratios, where
+    Spark (half-up) and DuckDB (half-even) disagree. Row-local; no
+    shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", _toks().alias("toks"))
-    n = F.size("toks").cast("double")
-    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS))).cast("double")
-    n_distinct = F.size(F.array_distinct("toks")).cast("double")
-    quality = F.round(
-        0.4 * F.least(F.lit(1.0), n / 100.0)
-        + 0.3 * (1.0 - n_stop / n)
-        + 0.3 * (n_distinct / n),
-        4,
-    )
+    n = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda t: t.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct("toks"))
+    quality_bp = (
+        40 * F.least(n, F.lit(100))
+        + F.floor(3000.0 * (n - n_stop + n_distinct) / n).cast("bigint")
+    ).cast("bigint")
     return docs.select(
         "doc_id",
-        quality.alias("quality"),
-        F.when(quality >= 0.75, "high")
-        .when(quality >= 0.5, "medium")
+        quality_bp.alias("quality_bp"),
+        F.when(quality_bp >= 7500, "high")
+        .when(quality_bp >= 5000, "medium")
         .otherwise("low")
         .alias("quality_class"),
     )
