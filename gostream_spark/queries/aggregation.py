@@ -240,6 +240,32 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- A5b boolean / conditional aggregates -------------------------------
+
+_BOOL_ORACLE = """
+SELECT event_type,
+       count(*) FILTER (value > 50) AS big_cnt,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 99) AS any_huge,
+       CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS big_cnt2
+FROM events GROUP BY event_type
+"""
+
+
+@register("agg_boolean", oracle=_BOOL_ORACLE, tags=("A5", "P5"))
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 (boolean forms): count_if / bool_and / bool_or / conditional
+    sum — predicate aggregates stay in the partial-agg path like any
+    other algebraic aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 50).alias("big_cnt"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_huge"),
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("bigint").alias("big_cnt2"),
+    )
+
+
 # --- A8 statistical aggregates -----------------------------------------
 
 _A8_ORACLE = """

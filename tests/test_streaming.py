@@ -123,6 +123,23 @@ def test_rate_source_is_streaming(spark):
     assert set(df.columns) == {"timestamp", "value"}
 
 
+def test_fanout_two_sinks_from_one_source(spark, sf_dir):
+    """Topology fan-out (the reference's DAG with two terminal
+    bolts): one source feeds two independent streaming sinks; each
+    sees the full stream."""
+    from gostream_spark.streaming.source import file_stream
+    from gostream_spark.streaming.runner import run_available_now
+
+    ev = file_stream(spark, sf_dir, "events")
+    counts = run_available_now(
+        ev.groupBy("event_type").count(), output_mode="complete"
+    )
+    ids = run_available_now(ev.select("event_id"), output_mode="append")
+    total = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert sum(r["count"] for r in counts.collect()) == total
+    assert ids.count() == total
+
+
 def test_processing_time_trigger(spark):
     """T7: processingTime trigger — micro-batches fire on the wall
     clock; the rate spout produces rows while the query runs."""
