@@ -116,6 +116,57 @@ def test_watermark_drops_late_rows(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_checkpoint_recovery_exactly_once(spark):
+    """Checkpoint + replayable source + append sink = exactly-once
+    across restarts (strictly stronger than the reference's
+    at-least-once): restart with the same checkpoint processes ONLY
+    files that arrived after the first run — nothing re-emitted,
+    nothing lost."""
+    from datetime import datetime
+
+    src = os.path.join(TMP, f"ckpt-src-{uuid.uuid4().hex[:8]}")
+    out = os.path.join(TMP, f"ckpt-out-{uuid.uuid4().hex[:8]}")
+    ckpt = os.path.join(TMP, f"ckpt-loc-{uuid.uuid4().hex[:8]}")
+    os.makedirs(src)
+
+    def write_file(i, ids):
+        rows = [(j, datetime(2024, 1, 1, 12, 0, 0), j % 3, "click") for j in ids]
+        df = spark.createDataFrame(
+            rows, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+        )
+        sub = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(sub, part), os.path.join(src, f"file{i}.parquet"))
+        shutil.rmtree(sub, ignore_errors=True)
+
+    def run_once():
+        schema = spark.read.parquet(src).schema
+        sdf = spark.readStream.schema(schema).parquet(src).select("event_id")
+
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            sdf.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    write_file(0, [1, 2, 3])
+    run_once()
+    write_file(1, [4, 5])
+    run_once()  # same checkpoint: must process ONLY file1
+
+    ids = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 3, 4, 5]  # each exactly once
+    for d in (src, out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_rate_source_is_streaming(spark):
     """S2: the tick-tuple spout equivalent builds a streaming frame."""
     df = rate_stream(spark, rows_per_second=5)
