@@ -121,6 +121,44 @@ def array_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F4 wave 2: JSON construction + array paths --------------------------
+
+_F4B_ORACLE = """
+SELECT doc_id,
+       to_json(struct_pack(lang := lang, source := source, n_chars := n_chars))::VARCHAR
+         AS meta_json,
+       json_extract_string(
+         to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)),
+         '$.source') AS source_back,
+       json_extract_string('[10,20,30]', '$[1]') AS arr_elem,
+       CAST(json_array_length('[10,20,30]') AS INTEGER) AS arr_len
+FROM documents
+"""
+
+
+@register("json_functions_extra", oracle=_F4B_ORACLE, tags=("F4", "F6"))
+def json_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 wave 2: JSON construction (to_json of a struct — both
+    engines emit identical compact JSON), struct→JSON→field
+    round-trip, and array-path access. This is the serialization path
+    for dynamic tuple payloads (SURVEY §1.2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.to_json(
+        F.struct(
+            F.col("lang").alias("lang"),
+            F.col("source").alias("source"),
+            F.col("n_chars").alias("n_chars"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        meta.alias("meta_json"),
+        F.get_json_object(meta, "$.source").alias("source_back"),
+        F.get_json_object(F.lit("[10,20,30]"), "$[1]").alias("arr_elem"),
+        F.json_array_length(F.lit("[10,20,30]")).alias("arr_len"),
+    )
+
+
 # --- A6 wave 2: ordered collect_list ------------------------------------
 
 _A6B_ORACLE = """

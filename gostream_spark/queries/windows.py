@@ -59,6 +59,46 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- W1 wave 2: ntile / percent_rank / cume_dist / value-at-edge --------
+
+_W1B_ORACLE = """
+SELECT c_custkey, c_mktsegment,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(c_custkey) OVER w AS seg_richest,
+       last_value(c_custkey)
+         OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS seg_poorest
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+"""
+
+
+@register("window_distribution", oracle=_W1B_ORACLE, tags=("W1", "W3"))
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 wave 2: distribution window functions — ntile buckets,
+    percent_rank/cume_dist (single divisions of identical ints →
+    deterministic), and first/last value over the full-partition
+    frame (last_value needs the explicit unbounded-following frame;
+    the default frame ends at the current row)."""
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("seg_richest"),
+        F.last("c_custkey").over(w_full).alias("seg_poorest"),
+    )
+
+
 # --- W2 lag / lead ------------------------------------------------------
 
 _W2_ORACLE = """
