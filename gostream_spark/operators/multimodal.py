@@ -49,6 +49,26 @@ def decode_image(payload: bytes) -> "object":
     )
 
 
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real image resize — STUB for the same reason as decode_image.
+    On a cluster image this becomes a PIL thumbnail call inside the
+    same mapInPandas worker (`decode_features`-shaped: Arrow batch in,
+    binary column out, partitioning inherited)."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; the "
+        "mapInPandas plumbing in decode_features is the real execution shape"
+    )
+
+
+def sample_frames(payload: bytes, every_n: int = 10) -> list[bytes]:
+    """Real video frame sampling — STUB; the deterministic stand-in in
+    decode_features reports the frame count a 1-per-100-bytes sampler
+    would produce."""
+    raise NotImplementedError(
+        "video codecs are not available in this environment; see decode_features"
+    )
+
+
 def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Deterministic stand-in for a codec: byte length, checksum of
     the first 4 bytes, and a fake frame-sampling count (1 frame per

@@ -8,6 +8,7 @@ from gostream_spark.queries import (  # noqa: F401
     event_time,
     flagship,
     joins,
+    kmeans_demo,
     llm_similarity,
     llm_text,
     multimodal,

@@ -380,6 +380,8 @@ SELECT doc_id,
        len(toks) AS ws_tokens,
        CAST(list_aggregate(list_transform(toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT)),
                            'sum') AS BIGINT) AS bpe_tokens_est,
+       CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+')) AS BIGINT)
+         AS bpe_regex_tokens,
        length(text) AS chars
 FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 """
@@ -387,9 +389,10 @@ FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 
 @register("token_count", oracle=_TOKCOUNT_ORACLE, tags=("ext", "L6"))
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Extension: token counting — whitespace tokens plus a BPE-ish
-    estimate (ceil(len/4) subwords per word, the standard chars/4
-    heuristic applied per word). Row-local arithmetic only."""
+    """Extension: token counting — whitespace tokens, the chars/4
+    estimate, and a BPE-ish greedy regex segmentation (≤4-letter
+    chunks; both engines' regex engines produce identical
+    non-overlapping greedy matches). Row-local only."""
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.aggregate(
         F.transform(_toks(), lambda t: F.ceil(F.length(t) / 4.0)),
@@ -400,5 +403,53 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(_toks()).alias("ws_tokens"),
         bpe.alias("bpe_tokens_est"),
+        F.regexp_count("text", F.lit("[a-z]{1,4}|[0-9]+")).cast("bigint").alias(
+            "bpe_regex_tokens"
+        ),
         F.length("text").alias("chars"),
+    )
+
+
+# --- Extension: rolling-hash content-defined chunking --------------------
+
+_CHUNK_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, length(text) AS n,
+         list_filter(range(1, length(text) - 6),
+                     p -> substr(md5(substr(text, p, 8)), 1, 2) = '00') AS bnds
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(bnds) AS BIGINT) AS n_boundaries,
+       CAST(CASE WHEN len(bnds) > 0 THEN bnds[1] ELSE -1 END AS BIGINT)
+         AS first_boundary,
+       CAST(floor(n / (len(bnds) + 1)) AS BIGINT) AS avg_chunk_len
+FROM pos
+"""
+
+
+@register("rolling_hash_chunks", oracle=_CHUNK_ORACLE, tags=("ext", "F7", "L1"))
+def rolling_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension: content-defined chunking — a boundary wherever the
+    hash of the 8-char window at that position starts with a chosen
+    prefix (P≈1/256 per position), the Rabin-Karp/rsync fingerprint
+    scheme: insertions only shift boundaries locally, so chunk hashes
+    dedup shifted near-duplicates that line-level hashing misses.
+    md5-windowed here for cross-engine exactness; production uses a
+    true O(1)-slide polynomial rolling hash with the same boundary
+    rule. Row-local; no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    bnds = F.filter(
+        F.sequence(F.lit(1), n - 7),
+        lambda p: F.substring(F.md5(F.col("text").substr(p, F.lit(8))), 1, 2) == "00",
+    )
+    nb = F.size(bnds)
+    return docs.select(
+        "doc_id",
+        nb.cast("bigint").alias("n_boundaries"),
+        F.when(nb > 0, F.element_at(bnds, 1)).otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("first_boundary"),
+        F.floor(n / (nb + 1)).cast("bigint").alias("avg_chunk_len"),
     )

@@ -52,6 +52,18 @@ def test_simhash_style_lsh_covers_corpus(spark, sf_dir):
     assert row.max_bucket >= row.min_bucket >= 1
 
 
+def test_kmeans_census_accounts_for_corpus(spark, sf_dir):
+    """Iterative k-means demo: every vector lands in exactly one
+    cluster, clusters are non-empty, mean within-cluster similarity
+    beats the random-pair baseline (~0)."""
+    rows = get_query("kmeans_refined_clusters").fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert all(r.n_members >= 1 for r in rows)
+    assert 1 <= len(rows) <= 10
+    assert sum(r.mean_cos * r.n_members for r in rows) / n_vecs > 0.05
+
+
 def test_lsh_buckets_group_similar_vectors(spark, sf_dir):
     """Sanity: hyperplane-bucket co-membership correlates with cosine
     similarity — mean within-bucket similarity must exceed the global
