@@ -26,9 +26,29 @@ _counter = itertools.count()
 
 
 def _scratch(kind: str) -> str:
+    _sweep_stale()
     path = os.path.join(_TMP_ROOT, f"{kind}-{uuid.uuid4().hex[:12]}")
     os.makedirs(path, exist_ok=True)
     return path
+
+
+_STALE_AGE_SEC = 6 * 3600
+
+
+def _sweep_stale() -> None:
+    """Best-effort removal of scratch dirs older than 6h so repeated
+    harness runs don't accumulate checkpoints/sinks in .tmp."""
+    import time
+
+    try:
+        for entry in os.listdir(_TMP_ROOT):
+            if not entry.startswith(("ckpt-", "sink-")):
+                continue
+            p = os.path.join(_TMP_ROOT, entry)
+            if time.time() - os.path.getmtime(p) > _STALE_AGE_SEC:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
 
 
 def run_available_now(
