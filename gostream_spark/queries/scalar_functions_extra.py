@@ -187,6 +187,74 @@ def agg_ordered_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- F3 wave 2 ----------------------------------------------------------
+
+_F3B_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+       round(greatest(l_quantity, l_discount * 100), 4) AS g,
+       round(least(l_quantity, l_tax * 100), 4) AS l,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       round(log2(l_quantity + 1), 6) AS qty_log2,
+       round(exp(l_discount), 6) AS disc_exp,
+       CAST(trunc(l_extendedprice / 100) AS BIGINT) AS price_hundreds
+FROM lineitem
+"""
+
+
+@register("math_functions_extra", oracle=_F3B_ORACLE, tags=("F3",))
+def math_functions_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 wave 2: sign/greatest/least/log10/log2/exp/trunc."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.round(F.greatest(F.col("l_quantity"), F.col("l_discount") * 100), 4).alias("g"),
+        F.round(F.least(F.col("l_quantity"), F.col("l_tax") * 100), 4).alias("l"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.log2(F.col("l_quantity") + 1), 6).alias("qty_log2"),
+        F.round(F.exp("l_discount"), 6).alias("disc_exp"),
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("price_hundreds"),
+    )
+
+
+# --- W6 wave 2: explicit nulls ordering ----------------------------------
+
+_W6B_ORACLE = """
+WITH v AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS val
+  FROM events WHERE event_id % 20 = 0
+)
+SELECT event_id,
+       coalesce(round(CAST(val AS DOUBLE), 2), -1.0) AS val,
+       row_number() OVER (ORDER BY val DESC NULLS LAST, event_id) AS pos_nulls_last,
+       row_number() OVER (ORDER BY val ASC  NULLS FIRST, event_id) AS pos_nulls_first
+FROM v
+"""
+
+
+@register("sort_nulls_ordering", oracle=_W6B_ORACLE, tags=("W6", "P6"))
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 wave 2: explicit NULLS FIRST/LAST ordering — positions
+    materialized on a bounded subset (global row_number is the
+    verification device, not the scale plan; see sort_multi_key)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 20 == 0)
+    val = F.when(F.col("event_type") != "error", F.col("value"))
+    v = ev.select("event_id", val.alias("val"))
+    w_last = Window.orderBy(F.col("val").desc_nulls_last(), F.col("event_id"))
+    w_first = Window.orderBy(F.col("val").asc_nulls_first(), F.col("event_id"))
+    return v.select(
+        "event_id",
+        F.coalesce(F.round(F.col("val"), 2).cast("double"), F.lit(-1.0)).alias("val"),
+        F.row_number().over(w_last).alias("pos_nulls_last"),
+        F.row_number().over(w_first).alias("pos_nulls_first"),
+    )
+
+
 # --- A7 wave 2: GROUPING SETS via SQL (also E2) -------------------------
 
 _A7B_SQL = """

@@ -47,6 +47,15 @@ def test_keep_first_is_min_per_key(spark, rows):
 
 @given(rows=rows_strategy)
 @settings(**_SETTINGS)
+def test_keep_first_is_idempotent(spark, rows):
+    df = spark.createDataFrame(rows, "k INT, o INT, v INT")
+    once = keep_first(df, keys=["k"], order_by=["o", "v"])
+    twice = keep_first(once, keys=["k"], order_by=["o", "v"])
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+@given(rows=rows_strategy)
+@settings(**_SETTINGS)
 def test_topk_per_group_is_true_topk(spark, rows):
     df = spark.createDataFrame(rows, "k INT, o INT, v INT")
     out = topk_per_group(

@@ -116,6 +116,30 @@ def test_watermark_drops_late_rows(spark):
     shutil.rmtree(d, ignore_errors=True)
 
 
+def test_update_mode_reemits_changed_windows(spark):
+    """T8: update mode re-emits a window each micro-batch that changes
+    it — the sink log shows the count evolving, and the latest value
+    per window equals the batch total."""
+    from datetime import datetime
+
+    mk = lambda i, m: (i, datetime(2024, 1, 1, 12, m, 0), 0, "click")
+    d = _write_event_files(
+        spark,
+        [
+            [mk(1, 0), mk(2, 5)],   # 12:00 window -> count 2
+            [mk(3, 10), mk(4, 20)], # same window -> count 4
+        ],
+    )
+    out = run_available_now(
+        windowed_counts(_stream_dir(spark, d), duration="1 hour", watermark="10 hours"),
+        output_mode="update",
+    )
+    rows = sorted(r.event_cnt for r in out.collect())
+    # two emissions of the same window: after batch 1 (2) and batch 2 (4)
+    assert rows == [2, 4]
+    shutil.rmtree(d, ignore_errors=True)
+
+
 def test_checkpoint_recovery_exactly_once(spark):
     """Checkpoint + replayable source + append sink = exactly-once
     across restarts (strictly stronger than the reference's
