@@ -16,6 +16,7 @@ from gostream_spark.queries import (  # noqa: F401
     scalar_functions,
     scalar_functions_extra,
     skew_and_ivf,
+    sources_sinks,
     sql_entry,
     streaming_queries,
     streaming_similarity,

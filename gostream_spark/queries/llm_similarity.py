@@ -331,6 +331,104 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L2/L4 scale path, exact twin: md5 MinHash banding ------------------
+
+_MINHASH_MD5_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id,
+         min(substr(md5(shingle || '#0'), 1, 15)) AS mh0,
+         min(substr(md5(shingle || '#1'), 1, 15)) AS mh1,
+         min(substr(md5(shingle || '#2'), 1, 15)) AS mh2,
+         min(substr(md5(shingle || '#3'), 1, 15)) AS mh3,
+         min(substr(md5(shingle || '#4'), 1, 15)) AS mh4,
+         min(substr(md5(shingle || '#5'), 1, 15)) AS mh5,
+         min(substr(md5(shingle || '#6'), 1, 15)) AS mh6,
+         min(substr(md5(shingle || '#7'), 1, 15)) AS mh7
+  FROM sh GROUP BY doc_id
+), bands AS (
+  SELECT 0 AS band_id, md5(mh0 || mh1) AS band_hash FROM sig
+  UNION ALL SELECT 1, md5(mh2 || mh3) FROM sig
+  UNION ALL SELECT 2, md5(mh4 || mh5) FROM sig
+  UNION ALL SELECT 3, md5(mh6 || mh7) FROM sig
+), buckets AS (
+  SELECT band_id, band_hash, count(*) AS bucket_size
+  FROM bands GROUP BY band_id, band_hash
+)
+SELECT band_id,
+       count(*) AS n_buckets,
+       max(bucket_size) AS max_bucket,
+       CAST(sum(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band_id
+"""
+
+
+def _minhash_md5_sig(sh_col: Column, i: int) -> Column:
+    """One md5-MinHash component: lexicographic min over shingles of
+    the first 15 hex digits of md5(shingle + seed). Fixed-width
+    lowercase-hex strings compare identically in Spark and DuckDB, so
+    (unlike the xxhash64 variant above) this signature is exactly
+    reproducible cross-engine."""
+    return F.array_min(
+        F.transform(sh_col, lambda s: F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 15))
+    )
+
+
+@register("minhash_md5_bands", oracle=_MINHASH_MD5_ORACLE, tags=("L2", "L4", "F7"))
+def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4 exact twin of `minhash_lsh_buckets`: MinHash(k=8) from
+    md5-derived hashes → 4 bands of 2 rows → per-band bucket stats,
+    hash-checked against a DuckDB oracle computing the identical
+    signature. Same 100 TB shape as the xxhash64 variant — candidate
+    pairs come from equal (band, band_hash) buckets via a
+    hash-partitioned groupBy, never an all-pairs join; md5 costs a
+    little more per shingle but buys cross-engine verifiability."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.zip_with(
+                F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
+        )
+    )
+    with_sh = docs.filter(n >= 3).select("doc_id", shingles.alias("sh"))
+    sig = with_sh.select(
+        "doc_id", *[_minhash_md5_sig(F.col("sh"), i).alias(f"mh{i}") for i in range(8)]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)"
+    )
+    buckets = stacked.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint")
+        ).alias("candidate_pairs"),
+    )
+
+
 @register("similarity_lsh_buckets", oracle=None, tags=("L3", "L4"))
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3/L4 scale path: random-hyperplane (SimHash-style) LSH for

@@ -1,0 +1,90 @@
+"""Driver-visible source/sink queries (SURVEY.md §2.1 S3/S4).
+
+S3 (in-memory source) and S4 (collect/memory sink) are exercised
+throughout the test suite as scaffolding; the two queries here make
+them first-class registry rows with their own oracles:
+
+- ``memory_source_agg`` builds its input with the engine's
+  ``memory_source`` (the reference's test-spout analogue) and
+  aggregates it; the oracle recreates the same literal rows with a
+  DuckDB ``VALUES`` list, so the check is exact and independent of the
+  parquet fixtures.
+- ``streaming_memory_sink`` runs a real Structured Streaming pipeline
+  into the in-memory table sink (Spark's collect/console-style sink
+  for tests) and returns the sink's contents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import memory_source
+from gostream_spark.registry import register
+from gostream_spark.streaming import file_stream, run_available_now
+
+# Deterministic literal fixture: (device, reading). Small by design —
+# S3 is the unit-test/scaffolding source; anything at data scale
+# arrives through S1/S2.
+_READINGS = [
+    ("sensor-a", 10.5),
+    ("sensor-a", 11.0),
+    ("sensor-a", 9.5),
+    ("sensor-b", 100.0),
+    ("sensor-b", 101.5),
+    ("sensor-c", 7.25),
+]
+
+_S3_ORACLE = """
+SELECT device,
+       count(*) AS n,
+       round(sum(reading), 2) AS total,
+       round(avg(reading), 4) AS mean,
+       round(min(reading), 2) AS lo,
+       round(max(reading), 2) AS hi
+FROM (VALUES
+  ('sensor-a', 10.5), ('sensor-a', 11.0), ('sensor-a', 9.5),
+  ('sensor-b', 100.0), ('sensor-b', 101.5), ('sensor-c', 7.25)
+) AS t(device, reading)
+GROUP BY device
+"""
+
+
+@register("memory_source_agg", oracle=_S3_ORACLE, tags=("S3", "A1"))
+def memory_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: in-memory source → groupBy aggregate. The oracle rebuilds
+    the identical literal rows with a VALUES list — exact check with
+    no parquet dependency, proving the source path itself."""
+    df = memory_source(spark, _READINGS, "device STRING, reading DOUBLE")
+    return df.groupBy("device").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("reading"), 2).alias("total"),
+        F.round(F.avg("reading"), 4).alias("mean"),
+        F.round(F.min("reading"), 2).alias("lo"),
+        F.round(F.max("reading"), 2).alias("hi"),
+    )
+
+
+_S4_ORACLE = """
+SELECT event_type, count(*) AS event_cnt, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+@register("streaming_memory_sink", oracle=_S4_ORACLE, tags=("S4", "S2", "T7", "T8"))
+def streaming_memory_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: file-stream source → per-type counts → in-memory table sink
+    (complete mode, availableNow). The memory sink is Spark's
+    collect/console sink for deterministic tests: the returned
+    DataFrame IS the sink's final table, which with all input
+    available must equal the batch group-by the oracle computes."""
+    ev = file_stream(spark, sf_dir, "events")
+    # Streaming side keeps (event_type, user_id) granularity — exact
+    # countDistinct isn't a streaming aggregate, so the distinct is
+    # taken over the bounded sink table below.
+    agg = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    sink = run_available_now(agg, output_mode="complete")
+    return sink.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("event_cnt"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
