@@ -157,3 +157,78 @@ def segment_event_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pct_bp_of_segment"),
     )
+
+
+# --- corpus-prep pipeline (the 100 TB training-data job, end to end) ----
+
+_CORPUS_PREP_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, source, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         40 * least(len(string_split(text, ' ')), 100)
+         + CAST(floor(3000.0 * (len(string_split(text, ' '))
+                  - len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a')))
+                  + len(list_distinct(string_split(text, ' '))))
+                / len(string_split(text, ' '))) AS BIGINT) AS quality_bp
+  FROM documents
+  WHERE lang IN ('en', 'fr', 'de')
+), qualified AS (
+  SELECT * FROM scored WHERE quality_bp >= 5000
+), deduped AS (
+  SELECT doc_id, lang, source, n_tokens, quality_bp,
+         count(*) OVER (PARTITION BY text) AS copies
+  FROM qualified
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+)
+SELECT lang, source,
+       count(*) AS docs_kept,
+       CAST(sum(copies - 1) AS BIGINT) AS dups_removed,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(sum(quality_bp) AS DOUBLE) / count(*), 2) AS avg_quality_bp
+FROM deduped GROUP BY lang, source
+"""
+
+
+@register("corpus_prep_pipeline", oracle=_CORPUS_PREP_ORACLE, tags=("demo", "L1", "L8"), bench=True)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation job end to end: language filter
+    (pushed into the parquet scan) → quality score (row-local array
+    math, same integer-basis-points formula as `text_quality_score`)
+    → exact content dedup keeping the lowest doc_id → per (lang,
+    source) corpus stats. One pipeline, one shuffle for the dedup
+    (partitioned by text) plus one tiny aggregate exchange — the
+    shape that holds at 100 TB: everything before the dedup is
+    embarrassingly parallel map work, and the dedup exchange can key
+    on xxhash64(text) so full documents never cross the wire twice."""
+    from gostream_spark.operators import keep_first
+    from gostream_spark.queries.llm_text import STOPWORDS, _toks
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "fr", "de")
+    )
+    toks = _toks()
+    n = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(toks))
+    quality_bp = (
+        40 * F.least(n, F.lit(100))
+        + F.floor(3000.0 * (n - n_stop + n_distinct) / n).cast("bigint")
+    ).cast("bigint")
+    scored = docs.select(
+        "doc_id", "lang", "source", "text",
+        n.alias("n_tokens"), quality_bp.alias("quality_bp"),
+    ).filter(quality_bp >= 5000)
+    from pyspark.sql import Window
+
+    with_copies = scored.withColumn(
+        "copies", F.count(F.lit(1)).over(Window.partitionBy("text"))
+    )
+    deduped = keep_first(with_copies, keys=["text"], order_by=["doc_id"])
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("docs_kept"),
+        F.sum(F.col("copies") - 1).cast("bigint").alias("dups_removed"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(
+            F.sum("quality_bp").cast("double") / F.count(F.lit(1)), 2
+        ).alias("avg_quality_bp"),
+    )

@@ -381,7 +381,7 @@ def _minhash_md5_sig(sh_col: Column, i: int) -> Column:
     )
 
 
-@register("minhash_md5_bands", oracle=_MINHASH_MD5_ORACLE, tags=("L2", "L4", "F7"))
+@register("minhash_md5_bands", oracle=_MINHASH_MD5_ORACLE, tags=("L2", "L4", "F7"), bench=True)
 def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L4 exact twin of `minhash_lsh_buckets`: MinHash(k=8) from
     md5-derived hashes → 4 bands of 2 rows → per-band bucket stats,

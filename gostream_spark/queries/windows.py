@@ -149,7 +149,7 @@ FROM orders
 """
 
 
-@register("window_running", oracle=_W3_ORACLE, tags=("W3",))
+@register("window_running", oracle=_W3_ORACLE, tags=("W3",), bench=True)
 def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: running (cumulative) frame per customer — the classic
     running-total bolt. Decimal sum keeps the cumulative value exact
