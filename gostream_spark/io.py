@@ -92,3 +92,30 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def load_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """S1 extension: CSV source with an explicit schema (never
+    inferSchema — schema inference is a full extra pass over the data,
+    a non-starter at 100 TB, and silently drifts types between runs).
+    Header on, standard quoting."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def load_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """S1 extension: JSON-lines source with an explicit schema (same
+    no-inference discipline as `load_csv`; unlisted fields are pruned
+    at parse time, so the reader cost tracks the projected schema)."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S5 extension: CSV sink (header on). Interchange format only —
+    no column pruning or predicate pushdown on re-read; keep parquet
+    for anything that gets scanned again."""
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """S5 extension: JSON-lines sink."""
+    df.write.mode("overwrite").json(path)

@@ -3,6 +3,7 @@ query from SURVEY.md §2 into ``gostream_spark.registry``."""
 
 from gostream_spark.queries import (  # noqa: F401
     aggregation,
+    aggregation_extra,
     analytics_demo,
     dedup_advanced,
     event_time,

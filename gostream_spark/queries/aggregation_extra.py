@@ -1,0 +1,126 @@
+"""Second-wave aggregation coverage (SURVEY.md §2.4 A2/A3/A6/A8):
+distinct-argument arithmetic, percentile spreads, and arg-extreme
+(min_by/max_by) aggregates — the forms a reference user reaches for
+right after the basics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.parity import dec2
+from gostream_spark.registry import register
+
+# --- A2/A3 wave 2: distinct-argument aggregates --------------------------
+
+_DISTINCT_ARITH_ORACLE = """
+SELECT count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+       CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_distinct_qty,
+       count(*) AS li_cnt
+FROM lineitem
+"""
+
+
+@register("agg_distinct_arith", oracle=_DISTINCT_ARITH_ORACLE, tags=("A2", "A3"))
+def agg_distinct_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3 wave 2: global distinct-argument aggregates — single- and
+    multi-column exact count distinct plus sum(DISTINCT). Catalyst
+    plans each distinct as its own two-phase expand+aggregate; the
+    expand happens map-side so the shuffle still carries only
+    (distinct-key) rows, not the fact table. All key columns are
+    non-null in the fixture, so Spark's and SQL's null-tuple rules
+    coincide."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_suppkey", "l_partkey").alias("n_supp_part"),
+        F.sum_distinct(dec2("l_quantity")).cast("double").alias("sum_distinct_qty"),
+        F.count(F.lit(1)).alias("li_cnt"),
+    )
+
+
+# --- A8 wave 2: percentile spread ----------------------------------------
+
+_PCTL_SPREAD_ORACLE = """
+SELECT l_linestatus,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS price_p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS price_p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS price_p75,
+       round(quantile_cont(l_extendedprice, 0.75)
+             - quantile_cont(l_extendedprice, 0.25), 4) AS price_iqr,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+FROM lineitem GROUP BY l_linestatus
+"""
+
+
+@register("agg_percentile_spread", oracle=_PCTL_SPREAD_ORACLE, tags=("A8",))
+def agg_percentile_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 wave 2: quartile spread + tail percentile per group. Exact
+    linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`); at 100 TB swap in `approx_percentile`'s
+    mergeable sketch — same query shape, one pass, bounded error."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = lambda q: F.percentile("l_extendedprice", F.lit(q))
+    return li.groupBy("l_linestatus").agg(
+        F.round(p(0.25), 4).alias("price_p25"),
+        F.round(p(0.50), 4).alias("price_p50"),
+        F.round(p(0.75), 4).alias("price_p75"),
+        F.round(p(0.75) - p(0.25), 4).alias("price_iqr"),
+        F.round(p(0.99), 4).alias("price_p99"),
+    )
+
+
+# --- A6/A8 wave 2: arg-extreme aggregates (min_by / max_by) --------------
+
+# Tie-proof ordering key: totalprice in exact cents, orderkey as the
+# deterministic tie-break — a single BIGINT both engines compute
+# identically (cents <= ~5e9 at sf1, x 1e7 fits bigint comfortably).
+_ARG_EXTREMES_ORACLE = """
+WITH keyed AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+           * 10000000 + o_orderkey AS ordkey
+  FROM orders
+)
+SELECT o_custkey,
+       arg_max(o_orderkey, ordkey) AS biggest_order,
+       round(CAST(max(o_totalprice) AS DOUBLE), 2) AS biggest_total,
+       arg_min(o_orderkey, ordkey) AS smallest_order,
+       round(CAST(min(o_totalprice) AS DOUBLE), 2) AS smallest_total,
+       count(*) AS order_cnt
+FROM keyed
+GROUP BY o_custkey
+HAVING count(*) >= 5
+"""
+
+
+@register("agg_arg_extremes", oracle=_ARG_EXTREMES_ORACLE, tags=("A6", "A8"))
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 wave 2: arg-extreme aggregates — which order was the
+    customer's biggest/smallest (Spark `max_by`/`min_by`, DuckDB
+    `arg_max`/`arg_min`). One hash aggregate, no join or window —
+    the cheap alternative to a row_number() top-1 when only the
+    extreme row's single attribute is needed. The ordering key folds
+    the tie-break INTO the value (exact cents * 1e7 + orderkey) so
+    both engines pick the same row even on equal totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    ordkey = (
+        F.round(dec2("o_totalprice") * 100, 0).cast("bigint") * F.lit(10000000)
+        + F.col("o_orderkey")
+    )
+    keyed = orders.select("o_custkey", "o_orderkey", "o_totalprice", ordkey.alias("ordkey"))
+    return (
+        keyed.groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", "ordkey").alias("biggest_order"),
+            F.round(F.max("o_totalprice"), 2).cast("double").alias("biggest_total"),
+            F.min_by("o_orderkey", "ordkey").alias("smallest_order"),
+            F.round(F.min("o_totalprice"), 2).cast("double").alias("smallest_total"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .filter(F.col("order_cnt") >= 5)
+    )

@@ -39,3 +39,23 @@ def test_parquet_sink_roundtrip(spark, sf_dir):
     assert "PartitionFilters" in plan
     assert one_lang.count() == docs.filter(F.col("lang") == "en").count()
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_csv_json_roundtrip(spark, sf_dir):
+    """S1/S5 extensions: CSV and JSON-lines sinks re-read with explicit
+    schemas reproduce the source data exactly."""
+    from gostream_spark.io import load_csv, load_json, write_csv, write_json
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    schema = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    want = sorted(map(tuple, docs.collect()))
+
+    csv_dir = os.path.join(TMP, f"csv-{uuid.uuid4().hex[:8]}")
+    write_csv(docs, csv_dir)
+    assert sorted(map(tuple, load_csv(spark, csv_dir, schema).collect())) == want
+    shutil.rmtree(csv_dir, ignore_errors=True)
+
+    json_dir = os.path.join(TMP, f"json-{uuid.uuid4().hex[:8]}")
+    write_json(docs, json_dir)
+    assert sorted(map(tuple, load_json(spark, json_dir, schema).collect())) == want
+    shutil.rmtree(json_dir, ignore_errors=True)
