@@ -453,3 +453,31 @@ def rolling_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_boundary"),
         F.floor(n / (nb + 1)).cast("bigint").alias("avg_chunk_len"),
     )
+
+
+# --- L1 scale path: digest-keyed dedup ----------------------------------
+
+_L1_DIGEST_ORACLE = """
+SELECT doc_id, lang, source, n_chars, digest
+FROM (
+  SELECT doc_id, lang, source, n_chars, md5(text) AS digest
+  FROM documents
+)
+QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+"""
+
+
+@register("docs_dedup_digest", oracle=_L1_DIGEST_ORACLE, tags=("L1", "F7"))
+def docs_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 scale path: dedup keyed on a 128-bit content digest instead
+    of the full text — the shuffle carries a 16-byte key plus the
+    surviving columns, never the document body, which is the design
+    that holds at 100 TB (`docs_dedup_exact` is the full-text twin).
+    md5 collisions are negligible at any corpus size (~2^-64 at 10^12
+    docs); where that bound is not acceptable, verify within digest
+    groups before discarding. The text column is dropped BEFORE the
+    exchange so Catalyst prunes it from everything past the scan."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars", F.md5("text").alias("digest")
+    )
+    return keep_first(docs, keys=["digest"], order_by=["doc_id"])

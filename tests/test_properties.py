@@ -146,3 +146,63 @@ def test_tumbling_windows_partition_rows(spark, offsets):
     assert got == want
     for r in out:
         assert (r.w.end - r.w.start) == timedelta(hours=1)
+
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "bravo", "charlie", "delta", "echo", "fox"]),
+        min_size=3,
+        max_size=10,
+    ).map(" ".join),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(texts=docs_strategy)
+@settings(**_SETTINGS)
+def test_minhash_bands_collide_for_exact_duplicates(spark, texts):
+    """LSH candidate guarantee: documents with identical text have
+    identical MinHash signatures, hence identical hashes in EVERY
+    band — an exact duplicate can never escape candidate generation.
+    (The converse — distinct docs rarely colliding — is statistical,
+    not asserted.)"""
+    from gostream_spark.queries.llm_similarity import _minhash_md5_sig
+
+    # Force at least one duplicate pair.
+    texts = texts + [texts[0]]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id INT, text STRING"
+    )
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.zip_with(
+                F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
+        )
+    )
+    sig = df.select("doc_id", "text", shingles.alias("sh")).select(
+        "doc_id",
+        "text",
+        *[
+            F.md5(
+                F.concat(
+                    _minhash_md5_sig(F.col("sh"), 2 * b),
+                    _minhash_md5_sig(F.col("sh"), 2 * b + 1),
+                )
+            ).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    rows = sig.collect()
+    by_text = {}
+    for r in rows:
+        bands = (r.band0, r.band1, r.band2, r.band3)
+        by_text.setdefault(r.text, set()).add(bands)
+    # identical text -> identical band tuple, for every text
+    assert all(len(v) == 1 for v in by_text.values())
