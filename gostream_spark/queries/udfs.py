@@ -174,3 +174,71 @@ def mapinpandas_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _doc_features, schema="doc_id bigint, n_words bigint, n_chars bigint, caps_ratio_pct bigint"
     )
+
+
+# --- U2 wave 2: regression slope with exact integer accumulation --------
+
+
+def _slope_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Least-squares slope of spend (cents) vs order date (epoch days),
+    accumulated in arbitrary-precision Python ints so the only float
+    operation is the final division — bit-identical regardless of row
+    order or partitioning."""
+    xs = [int(v) for v in pdf["x_days"]]
+    ys = [int(v) for v in pdf["y_cents"]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = round(float(num) / float(den), 6) if den else None
+    return pd.DataFrame(
+        {"o_orderpriority": [pdf["o_orderpriority"].iloc[0]], "n": [n], "slope": [slope]}
+    )
+
+
+_U2B_ORACLE = """
+WITH pts AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate) AS BIGINT)
+           AS x_days,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT) AS y_cents
+  FROM orders
+), sums AS (
+  SELECT o_orderpriority,
+         count(*) AS n,
+         sum(CAST(x_days AS HUGEINT)) AS sx,
+         sum(CAST(y_cents AS HUGEINT)) AS sy,
+         sum(CAST(x_days AS HUGEINT) * x_days) AS sxx,
+         sum(CAST(x_days AS HUGEINT) * y_cents) AS sxy
+  FROM pts GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope
+FROM sums
+"""
+
+
+@register("udaf_regression_slope", oracle=_U2B_ORACLE, tags=("U2",))
+def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 wave 2: grouped applyInPandas computing a least-squares
+    regression slope (spend drift over order date per priority class)
+    — an aggregate with real cross-row math, not just reductions. The
+    UDAF accumulates in exact integers and divides once, so the DuckDB
+    closed-form oracle (HUGEINT sums, one double division) matches to
+    the bit. Same 100 TB caveat as all applyInPandas: a whole group
+    visits one worker — decompose to mergeable sums (these ARE the
+    mergeable sums) when groups are huge."""
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).cast("bigint")
+          .alias("x_days"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("bigint")
+          .alias("y_cents"),
+    )
+    return pts.groupBy("o_orderpriority").applyInPandas(
+        _slope_fn, schema="o_orderpriority string, n bigint, slope double"
+    )
