@@ -183,3 +183,38 @@ def streaming_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("event_cnt"))
     )
+
+
+# --- S2+T2: sliding (hopping) window executed as a real stream ----------
+
+_SLIDING_STREAM_ORACLE = f"""
+WITH slotted AS (
+  SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS slot, event_type
+  FROM events
+), expanded AS (
+  SELECT (slot - offs.i) * 3600 AS win_epoch, event_type
+  FROM slotted, (VALUES (0), (1), (2), (3), (4), (5)) offs(i)
+)
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + to_seconds(win_epoch),
+                '{TS_FMT_DUCK}') AS win_start,
+       event_type,
+       count(*) AS event_cnt
+FROM expanded
+GROUP BY 1, 2
+"""
+
+
+@register("streaming_sliding_counts", oracle=_SLIDING_STREAM_ORACLE, tags=("S2", "T2", "T4", "T7"))
+def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T2: file-stream source → watermark → 6h windows
+    sliding hourly → complete-mode memory sink, availableNow. Each
+    event expands into 6 window states map-side and collapses in the
+    partial aggregate; with all input available the final table must
+    equal the batch hop expansion the oracle computes (the batch twin
+    is `sliding_window`)."""
+    ev = file_stream(spark, sf_dir, "events").withWatermark("ts", "10 hours")
+    agg = ev.groupBy(
+        F.window("ts", "6 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("event_cnt"))
+    result = run_available_now(agg, output_mode="complete")
+    return result.select(ts_str("w.start").alias("win_start"), "event_type", "event_cnt")

@@ -406,3 +406,52 @@ def distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     unique pairs per partition."""
     customer = load_table(spark, sf_dir, "customer")
     return customer.select("c_mktsegment", "c_nationkey").dropDuplicates()
+
+
+# --- W2 wave 2: inter-event gaps via lead -------------------------------
+
+_W2B_ORACLE = """
+WITH secs AS (
+  -- truncate to whole epoch seconds BEFORE differencing, matching
+  -- Spark's cast(timestamp as long) on the micros-truncated column
+  SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+), gaps AS (
+  SELECT user_id,
+         lead(sec) OVER (PARTITION BY user_id ORDER BY ts, event_id) - sec AS gap_sec
+  FROM secs
+)
+SELECT CASE WHEN gap_sec < 60 THEN 'lt_1m'
+            WHEN gap_sec < 3600 THEN 'lt_1h'
+            WHEN gap_sec < 86400 THEN 'lt_1d'
+            ELSE 'ge_1d' END AS gap_bucket,
+       count(*) AS n_gaps,
+       CAST(min(gap_sec) AS BIGINT) AS min_gap_sec,
+       CAST(max(gap_sec) AS BIGINT) AS max_gap_sec
+FROM gaps WHERE gap_sec IS NOT NULL
+GROUP BY 1
+"""
+
+
+@register("event_gap_histogram", oracle=_W2B_ORACLE, tags=("W2",))
+def event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 wave 2: time-to-next-event per user (lead over a per-user
+    window) bucketed into a gap histogram — the idle-time analysis
+    behind sessionization. The window partitions by user, so the sort
+    is per-user-partition (bounded), and the histogram is a tiny hash
+    aggregate after the window."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.lead("ts").over(w).cast("long") - F.col("ts").cast("long")).alias("gap_sec")
+    gaps = ev.select("user_id", gap).filter(F.col("gap_sec").isNotNull())
+    bucket = (
+        F.when(F.col("gap_sec") < 60, "lt_1m")
+        .when(F.col("gap_sec") < 3600, "lt_1h")
+        .when(F.col("gap_sec") < 86400, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return gaps.groupBy(bucket.alias("gap_bucket")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_sec").cast("bigint").alias("min_gap_sec"),
+        F.max("gap_sec").cast("bigint").alias("max_gap_sec"),
+    )
