@@ -12,7 +12,7 @@ twin for production.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
@@ -134,3 +134,56 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(by_fp.orderBy("doc_id")) == 1
         ).alias("keeper"),
     )
+
+
+# --- L2 wave 3: edit-distance near-dup with language blocking -----------
+
+_LEV_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, lang, substr(text, 1, 80) AS head
+  FROM documents WHERE doc_id % 10 = 0
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+         levenshtein(a.head, b.head) AS edit_dist
+  FROM sub a JOIN sub b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, lang, edit_dist, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY edit_dist, doc_a, doc_b) AS rn
+  FROM pairs
+) WHERE rn <= 20
+"""
+
+
+@register("neardup_levenshtein", oracle=_LEV_ORACLE, tags=("L2", "F1"))
+def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 wave 3: edit-distance near-dup — top-20 closest document
+    pairs by Levenshtein distance over an 80-char prefix, with
+    LANGUAGE BLOCKING: the self-join keys on `lang`, so candidate
+    pairs form only within a language. Blocking is the scale lever for
+    quadratic comparators — at 100 TB the block key gets finer
+    (lang + length-band + SimHash band) until per-block pair counts
+    are bounded, and the O(len^2) comparator runs only inside blocks.
+    Prefixing to 80 chars bounds per-pair cost; both engines compute
+    the same integer distance."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sub = docs.select(
+        "doc_id", "lang", F.substring("text", 1, 80).alias("head")
+    )
+    a = sub.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("head").alias("head_a")
+    )
+    b = sub.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("head").alias("head_b"),
+    )
+    pairs = a.join(
+        b, (F.col("lang") == F.col("lang_b")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select(
+        "doc_a", "doc_b", "lang",
+        F.levenshtein("head_a", "head_b").alias("edit_dist"),
+    )
+    w = Window.orderBy("edit_dist", "doc_a", "doc_b")
+    return pairs.select(
+        "doc_a", "doc_b", "lang", "edit_dist", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= 20)

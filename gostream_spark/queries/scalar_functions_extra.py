@@ -272,3 +272,40 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical text runs on both engines."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_A7B_SQL)
+
+
+# --- F2 wave 3: calendar arithmetic -------------------------------------
+
+_F2C_ORACLE = """
+SELECT o_orderkey,
+       CAST(quarter(o_orderdate) AS INTEGER) AS q,
+       CAST((dayofweek(o_orderdate) % 7) + 1 AS INTEGER) AS dow_sun1,
+       CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+       strftime(CAST(o_orderdate + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus_3mo,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+         AS days_since_95
+FROM orders WHERE o_orderkey % 8 = 0
+"""
+
+
+@register("calendar_functions", oracle=_F2C_ORACLE, tags=("F2",))
+def calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 wave 3: calendar arithmetic — quarter/day-of-week/ISO week,
+    month-end, calendar-clamped month addition, day difference. The
+    only cross-engine trap is day-of-week numbering (Spark: 1=Sunday;
+    DuckDB: 0=Sunday), normalized in the oracle, and month addition
+    clamping (both engines clamp Jan 31 + 1 mo to Feb end). All
+    row-local; dates are midnight-aligned in the fixture so the
+    date casts are exact."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 8 == 0)
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.weekofyear(d).alias("iso_week"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
+    )
