@@ -52,3 +52,37 @@ def test_similarity_topk_broadcasts_query_vector(spark, sf_dir):
 def test_dedup_shuffles_once(spark, sf_dir):
     plan = _plan(spark, sf_dir, "docs_dedup_exact")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_corpus_prep_single_wide_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_prep_pipeline")
+    # lang filter pushed into the documents scan
+    assert "In(lang" in plan
+    # exactly two exchanges: the text-keyed dedup shuffle (shared by
+    # both windows via WindowGroupLimit) and the tiny final aggregate
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "WindowGroupLimit" in plan
+
+
+def test_digest_dedup_prunes_text_before_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "docs_dedup_digest")
+    # one digest-keyed shuffle (only the 16-byte digest + surviving
+    # columns cross the wire; md5(text) is computed map-side in the
+    # pre-exchange Project, so text dies at the scan boundary)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(digest" in plan
+    # every mention of the text column is in the scan/project segment
+    # BEFORE the exchange (plan string is top-down: exchange appears
+    # above the scan, so text# must not occur above the exchange line)
+    above_exchange = plan[: plan.index("Exchange hashpartitioning")]
+    assert "text#" not in above_exchange
+
+
+def test_minhash_bands_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "minhash_md5_bands")
+    # candidate generation is aggregation-only: no join operator of
+    # any kind may appear (an all-pairs join here would be the
+    # classic 100 TB scale-killer)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+               "CartesianProduct", "ShuffledHashJoin"):
+        assert op not in plan
