@@ -381,7 +381,7 @@ def _minhash_md5_sig(sh_col: Column, i: int) -> Column:
     )
 
 
-@register("minhash_md5_bands", oracle=_MINHASH_MD5_ORACLE, tags=("L2", "L4", "F7"), bench=True)
+@register("minhash_md5_bands", oracle=_MINHASH_MD5_ORACLE, tags=("L2", "L4", "F7"))
 def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2/L4 exact twin of `minhash_lsh_buckets`: MinHash(k=8) from
     md5-derived hashes → 4 bands of 2 rows → per-band bucket stats,
@@ -411,6 +411,99 @@ def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         *[
             F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)"
+    )
+    buckets = stacked.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("band_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint")
+        ).alias("candidate_pairs"),
+    )
+
+
+_MINHASH_BOTTOMK_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), mins AS (
+  SELECT doc_id,
+         list_slice(list_sort(list(substr(md5(shingle), 1, 15))), 1, 8) AS m
+  FROM sh GROUP BY doc_id HAVING count(*) >= 8
+), bands AS (
+  SELECT 0 AS band_id, md5(m[1] || m[2]) AS band_hash FROM mins
+  UNION ALL SELECT 1, md5(m[3] || m[4]) FROM mins
+  UNION ALL SELECT 2, md5(m[5] || m[6]) FROM mins
+  UNION ALL SELECT 3, md5(m[7] || m[8]) FROM mins
+), buckets AS (
+  SELECT band_id, band_hash, count(*) AS bucket_size
+  FROM bands GROUP BY band_id, band_hash
+)
+SELECT band_id,
+       count(*) AS n_buckets,
+       max(bucket_size) AS max_bucket,
+       CAST(sum(bucket_size * (bucket_size - 1) / 2) AS BIGINT) AS candidate_pairs
+FROM buckets GROUP BY band_id
+"""
+
+
+@register(
+    "minhash_bottomk_bands",
+    oracle=_MINHASH_BOTTOMK_ORACLE,
+    tags=("L2", "L4", "F7"),
+    bench=True,
+)
+def minhash_bottomk_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4 one-pass variant of `minhash_md5_bands`: bottom-k MinHash
+    (one-permutation hashing / KMV sketch). Each shingle is hashed
+    ONCE (md5, first 15 hex digits); the signature is the 8 smallest
+    hash values, banded 2-per-band into 4 LSH bands. Same banding
+    math and bucket statistics as the k-independent-hashes twin, at
+    1/8 the hash work — the difference at 100 TB is one md5 pass over
+    the corpus instead of eight, with the same shuffle shape (one
+    hash-partitioned groupBy on (band, band_hash); no join anywhere
+    in candidate generation). Docs with < 8 distinct shingles are
+    excluded (their bottom-8 sketch is undefined)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.zip_with(
+                F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
+        )
+    )
+    with_sh = docs.filter(n >= 3).select("doc_id", shingles.alias("sh"))
+    mins = F.slice(
+        F.array_sort(
+            F.transform(F.col("sh"), lambda s: F.substring(F.md5(s), 1, 15))
+        ),
+        1,
+        8,
+    )
+    sig = with_sh.select("doc_id", mins.alias("m")).filter(F.size("m") >= 8)
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(F.element_at("m", 2 * b + 1), F.element_at("m", 2 * b + 2))
+            ).alias(f"band{b}")
             for b in range(4)
         ],
     )

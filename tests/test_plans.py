@@ -79,10 +79,21 @@ def test_digest_dedup_prunes_text_before_exchange(spark, sf_dir):
 
 
 def test_minhash_bands_no_join(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "minhash_md5_bands")
-    # candidate generation is aggregation-only: no join operator of
-    # any kind may appear (an all-pairs join here would be the
-    # classic 100 TB scale-killer)
-    for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
-               "CartesianProduct", "ShuffledHashJoin"):
-        assert op not in plan
+    for name in ("minhash_md5_bands", "minhash_bottomk_bands"):
+        plan = _plan(spark, sf_dir, name)
+        # candidate generation is aggregation-only: no join operator of
+        # any kind may appear (an all-pairs join here would be the
+        # classic 100 TB scale-killer)
+        for op in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                   "CartesianProduct", "ShuffledHashJoin"):
+            assert op not in plan
+
+
+def test_bottomk_minhash_hashes_once(spark, sf_dir):
+    # The one-permutation sketch must hash each shingle ONCE: the
+    # k-independent-hashes twin carries 8 per-shingle md5 transforms
+    # (12 md5 exprs total incl. bands); the bottom-k plan must stay
+    # at half that (1 shingle-level transform + 4 band hashes).
+    old = _plan(spark, sf_dir, "minhash_md5_bands")
+    new = _plan(spark, sf_dir, "minhash_bottomk_bands")
+    assert new.count("md5(") * 2 <= old.count("md5(")
