@@ -66,6 +66,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Decouple compute parallelism from input splits for stages whose
+    per-row cost dwarfs the scan (hash sketches, edit distance,
+    feature extraction).
+
+    At the 100 TB design point the input arrives as many splits and
+    every core already has work — this helper detects that (scan
+    partitions >= cluster parallelism) and returns ``df`` unchanged,
+    adding NO shuffle. The repartition only fires in the degenerate
+    layout where a handful of unsplittable files (single-row-group
+    parquet, gzip text) would serialize a CPU-heavy stage on a few
+    tasks; there, one round-robin exchange of the raw rows buys
+    full-width parallelism for everything downstream — the classic
+    fix for "1 task, 31 idle cores" on compute-bound jobs.
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Load several tables at once; defaults to all of them."""
     names = names or TABLES

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
-from gostream_spark.io import load_table
+from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.registry import register
 
 # DuckDB twins of functions.dot_product / l2_norm (float64, in order).
@@ -390,7 +390,7 @@ def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come from equal (band, band_hash) buckets via a
     hash-partitioned groupBy, never an all-pairs join; md5 costs a
     little more per shingle but buys cross-engine verifiability."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     n = F.size(toks)
     shingles = F.array_distinct(
@@ -476,7 +476,7 @@ def minhash_bottomk_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned groupBy on (band, band_hash); no join anywhere
     in candidate generation). Docs with < 8 distinct shingles are
     excluded (their bottom-8 sketch is undefined)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     n = F.size(toks)
     shingles = F.array_distinct(
@@ -497,19 +497,34 @@ def minhash_bottomk_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         8,
     )
-    sig = with_sh.select("doc_id", mins.alias("m")).filter(F.size("m") >= 8)
+    sig = with_sh.select("doc_id", mins.alias("m"))
+    # Docs with < 8 distinct shingles are excluded via NULL bands
+    # rather than a ``size(m) >= 8`` filter: a filter over the sketch
+    # column would be alias-substituted by Catalyst and pushed below
+    # the repartition into the single-task scan stage, re-evaluating
+    # the whole md5+sort sketch there (serializing exactly the work
+    # the repartition parallelizes, then computing it a second time
+    # above). ``try_element_at`` past the end of a short sketch yields
+    # NULL -> concat/md5 propagate it -> band_hash NULL; the NOT NULL
+    # predicate references the stack() GENERATOR's output, which
+    # Catalyst cannot push below the Generate, so the sketch is
+    # evaluated once, after the exchange (plan-audited in
+    # tests/test_plans.py).
     bands = sig.select(
         "doc_id",
         *[
             F.md5(
-                F.concat(F.element_at("m", 2 * b + 1), F.element_at("m", 2 * b + 2))
+                F.concat(
+                    F.try_element_at("m", F.lit(2 * b + 1)),
+                    F.try_element_at("m", F.lit(2 * b + 2)),
+                )
             ).alias(f"band{b}")
             for b in range(4)
         ],
     )
     stacked = bands.selectExpr(
         "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)"
-    )
+    ).filter(F.col("band_hash").isNotNull())
     buckets = stacked.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )

@@ -97,3 +97,17 @@ def test_bottomk_minhash_hashes_once(spark, sf_dir):
     old = _plan(spark, sf_dir, "minhash_md5_bands")
     new = _plan(spark, sf_dir, "minhash_bottomk_bands")
     assert new.count("md5(") * 2 <= old.count("md5(")
+
+
+def test_minhash_compute_parallelized_not_in_scan_stage(spark, sf_dir):
+    # Both banding variants spread_for_compute() the unsplittable
+    # fixture file; ALL sketch hashing must sit ABOVE that exchange
+    # (a filter referencing the sketch would be alias-substituted and
+    # pushed below it, re-serializing the compute — the regression
+    # this test pins).
+    for name in ("minhash_md5_bands", "minhash_bottomk_bands"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange RoundRobinPartitioning" in plan
+        below = plan[plan.index("Exchange RoundRobinPartitioning"):]
+        assert "md5(" not in below
+        assert "array_sort" not in below
