@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
-from gostream_spark.io import load_table
+from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.queries.llm_similarity import _duck_cosine
 from gostream_spark.registry import register
 
@@ -105,7 +105,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     design). md5-derived bits make it exactly reproducible in the
     DuckDB oracle; production would swap in xxhash64 bits (cheaper,
     Spark-internal)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.array_distinct(F.split("text", " "))
     with_toks = docs.select("doc_id", toks.alias("toks"))
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gostream_spark.io import load_table
+from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.operators import keep_first
 from gostream_spark.registry import register
 
@@ -364,7 +364,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     order or repetition collide, exact-content variants don't; the
     8-hex prefix is the bucketing key for a fingerprint-join dedup at
     scale."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     canon = F.array_join(F.array_sort(F.array_distinct(_toks())), "|")
     return docs.select(
         "doc_id",
@@ -393,7 +393,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate, and a BPE-ish greedy regex segmentation (≤4-letter
     chunks; both engines' regex engines produce identical
     non-overlapping greedy matches). Row-local only."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     bpe = F.aggregate(
         F.transform(_toks(), lambda t: F.ceil(F.length(t) / 4.0)),
         F.lit(0).cast("bigint"),
@@ -438,7 +438,7 @@ def rolling_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-windowed here for cross-engine exactness; production uses a
     true O(1)-slide polynomial rolling hash with the same boundary
     rule. Row-local; no shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     n = F.length("text")
     bnds = F.filter(
         F.sequence(F.lit(1), n - 7),
