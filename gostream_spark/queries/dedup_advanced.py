@@ -94,7 +94,7 @@ FROM fp
 """
 
 
-@register("simhash_dedup", oracle=_SIMHASH_ORACLE, tags=("L2", "F7", "ext"))
+@register("simhash_dedup", oracle=_SIMHASH_ORACLE, tags=("L2", "F7", "ext"), bench=True)
 def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup fingerprinting: 16-bit signature per document
     — bit p is the sign of the sum over distinct tokens of
