@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gostream_spark.io import load_table
+from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.operators.multimodal import decode_features, pack_payload
 from gostream_spark.registry import register
 
@@ -30,7 +30,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum equals the ascii sum the oracle computes — the decode
     plumbing (binary schema, Arrow batches, partition inheritance) is
     the real thing; only the codec itself is a stand-in."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     packed = docs.select(
         "doc_id",
         pack_payload(

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 
-from gostream_spark.io import load_table
+from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.registry import register
 
 # --- U1 scalar pandas UDF ----------------------------------------------
@@ -169,8 +169,11 @@ def mapinpandas_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-partition Python feature extraction (and the L9 multimodal
     decode path). Batch size follows
     spark.sql.execution.arrow.maxRecordsPerBatch; partitioning is
-    inherited, no shuffle."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inherited (spread_for_compute only exchanges when the input's
+    splits would leave Python workers idle)."""
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"), spark
+    ).select("doc_id", "text")
     return docs.mapInPandas(
         _doc_features, schema="doc_id bigint, n_words bigint, n_chars bigint, caps_ratio_pct bigint"
     )
