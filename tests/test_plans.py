@@ -111,3 +111,24 @@ def test_minhash_compute_parallelized_not_in_scan_stage(spark, sf_dir):
         below = plan[plan.index("Exchange RoundRobinPartitioning"):]
         assert "md5(" not in below
         assert "array_sort" not in below
+
+
+def test_spread_sketchers_hash_above_exchange(spark, sf_dir):
+    # Every spread_for_compute sketcher must keep its per-row hash
+    # work ABOVE the round-robin exchange — below it the compute runs
+    # in the (possibly single-task) scan stage the spread exists to
+    # escape.
+    for name in ("simhash_dedup", "rolling_hash_chunks", "doc_fingerprint"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Exchange RoundRobinPartitioning" in plan, name
+        below = plan[plan.index("Exchange RoundRobinPartitioning"):]
+        assert "md5(" not in below, name
+
+
+def test_mapinpandas_python_stage_above_exchange(spark, sf_dir):
+    # The Arrow-batched Python stage must consume the spread
+    # partitioning, not the raw scan's.
+    plan = _plan(spark, sf_dir, "mapinpandas_doc_features")
+    assert "Exchange RoundRobinPartitioning" in plan
+    below = plan[plan.index("Exchange RoundRobinPartitioning"):]
+    assert "MapInPandas" not in below
