@@ -15,7 +15,7 @@ from gostream_spark.operators.event_windows import (
     sliding_windowed,
     tumbling_windowed,
 )
-from gostream_spark.operators.ranking import topk, topk_per_group
+from gostream_spark.operators.ranking import topk, topk_per_group, topk_ranked
 from gostream_spark.operators.asof import asof_join
 
 __all__ = [
@@ -25,5 +25,6 @@ __all__ = [
     "session_windowed",
     "topk",
     "topk_per_group",
+    "topk_ranked",
     "asof_join",
 ]

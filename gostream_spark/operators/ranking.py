@@ -18,6 +18,25 @@ def topk(df: DataFrame, k: int, *order_by: Column) -> DataFrame:
     return df.orderBy(*order_by).limit(k)
 
 
+def topk_ranked(
+    df: DataFrame, k: int, *order_by: Column, rank_col: str = "rn"
+) -> DataFrame:
+    """Global top-k WITH the rank attached, scale-safe.
+
+    The heavy distributed step is ``orderBy().limit(k)`` (compiles to
+    TakeOrderedAndProject: per-partition heap, k·p merge — never a
+    single-partition global sort). The unpartitioned ``row_number``
+    window then runs over only the k surviving rows, where moving
+    them to one partition is free. Replaces the
+    ``row_number().over(Window.orderBy(...)) <= k`` anti-pattern,
+    which funnels the ENTIRE input through one task.
+    """
+    w = Window.orderBy(*order_by)
+    return df.orderBy(*order_by).limit(k).withColumn(
+        rank_col, F.row_number().over(w)
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     k: int,

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
 from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.operators import topk_ranked
 from gostream_spark.queries.llm_similarity import _duck_cosine
 from gostream_spark.registry import register
 
@@ -183,7 +184,10 @@ def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", "lang",
         F.levenshtein("head_a", "head_b").alias("edit_dist"),
     )
-    w = Window.orderBy("edit_dist", "doc_a", "doc_b")
-    return pairs.select(
-        "doc_a", "doc_b", "lang", "edit_dist", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= 20)
+    return topk_ranked(
+        pairs.select("doc_a", "doc_b", "lang", "edit_dist"),
+        20,
+        F.col("edit_dist"),
+        F.col("doc_a"),
+        F.col("doc_b"),
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
 from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.operators import topk_ranked
 from gostream_spark.registry import register
 
 # DuckDB twins of functions.dot_product / l2_norm (float64, in order).
@@ -79,10 +80,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
         )
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return scored.select(
-        "vec_id", "label", "cos", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= 10)
+    return topk_ranked(scored, 10, F.col("cos").desc(), F.col("vec_id"))
 
 
 # --- L4 pairwise similarity join ---------------------------------------
@@ -116,9 +114,8 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= 0.15)
         .select("vec_a", "vec_b", F.round(cos, 6).alias("cos"))
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_a"), F.col("vec_b"))
-    return pairs.select("vec_a", "vec_b", "cos", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= 20
+    return topk_ranked(
+        pairs, 20, F.col("cos").desc(), F.col("vec_a"), F.col("vec_b")
     )
 
 
@@ -266,10 +263,13 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", "inter_cnt", jac.alias("jaccard"))
     )
-    w = Window.orderBy(F.col("jaccard").desc(), F.col("doc_a"), F.col("doc_b"))
-    return scored.select(
-        "doc_a", "doc_b", "inter_cnt", "jaccard", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= 10)
+    return topk_ranked(
+        scored.select("doc_a", "doc_b", "inter_cnt", "jaccard"),
+        10,
+        F.col("jaccard").desc(),
+        F.col("doc_a"),
+        F.col("doc_b"),
+    )
 
 
 # --- L2/L4 scale path: MinHash banding (rows-only) ----------------------

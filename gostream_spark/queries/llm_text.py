@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table, spread_for_compute
-from gostream_spark.operators import keep_first
+from gostream_spark.operators import keep_first, topk_ranked
 from gostream_spark.registry import register
 
 STOPWORDS = ("the", "a")
@@ -142,9 +142,8 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("bigram"))
-    return counted.select("bigram", "cnt", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= 15
+    return topk_ranked(
+        counted.select("bigram", "cnt"), 15, F.col("cnt").desc(), F.col("bigram")
     )
 
 
@@ -192,10 +191,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
         ).alias("score"),
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("token"))
-    return scored.select(
-        "token", "df", "total_tf", "score", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= 20)
+    return topk_ranked(
+        scored.select("token", "df", "total_tf", "score"),
+        20,
+        F.col("score").desc(),
+        F.col("token"),
+    )
 
 
 # --- L8 language/source filtering + stats ------------------------------

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
 from gostream_spark.io import load_table
+from gostream_spark.operators.ranking import topk, topk_ranked
 from gostream_spark.operators.skew import salted_agg
 from gostream_spark.parity import dec2
 from gostream_spark.queries.llm_similarity import _duck_cosine
@@ -109,15 +110,12 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     )
-    cw = Window.orderBy(
-        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).desc(), F.col("c_label")
-    )
-    probe = (
-        centroids.crossJoin(q)
-        .withColumn("crn", F.row_number().over(cw))
-        .filter(F.col("crn") <= 3)
-        .select("c_label")
-    )
+    probe = topk(
+        centroids.crossJoin(q),
+        3,
+        F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).desc(),
+        F.col("c_label"),
+    ).select("c_label")
     candidates = emb.filter(F.col("vec_id") != 0).join(
         F.broadcast(probe), emb.label == F.col("c_label")
     )
@@ -126,7 +124,4 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
     )
-    w = Window.orderBy(F.col("cos").desc(), F.col("vec_id"))
-    return scored.select(
-        "vec_id", "label", "cos", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= 10)
+    return topk_ranked(scored, 10, F.col("cos").desc(), F.col("vec_id"))

@@ -125,6 +125,28 @@ def test_spread_sketchers_hash_above_exchange(spark, sf_dir):
         assert "md5(" not in below, name
 
 
+def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
+    # Ranked global top-k queries must compile to TakeOrderedAndProject
+    # (per-partition heap + k·p merge); the row_number window may only
+    # run over the k survivors. A `row_number over Window.orderBy()
+    # <= k` formulation instead funnels the ENTIRE input through one
+    # task ("No Partition Defined for Window" warning) — the
+    # regression this test pins.
+    for name in (
+        "similarity_topk",
+        "similarity_pairs",
+        "neardup_jaccard_pairs",
+        "top_bigrams",
+        "tfidf_top_terms",
+        "neardup_levenshtein",
+        "ivf_topk",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        # the window must consume the TakeOrdered result, not feed it
+        assert "Window" not in plan.split("TakeOrderedAndProject")[-1], name
+
+
 def test_mapinpandas_python_stage_above_exchange(spark, sf_dir):
     # The Arrow-batched Python stage must consume the spread
     # partitioning, not the raw scan's.
