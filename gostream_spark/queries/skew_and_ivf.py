@@ -5,7 +5,7 @@ rewrite is PROVEN equivalent to the direct form, not just asserted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
