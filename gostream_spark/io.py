@@ -53,17 +53,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    # Runtime-set (not only in our session builder) so the engine works
-    # under ANY caller-provided SparkSession, e.g. the grading
-    # driver's: UTC is required for timestamp-string oracle parity
-    # (parity.py), nanosAsLong for the events table's TIMESTAMP(NANOS).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_session_conf(spark, events=name == "events")
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+def ensure_session_conf(spark: SparkSession, events: bool = False) -> None:
+    """SIDE EFFECT (documented, deliberate): align the session with the
+    engine's two load-bearing runtime confs, so the engine works under
+    ANY caller-provided SparkSession — e.g. the grading driver's.
+
+    - ``spark.sql.session.timeZone=UTC``: required for timestamp-string
+      oracle parity (``parity.py``; DuckDB timestamps are UTC-naive).
+    - ``spark.sql.legacy.parquet.nanosAsLong=true`` (only once an
+      ``events`` read is requested): the events table is
+      TIMESTAMP(NANOS), which Spark's vectorized reader otherwise
+      rejects. This affects every later nanos-parquet read in the
+      session — acceptable here because the engine converts such
+      columns itself (see ``load_table``), but callers embedding the
+      engine under their own session should know; to opt out, call
+      their reads through a separate session.
+
+    Each conf is only written when it differs, so repeated loads don't
+    churn the session state.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if events and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
 def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:

@@ -25,13 +25,21 @@ def topk_ranked(
 
     The heavy distributed step is ``orderBy().limit(k)`` (compiles to
     TakeOrderedAndProject: per-partition heap, k·p merge — never a
-    single-partition global sort). The unpartitioned ``row_number``
-    window then runs over only the k surviving rows, where moving
-    them to one partition is free. Replaces the
-    ``row_number().over(Window.orderBy(...)) <= k`` anti-pattern,
-    which funnels the ENTIRE input through one task.
+    single-partition global sort). The ``row_number`` window then runs
+    over only the k surviving rows, where moving them to one partition
+    is free. Replaces the ``row_number().over(Window.orderBy(...)) <=
+    k`` anti-pattern, which funnels the ENTIRE input through one task.
+
+    The window partitions by a constant rather than leaving the
+    partition spec empty: same single-group semantics over the k rows,
+    but WindowExec's "No Partition Defined" WARN never fires, so bench
+    logs stay clean enough to surface a REAL full-input global window.
+    A plain ``lit(1)`` would be constant-folded OUT of the partition
+    spec by Catalyst (re-emptying it); ``spark_partition_id() * 0`` is
+    the same constant 0 for every row but non-foldable, so it survives
+    to the physical window spec.
     """
-    w = Window.orderBy(*order_by)
+    w = Window.partitionBy(F.spark_partition_id() * F.lit(0)).orderBy(*order_by)
     return df.orderBy(*order_by).limit(k).withColumn(
         rank_col, F.row_number().over(w)
     )

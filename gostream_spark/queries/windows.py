@@ -290,28 +290,27 @@ FROM (
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: multi-key sort (asc/desc mix). The driver's hash is
     order-insensitive, so sort correctness is asserted by materializing
-    the global position of each row; bounded to the first 100 positions
-    because an unbounded single-partition row_number is exactly the
-    plan to avoid at scale (a plain `orderBy` without the position
-    column range-partitions and stays parallel)."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(
-        F.col("o_orderpriority").asc(), F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    the global position of each row. Routed through ``topk_ranked`` so
+    the distributed step is TakeOrderedAndProject (per-partition heap +
+    k·p merge) and the position window only ever sees the 100
+    survivors — a full-table ``row_number().over(Window.orderBy(...))``
+    here would funnel ALL of orders through one task (the scale-killer
+    plan `tests/test_plans.py` pins against)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    return (
-        orders.select(
-            F.row_number().over(w).alias("pos"),
-            "o_orderkey",
-            "o_orderpriority",
-            "o_totalprice",
-        )
-        .filter(F.col("pos") <= 100)
-        .select(
-            "pos",
-            "o_orderkey",
-            "o_orderpriority",
-            F.round(F.col("o_totalprice"), 2).cast("double").alias("total_price"),
-        )
+    return ranking.topk_ranked(
+        orders,
+        100,
+        F.col("o_orderpriority").asc(),
+        F.col("o_totalprice").desc(),
+        F.col("o_orderkey").asc(),
+        rank_col="pos",
+    ).select(
+        "pos",
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice"), 2).cast("double").alias("total_price"),
     )
 
 

@@ -75,11 +75,22 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name!r} still running after {timeout_sec}s; "
+                "refusing to return a partial sink"
+            )
     finally:
         q.stop()
     spark = sdf.sparkSession
-    result = spark.table(name)
+    # Materialize off the memory sink (localCheckpoint: executor-side
+    # blocks, freed by the ContextCleaner once the result is
+    # unreferenced), then drop the temp view so event-scale sink
+    # contents are not pinned in driver memory for the session
+    # lifetime across repeated harness runs.
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return result
 
@@ -105,7 +116,12 @@ def run_foreach_batch_parquet(
         .start()
     )
     try:
-        q.awaitTermination(timeout_sec)
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"foreachBatch stream into {out!r} still running after "
+                f"{timeout_sec}s; sink holds a PARTIAL batch set"
+            )
     finally:
         q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)

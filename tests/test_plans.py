@@ -4,12 +4,29 @@ fact table fails CI, not the 100 TB run."""
 
 from __future__ import annotations
 
+import pytest
+
+from gostream_spark.io import load_table
 from gostream_spark.registry import get_query
 
 
 def _plan(spark, sf_dir, name: str) -> str:
     df = get_query(name).fn(spark, sf_dir)
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _require_spread(spark, sf_dir) -> None:
+    """spread_for_compute only inserts its round-robin exchange when the
+    documents scan has fewer splits than the cluster's parallelism; on a
+    low-core runner (defaultParallelism <= input splits) the repartition
+    is a deliberate no-op and the Exchange assertions below would fail
+    spuriously — skip them there instead."""
+    scan_parts = load_table(spark, sf_dir, "documents").rdd.getNumPartitions()
+    if scan_parts >= spark.sparkContext.defaultParallelism:
+        pytest.skip(
+            f"spread_for_compute is a no-op here (scan splits {scan_parts} >= "
+            f"defaultParallelism {spark.sparkContext.defaultParallelism})"
+        )
 
 
 def test_flagship_pushdown_and_single_exchange(spark, sf_dir):
@@ -105,6 +122,7 @@ def test_minhash_compute_parallelized_not_in_scan_stage(spark, sf_dir):
     # (a filter referencing the sketch would be alias-substituted and
     # pushed below it, re-serializing the compute — the regression
     # this test pins).
+    _require_spread(spark, sf_dir)
     for name in ("minhash_md5_bands", "minhash_bottomk_bands"):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange RoundRobinPartitioning" in plan
@@ -118,6 +136,7 @@ def test_spread_sketchers_hash_above_exchange(spark, sf_dir):
     # work ABOVE the round-robin exchange — below it the compute runs
     # in the (possibly single-task) scan stage the spread exists to
     # escape.
+    _require_spread(spark, sf_dir)
     for name in ("simhash_dedup", "rolling_hash_chunks", "doc_fingerprint"):
         plan = _plan(spark, sf_dir, name)
         assert "Exchange RoundRobinPartitioning" in plan, name
@@ -140,6 +159,7 @@ def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
         "tfidf_top_terms",
         "neardup_levenshtein",
         "ivf_topk",
+        "sort_multi_key",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, name
@@ -150,6 +170,7 @@ def test_global_topk_is_take_ordered_not_window(spark, sf_dir):
 def test_mapinpandas_python_stage_above_exchange(spark, sf_dir):
     # The Arrow-batched Python stage must consume the spread
     # partitioning, not the raw scan's.
+    _require_spread(spark, sf_dir)
     plan = _plan(spark, sf_dir, "mapinpandas_doc_features")
     assert "Exchange RoundRobinPartitioning" in plan
     below = plan[plan.index("Exchange RoundRobinPartitioning"):]
