@@ -1,0 +1,75 @@
+"""Sketch expression builders (SURVEY.md §2.8 L2): the md5-derived
+SimHash / MinHash constructions shared by the dedup queries and the
+property tests.
+
+All three builders are pure Column expressions (JVM-side, no UDFs)
+over an array-of-strings column, and all derive their hash bits from
+md5 hex digits — deliberately: fixed-width lowercase hex strings
+compare identically in Spark and DuckDB, which is what makes the
+dedup family exactly oracle-checkable. Production at 100 TB would
+swap md5 for xxhash64 (cheaper, Spark-internal) with the same shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hexval(tok: Column, p: int) -> Column:
+    """Hex digit of md5(token) at position p+1, as a double 0..15."""
+    return (
+        F.instr(F.lit(_HEXDIGITS), F.substring(F.md5(tok), p + 1, 1)) - 1
+    ).cast("double")
+
+
+def simhash_expr(toks: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint of a token array: bit p is the sign of the
+    sum over tokens of (md5-hex-digit_p - 7.5). Similar token sets
+    produce nearby fingerprints (small Hamming distance) — the
+    property the dedup bucketing and the monotonicity property test
+    both rely on. One row-local pass; the caller shuffles on the
+    resulting integer."""
+
+    def bit(p: int) -> Column:
+        signed_sum = F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + (_hexval(t, p) - 7.5)
+        )
+        return (signed_sum > 0).cast("int")
+
+    return sum([bit(p) * F.lit(2**p) for p in range(bits)], F.lit(0))
+
+
+def minhash_khash_sig(items: Column, k: int) -> Column:
+    """k-independent-hashes MinHash signature: array of k components,
+    component i = min over items of md5(item + '#i') (15-hex prefix).
+    Estimator: Jaccard(A, B) ≈ fraction of equal components. Costs k
+    hash passes over the items — the bottom-k sketch below gets the
+    same estimate family from ONE pass."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    items,
+                    lambda s, i=i: F.substring(F.md5(F.concat(s, F.lit(f"#{i}"))), 1, 15),
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bottomk_sketch(items: Column, k: int) -> Column:
+    """Bottom-k (one-permutation / KMV) MinHash sketch: the k smallest
+    md5 hashes of the items, one hash pass total. Estimator:
+    Jaccard(A, B) ≈ |bottomk(A ∪ B) ∩ bottomk(A) ∩ bottomk(B)| / k,
+    where bottomk(A ∪ B) is computable from the two sketches alone
+    (merge + re-take k smallest) — the reason the sketch composes
+    distributively at 100 TB."""
+    return F.slice(
+        F.array_sort(F.transform(items, lambda s: F.substring(F.md5(s), 1, 15))),
+        1,
+        k,
+    )

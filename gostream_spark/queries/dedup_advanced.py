@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
+from gostream_spark.functions.sketches import simhash_expr
 from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.operators import topk_ranked
 from gostream_spark.queries.llm_similarity import _duck_cosine
@@ -61,13 +62,6 @@ def embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hex digit of md5(token) at position p+1, as an integer 0..15
 _HEXDIGITS = "0123456789abcdef"
 
-
-def _spark_hexval(tok, p: int):
-    return (
-        F.instr(F.lit(_HEXDIGITS), F.substring(F.md5(tok), p + 1, 1)) - 1
-    ).cast("double")
-
-
 _SIMHASH_BITS = 16
 
 
@@ -109,20 +103,9 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.array_distinct(F.split("text", " "))
     with_toks = docs.select("doc_id", toks.alias("toks"))
-
-    def bit(p: int):
-        signed_sum = F.aggregate(
-            F.col("toks"),
-            F.lit(0.0),
-            lambda acc, t: acc + (_spark_hexval(t, p) - 7.5),
-        )
-        return (signed_sum > 0).cast("int")
-
     fp = with_toks.select(
         "doc_id",
-        sum([bit(p) * F.lit(2**p) for p in range(_SIMHASH_BITS)], F.lit(0)).alias(
-            "simhash"
-        ),
+        simhash_expr(F.col("toks"), _SIMHASH_BITS).alias("simhash"),
     )
     from pyspark.sql import Window
 

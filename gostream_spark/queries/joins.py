@@ -281,7 +281,7 @@ WHERE event_type = 'purchase' AND click_id IS NOT NULL
 """
 
 
-@register("join_asof", oracle=_J7_ORACLE, tags=("J7",))
+@register("join_asof", oracle=_J7_ORACLE, tags=("J7",), bench=True)
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: as-of join — for each purchase, the latest click by the
     same user at or before the purchase time.

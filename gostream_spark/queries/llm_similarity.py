@@ -220,7 +220,7 @@ SELECT doc_a, doc_b, inter_cnt, jaccard, rn FROM (
 """
 
 
-@register("neardup_jaccard_pairs", oracle=_L2_ORACLE, tags=("L2",))
+@register("neardup_jaccard_pairs", oracle=_L2_ORACLE, tags=("L2",), bench=True)
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: near-dup detection — top-10 document pairs by 3-gram
     shingle Jaccard over a 1-in-5 subset. Candidates form only through

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from gostream_spark.functions import cosine_similarity
 from gostream_spark.io import load_table
 from gostream_spark.operators.ranking import topk, topk_ranked
-from gostream_spark.operators.skew import salted_agg
+from gostream_spark.operators.skew import salted_agg, salted_join
 from gostream_spark.parity import dec2
 from gostream_spark.queries.llm_similarity import _duck_cosine
 from gostream_spark.registry import register
@@ -48,6 +48,45 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- salted skew-proof join --------------------------------------------
+
+_SALT_JOIN_ORACLE = """
+SELECT n_name,
+       count(*) AS event_cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events e JOIN nation n
+  ON n.n_nationkey = (CASE WHEN e.event_id % 10 < 9 THEN 0
+                           ELSE e.event_id % 25 END)
+GROUP BY n_name
+"""
+
+
+@register("skew_salted_join", oracle=_SALT_JOIN_ORACLE, tags=("J1", "ext"), bench=True)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a 90%-one-key join: 9 of 10 events collapse onto
+    nation key 0, the classic hot-key layout where one reducer
+    serializes the whole shuffle stage at 100 TB. ``salted_join``
+    spreads the hot key over 16 reducers by replicating the dim side;
+    the shuffle_hash hint keeps the demo honest (models the
+    right-side-too-big-to-broadcast case this operator exists for —
+    with a broadcastable dim you'd just broadcast). The oracle is the
+    DIRECT join: passing proves the salt rewrite exact."""
+    ev = load_table(spark, sf_dir, "events")
+    nat = load_table(spark, sf_dir, "nation")
+    skewed = ev.withColumn(
+        "k",
+        F.when(F.col("event_id") % 10 < 9, F.lit(0)).otherwise(
+            F.col("event_id") % 25
+        ).cast("long"),
+    )
+    dim = nat.select(F.col("n_nationkey").alias("k"), "n_name").hint("shuffle_hash")
+    joined = salted_join(skewed, dim, "k", salt_n=16)
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+    )
+
+
 # --- IVF-style two-stage ANN search ------------------------------------
 
 _IVF_ORACLE = f"""
@@ -81,7 +120,7 @@ SELECT vec_id, label, cos, rn FROM (
 """
 
 
-@register("ivf_topk", oracle=_IVF_ORACLE, tags=("L3", "ext"))
+@register("ivf_topk", oracle=_IVF_ORACLE, tags=("L3", "ext"), bench=True)
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: coarse quantizer = per-label centroids (the
     inverted-file cells); the query scores the 10 centroids, probes

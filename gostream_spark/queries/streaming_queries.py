@@ -37,7 +37,12 @@ FROM events GROUP BY 1, 2
 """
 
 
-@register("streaming_tumbling_counts", oracle=_TUMBLE_ORACLE, tags=("S2", "T1", "T4", "T7", "T8"))
+@register(
+    "streaming_tumbling_counts",
+    oracle=_TUMBLE_ORACLE,
+    tags=("S2", "T1", "T4", "T7", "T8"),
+    bench=True,
+)
 def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming T1: file-stream source → 1h watermark → daily
     tumbling counts → memory sink in COMPLETE mode, availableNow.

@@ -286,7 +286,7 @@ FROM (
 """
 
 
-@register("sort_multi_key", oracle=_W6_ORACLE, tags=("W6",))
+@register("sort_multi_key", oracle=_W6_ORACLE, tags=("W6",), bench=True)
 def sort_multi_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W6: multi-key sort (asc/desc mix). The driver's hash is
     order-insensitive, so sort correctness is asserted by materializing

@@ -206,3 +206,91 @@ def test_minhash_bands_collide_for_exact_duplicates(spark, texts):
         by_text.setdefault(r.text, set()).add(bands)
     # identical text -> identical band tuple, for every text
     assert all(len(v) == 1 for v in by_text.values())
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_simhash_hamming_monotone_under_perturbation(spark, seed):
+    """SimHash locality property: perturbing MORE of a document's
+    tokens moves the fingerprint FURTHER in Hamming distance, on
+    average over a corpus. Identical docs hash identically (distance
+    0); a ~20% token replacement must stay (mean-)closer than a full
+    rewrite. Per-doc monotonicity is only statistical for a 16-bit
+    sketch, so the assertion averages 8 docs with a 1-bit slack."""
+    import random
+
+    from gostream_spark.functions.sketches import simhash_expr
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(8):
+        toks = [f"tok{rng.randrange(5000)}n{d}i{i}" for i in range(30)]
+        lo = list(toks)
+        for i in rng.sample(range(30), 6):  # 20% replaced
+            lo[i] = f"rep{rng.randrange(5000)}"
+        hi = [f"new{rng.randrange(5000)}n{d}i{i}" for i in range(30)]  # 100%
+        rows += [
+            (d, "orig", " ".join(toks)),
+            (d, "same", " ".join(toks)),
+            (d, "lo", " ".join(lo)),
+            (d, "hi", " ".join(hi)),
+        ]
+    df = spark.createDataFrame(rows, "doc INT, kind STRING, text STRING")
+    fp = df.select(
+        "doc",
+        "kind",
+        simhash_expr(F.array_distinct(F.split("text", " ")), 16).alias("s"),
+    ).collect()
+    sig = {(r.doc, r.kind): r.s for r in fp}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert all(ham(sig[(d, "orig")], sig[(d, "same")]) == 0 for d in range(8))
+    mean_lo = sum(ham(sig[(d, "orig")], sig[(d, "lo")]) for d in range(8)) / 8
+    mean_hi = sum(ham(sig[(d, "orig")], sig[(d, "hi")]) for d in range(8)) / 8
+    assert mean_lo <= mean_hi + 1.0, (mean_lo, mean_hi)
+
+
+@given(
+    overlap=st.sampled_from([0.0, 0.3, 0.6, 0.9]),
+    seed=st.integers(min_value=0, max_value=500),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_minhash_bottomk_and_khash_estimators_agree(spark, overlap, seed):
+    """The two MinHash sketch families must estimate the SAME Jaccard:
+    the k-independent-hashes signature (fraction of equal components)
+    and the bottom-k/KMV sketch (|bottomk(A∪B) ∩ bk(A) ∩ bk(B)| / k)
+    are different estimators of one quantity, so both must land within
+    sketch-noise tolerance of the true Jaccard and of each other —
+    the invariant that justifies swapping the 8×-cheaper bottom-k
+    variant in for the k-hash one at 100 TB (k=48 → σ≈0.07; bounds
+    are ~5σ)."""
+    import random
+
+    from gostream_spark.functions.sketches import bottomk_sketch, minhash_khash_sig
+
+    k = 48
+    rng = random.Random(seed)
+    shared_n = int(round(overlap * 120))
+    shared = [f"s{rng.randrange(10**9)}" for _ in range(shared_n)]
+    only_a = [f"a{rng.randrange(10**9)}" for _ in range(120 - shared_n)]
+    only_b = [f"b{rng.randrange(10**9)}" for _ in range(120 - shared_n)]
+    set_a, set_b = shared + only_a, shared + only_b
+    true_j = len(set(set_a) & set(set_b)) / len(set(set_a) | set(set_b))
+
+    df = spark.createDataFrame([("a", set_a), ("b", set_b)], "id STRING, items ARRAY<STRING>")
+    out = df.select(
+        "id",
+        minhash_khash_sig(F.col("items"), k).alias("sig"),
+        bottomk_sketch(F.col("items"), k).alias("bk"),
+    ).collect()
+    by_id = {r.id: r for r in out}
+    a, b = by_id["a"], by_id["b"]
+
+    est_khash = sum(x == y for x, y in zip(a.sig, b.sig)) / k
+    union_bottomk = sorted(set(a.bk) | set(b.bk))[:k]
+    est_bottomk = sum(h in set(a.bk) and h in set(b.bk) for h in union_bottomk) / k
+
+    assert abs(est_khash - true_j) <= 0.35, (est_khash, true_j)
+    assert abs(est_bottomk - true_j) <= 0.35, (est_bottomk, true_j)
+    assert abs(est_khash - est_bottomk) <= 0.45, (est_khash, est_bottomk)

