@@ -5,6 +5,7 @@ from gostream_spark.queries import (  # noqa: F401
     aggregation,
     aggregation_extra,
     analytics_demo,
+    corpus_ops,
     dedup_advanced,
     event_time,
     flagship,

@@ -1,0 +1,298 @@
+"""Training-data corpus-curation operators (SURVEY.md §2.8 extensions):
+benchmark decontamination, Gopher-style repetition quality rules,
+deterministic stratified sampling, sharded global shuffle order, and
+per-source token budgets — the standard pre-training pipeline stages
+between "raw crawl" and "training mix".
+
+Scale shapes (the design constraint for every op here):
+- decontamination joins the corpus's n-grams against a *benchmark*
+  n-gram set; benchmark suites are tiny relative to a 100 TB corpus,
+  so the bench side broadcasts and the corpus side never shuffles.
+- the quality rules are pure row-local expressions (HOF run-length
+  over a sorted token array — zero shuffles, whole-stage codegen).
+- sampling is a deterministic hash filter — row-local, no shuffle,
+  reproducible across runs/engines (md5, not rand()).
+- shuffle-order assigns (shard, pos) with a window partitioned by
+  shard: each shard sorts independently (one reducer per shard ==
+  one training file per shard); no global single-task sort.
+- token budgets are a per-source cumulative-sum window; source
+  cardinality is small (thousands), far below reducer count only in
+  degenerate cases — skewed giant sources would salt by doc-range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hexval1(s: Column) -> Column:
+    """First hex digit of md5(s) as an integer 0..15 — the cheapest
+    cross-engine-exact uniform hash bucket (identical lowercase-hex
+    md5 in Spark and DuckDB)."""
+    return F.instr(F.lit(_HEXDIGITS), F.substring(F.md5(s), 1, 1)) - 1
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings (empty
+    array when the doc has fewer than n tokens)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# --- benchmark decontamination ------------------------------------------
+
+_DECON_N = 4
+
+_DECON_ORACLE = f"""
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(len(t) - {_DECON_N - 1}),
+                               i -> array_to_string(t[i+1:i+{_DECON_N}], ' '))) AS g
+  FROM toks),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+SELECT doc_id, source, count(DISTINCT g) AS shared_grams
+FROM grams
+WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+GROUP BY doc_id, source
+"""
+
+
+@register("decontaminate_ngrams", oracle=_DECON_ORACLE, tags=("L2", "ext"))
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word 4-gram with the benchmark set (here: the ``src0`` slice plays
+    the held-out eval suite). The returned rows are the contaminated
+    docs with their shared-gram counts; the training mix is the
+    anti-join complement.
+
+    100 TB shape: the benchmark n-gram set is tiny (eval suites are
+    MBs), so it broadcasts; the corpus side is explode → broadcast
+    hash join → per-doc count — no corpus shuffle except the final
+    per-doc aggregate, which AQE coalesces to the match count
+    (contamination is rare by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_word_ngrams(F.split("text", " "), _DECON_N)).alias("g"),
+    )
+    bench = (
+        grams.filter(F.col("source") == "src0").select("g").distinct()
+    )
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id", "source")
+        .agg(F.count_distinct("g").alias("shared_grams"))
+    )
+
+
+# --- Gopher-style repetition quality rules ------------------------------
+
+_QUALITY_ORACLE = """
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents),
+cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+agg AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n, count(*) AS ndist
+        FROM cnt GROUP BY 1)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(10000 * maxc // n AS BIGINT) AS top_token_bp,
+       CAST(10000 * ndist // n AS BIGINT) AS distinct_bp,
+       (10000 * maxc // n <= 2000 AND 10000 * ndist // n >= 4000) AS quality_pass
+FROM agg
+"""
+
+
+@register("quality_repetition_rules", oracle=_QUALITY_ORACLE, tags=("L8", "ext"))
+def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality rules (the Gopher/MassiveText family):
+    per-doc top-token fraction and distinct-token ratio, in integer
+    basis points (integer `div` — float-free, cross-engine exact),
+    plus the pass/fail gate (top-token ≤ 20%, distinct ≥ 40%).
+
+    Row-local and shuffle-free: the per-doc top-token count is a
+    run-length maximum over the *sorted* token array via one
+    ``F.aggregate`` HOF — no explode, no groupBy, whole-stage codegen
+    end to end. The oracle computes the same numbers the relational
+    way (unnest → two aggregates); agreement certifies the HOF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    srt = F.array_sort(toks)
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    maxc = F.aggregate(srt, init, step, lambda acc: acc.getField("best"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        maxc.cast("long").alias("maxc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("ndist"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("10000 * maxc div n_tokens").alias("top_token_bp"),
+        F.expr("10000 * ndist div n_tokens").alias("distinct_bp"),
+        F.expr(
+            "10000 * maxc div n_tokens <= 2000 AND 10000 * ndist div n_tokens >= 4000"
+        ).alias("quality_pass"),
+    )
+
+
+# --- deterministic stratified sampling ----------------------------------
+
+_SAMPLE_ORACLE = """
+WITH hashed AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         instr('0123456789abcdef',
+               substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 1)) - 1
+           AS hv,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 16
+              WHEN CAST(substr(source, 4) AS INT) < 15 THEN 8
+              ELSE 2 END AS keep_below
+  FROM documents)
+SELECT source,
+       count(*) AS kept_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+FROM hashed WHERE hv < keep_below
+GROUP BY source
+"""
+
+
+@register("sample_stratified", oracle=_SAMPLE_ORACLE, tags=("L8", "ext"))
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for mix construction:
+    per-source keep rates (src0-4 → 100%, src5-14 → 50%, rest →
+    12.5%) applied via an md5 hash bucket of (doc_id, source) — NOT
+    ``rand()``, so the sample is reproducible run-to-run, engine-to-
+    engine, and under any re-partitioning. Returns the per-source kept
+    doc/token totals (the numbers a mix designer iterates on).
+
+    Row-local filter + one small aggregate; the 100 TB cost is one
+    corpus scan. ``sampleBy`` would give the same rates but not
+    determinism across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 9).cast("int")
+    keep_below = (
+        F.when(src_num < 5, F.lit(16)).when(src_num < 15, F.lit(8)).otherwise(F.lit(2))
+    )
+    hv = _hexval1(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    return (
+        docs.filter(hv < keep_below)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"),
+            F.sum(F.size(F.split("text", " "))).cast("long").alias("kept_tokens"),
+        )
+    )
+
+
+# --- sharded global shuffle order ---------------------------------------
+
+_SHARDS = 8
+
+_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+           % {_SHARDS} AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS ord_key
+  FROM documents)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY ord_key, doc_id) AS pos
+FROM keyed
+"""
+
+
+@register("corpus_shuffle_order", oracle=_SHUFFLE_ORACLE, tags=("W6", "ext"))
+def corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle order for training: every doc gets
+    a (shard, pos) address — shard = hash bucket, pos = rank of the
+    doc's md5 within the shard. Reading shards in order yields a
+    reproducible pseudo-random permutation of the corpus (the
+    training-loader contract) without ever globally sorting it.
+
+    100 TB shape: the window partitions BY SHARD, so each shard ranks
+    independently on its own reducer and writes its own file — with
+    shards sized to taste (4096 at cluster scale; {_SHARDS} here to
+    keep the fixture interesting) there is no single-task global sort
+    anywhere. Contrast W6's ``sort_multi_key``, which is top-k and so
+    uses TakeOrdered instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    keyed = docs.select(
+        "doc_id",
+        (_hexval1(F.col("doc_id").cast("string")) % _SHARDS).alias("shard"),
+        key.alias("ord_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("ord_key", "doc_id")
+    return keyed.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
+# --- per-source token budgets -------------------------------------------
+
+_BUDGET = 1500
+
+_BUDGET_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM sized)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= {_BUDGET}
+"""
+
+
+@register("token_budget_per_source", oracle=_BUDGET_ORACLE, tags=("L8", "ext"))
+def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget enforcement: admit docs in priority
+    order (doc_id) until each source's cumulative token count exceeds
+    {_BUDGET}. The cumulative sum is an integer running window per
+    source — exact, order-deterministic, one shuffle on the source
+    key. A pathologically large single source would salt the window
+    by doc-range and stitch ranges with a per-range offset join."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sized.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
+        F.col("cum_tokens") <= _BUDGET
+    )

@@ -175,3 +175,28 @@ def test_mapinpandas_python_stage_above_exchange(spark, sf_dir):
     assert "Exchange RoundRobinPartitioning" in plan
     below = plan[plan.index("Exchange RoundRobinPartitioning"):]
     assert "MapInPandas" not in below
+
+
+def test_corpus_ops_scale_shapes(spark, sf_dir):
+    # Decontamination: the benchmark n-gram set must BROADCAST (eval
+    # suites are tiny; the 100 TB corpus side must never sort-merge)
+    plan = _plan(spark, sf_dir, "decontaminate_ngrams")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+    # Repetition quality rules are pure row-local HOF expressions:
+    # ZERO exchanges — the whole op runs inside the scan stage
+    plan = _plan(spark, sf_dir, "quality_repetition_rules")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+    # Stratified sampling: hash-filter then ONE partial->final agg
+    plan = _plan(spark, sf_dir, "sample_stratified")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+    # Shuffle-order / token-budget windows must partition (by shard /
+    # source) — never an unpartitioned global-sort window
+    for name in ("corpus_shuffle_order", "token_budget_per_source"):
+        plan = _plan(spark, sf_dir, name)
+        assert "Window" in plan, name
+        assert "SinglePartition" not in plan, name
