@@ -88,3 +88,73 @@ def streaming_memory_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("bigint").alias("event_cnt"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --- S1 ext: CSV / JSON-lines file sources ------------------------------
+
+_FILE_SRC_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+_EVENT_COLS = ("event_id", "user_id", "event_type")
+_EVENT_DDL = "event_id BIGINT, user_id BIGINT, event_type STRING"
+
+
+def _roundtrip_dir(sf_dir: str, fmt: str) -> str:
+    import hashlib
+    import os
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+    )
+    return os.path.join(root, f"src-{fmt}-{tag}")
+
+
+def _file_source_agg(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    from gostream_spark.io import load_table
+
+    path = _roundtrip_dir(sf_dir, fmt)
+    subset = load_table(spark, sf_dir, "events").select(*_EVENT_COLS)
+    writer = subset.write.mode("overwrite")
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+    reader = spark.read.schema(_EVENT_DDL)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    df = getattr(reader, fmt)(path)
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("event_id").cast("bigint").alias("id_sum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register("csv_source_agg", oracle=_FILE_SRC_ORACLE, tags=("S1", "ext"))
+def csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ext: CSV file source. The integer/string event columns are
+    round-tripped through a CSV directory and re-aggregated; matching
+    the parquet-side oracle proves the CSV read path end to end
+    (header handling, explicit schema — never schema inference, which
+    at 100 TB would cost a full extra pass over the text). CSV is a
+    splittable line format: the scan parallelizes by byte ranges, so
+    the shape scales like any other file scan; only column PRUNING is
+    unavailable (row-oriented text), which is why parquet stays the
+    canonical S1 and CSV is the ingest/interchange path."""
+    return _file_source_agg(spark, sf_dir, "csv")
+
+
+@register("jsonl_source_agg", oracle=_FILE_SRC_ORACLE, tags=("S1", "ext"))
+def jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ext: JSON-lines file source (the interchange format crawl
+    pipelines actually deliver). Same roundtrip-and-agg proof as the
+    CSV twin, with an explicit schema so malformed rows go to Spark's
+    PERMISSIVE null row rather than failing the scan — and no
+    inference pass."""
+    return _file_source_agg(spark, sf_dir, "json")

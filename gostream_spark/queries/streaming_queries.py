@@ -223,3 +223,41 @@ def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).alias("event_cnt"))
     result = run_available_now(agg, output_mode="complete")
     return result.select(ts_str("w.start").alias("win_start"), "event_type", "event_cnt")
+
+
+# --- T3 streaming: session windows --------------------------------------
+
+
+def _t3_oracle() -> str:
+    # Share the batch T3 lag-gap sessionization oracle verbatim: the
+    # streaming twin must produce the identical session set.
+    from gostream_spark.queries.event_time import _T3_ORACLE
+
+    return _T3_ORACLE
+
+
+@register("streaming_session_counts", oracle=_t3_oracle(), tags=("S2", "T3", "T4", "T7"))
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T3: file-stream source → watermark → 30-minute-gap
+    session windows per user → complete-mode memory sink, availableNow.
+    Session state merges across micro-batches (adjacent sessions
+    collapse when a bridging event arrives); with all input available
+    the final table must equal the batch sessionization — the same
+    lag-gap oracle SQL as the batch twin `session_window`."""
+    from gostream_spark.operators import session_windowed
+
+    ev = file_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    sess = session_windowed(
+        ev,
+        "ts",
+        "30 minutes",
+        keys=("user_id",),
+        aggs=(F.count(F.lit(1)).alias("event_cnt"),),
+    )
+    result = run_available_now(sess, output_mode="complete")
+    return result.select(
+        "user_id",
+        ts_str("w.start").alias("session_start"),
+        ts_str("w.end").alias("session_end"),
+        "event_cnt",
+    )
