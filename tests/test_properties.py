@@ -294,3 +294,16 @@ def test_minhash_bottomk_and_khash_estimators_agree(spark, overlap, seed):
     assert abs(est_khash - true_j) <= 0.35, (est_khash, true_j)
     assert abs(est_bottomk - true_j) <= 0.35, (est_bottomk, true_j)
     assert abs(est_khash - est_bottomk) <= 0.45, (est_khash, est_bottomk)
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    """Docs shorter than n yield an EMPTY gram array (not a negative
+    sequence error) — the guard decontamination relies on at corpus
+    scale where fragmentary docs are common."""
+    from gostream_spark.queries.corpus_ops import _word_ngrams
+
+    df = spark.createDataFrame([("a b c",), ("a b c d e",)], "text STRING")
+    out = df.select(
+        F.size(_word_ngrams(F.split("text", " "), 4)).alias("n")
+    ).collect()
+    assert sorted(r.n for r in out) == [0, 2]

@@ -235,3 +235,33 @@ def test_processing_time_trigger(spark):
         assert q.isActive
     finally:
         q.stop()
+
+
+def test_session_windows_merge_across_batches(spark):
+    """T3: two sessions separated by more than the gap in batch 1 must
+    MERGE when batch 2 delivers a bridging event between them — the
+    cross-batch session-state merge that distinguishes streaming
+    session windows from per-batch sessionization."""
+    from datetime import datetime
+
+    mk = lambda i, h, m: (i, datetime(2024, 1, 1, h, m, 0), 1, "click")
+    d = _write_event_files(
+        spark,
+        [
+            [mk(1, 10, 0), mk(2, 10, 40)],  # 40-min gap: two open sessions
+            [mk(3, 10, 20)],  # bridges them into one
+        ],
+    )
+    sess = (
+        _stream_dir(spark, d)
+        .withWatermark("ts", "10 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_available_now(sess, output_mode="complete")
+    rows = out.select("w.start", "w.end", "n").collect()
+    assert len(rows) == 1, rows
+    assert rows[0].n == 3
+    assert rows[0].start == datetime(2024, 1, 1, 10, 0, 0)
+    assert rows[0].end == datetime(2024, 1, 1, 11, 10, 0)
+    shutil.rmtree(d, ignore_errors=True)
