@@ -296,3 +296,58 @@ def token_budget_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.withColumn("cum_tokens", F.sum("n_tokens").over(w)).filter(
         F.col("cum_tokens") <= _BUDGET
     )
+
+
+# --- blocklist scrub / redaction ----------------------------------------
+
+_SCRUB_TERMS = ("value", "key")
+
+_SCRUB_ORACLE = """
+WITH scrubbed AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_transform(string_split(text, ' '),
+                          t -> CASE WHEN t IN ('value', 'key')
+                                    THEN '[REDACTED]' ELSE t END),
+           ' ') AS red_text,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ('value', 'key'))) AS n_redacted
+  FROM documents)
+SELECT doc_id, source, md5(red_text) AS redacted_md5,
+       CAST(n_redacted AS BIGINT) AS n_redacted
+FROM scrubbed WHERE n_redacted > 0
+"""
+
+
+@register("scrub_blocklist", oracle=_SCRUB_ORACLE, tags=("L8", "ext"))
+def scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrub — the PII/secret-redaction stage shape: replace
+    blocklisted terms with a redaction marker, count replacements,
+    return the affected docs (identified by the md5 of the scrubbed
+    text, proving the rewritten CONTENT matches cross-engine, not
+    just the counts). Token-level replacement via an array transform
+    — exact in both engines, where regex word boundaries can differ.
+    Row-local; one corpus scan, no shuffle before the implicit
+    collect. In production the blocklist term set broadcasts
+    (array_contains against a broadcast literal array) and the regex
+    variants (emails, phone numbers) run in the same row-local
+    stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    red = F.array_join(
+        F.transform(
+            toks,
+            lambda t: F.when(t.isin(*_SCRUB_TERMS), F.lit("[REDACTED]")).otherwise(t),
+        ),
+        " ",
+    )
+    n_red = F.size(F.filter(toks, lambda t: t.isin(*_SCRUB_TERMS)))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.md5(red).alias("redacted_md5"),
+            n_red.cast("long").alias("n_redacted"),
+        )
+        .filter(F.col("n_redacted") > 0)
+    )

@@ -63,3 +63,52 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("doc_cnt"),
         F.sum("mm.meta.n_chars").alias("total_chars"),
     )
+
+
+_L9_FRAMES_ORACLE = """
+WITH v AS (
+  SELECT doc_id, n_chars * 10 AS duration_ms, n_chars // 4 AS n_frames
+  FROM documents),
+s AS (
+  SELECT doc_id, duration_ms, n_frames,
+         greatest(1, n_frames // 8) AS step
+  FROM v),
+f AS (
+  SELECT doc_id, duration_ms,
+         unnest(range(0, n_frames, step)[1:8]) AS frame_no
+  FROM s)
+SELECT doc_id, CAST(duration_ms AS BIGINT) AS duration_ms,
+       CAST(frame_no AS BIGINT) AS frame_no,
+       CAST(frame_no * 40 AS BIGINT) AS frame_ts_ms
+FROM f
+"""
+
+
+@register("multimodal_frame_sample", oracle=_L9_FRAMES_ORACLE, tags=("L9", "ext"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 ext: video frame sampling — the metadata-side half of a
+    frame-extraction pipeline. Each doc models a clip (duration_ms =
+    n_chars×10 at 25 fps); the query plans WHICH frames to decode
+    (uniform stride, ≤8 frames/clip, exact frame timestamps) as pure
+    integer arithmetic over the metadata, then explodes to one row
+    per planned frame. The actual pixel decode would map these rows
+    through the `decode_features`-style mapInPandas stage; planning
+    frames from metadata FIRST means the decoder touches only the
+    sampled offsets — at 100 TB of video you never read the payload
+    bytes of unsampled frames. All JVM-side, no payload access, no
+    codec dependency."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_frames = F.expr("n_chars div 4")
+    step = F.greatest(F.lit(1).cast("long"), F.expr("(n_chars div 4) div 8"))
+    v = docs.select(
+        "doc_id",
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+        F.slice(F.sequence(F.lit(0).cast("long"), n_frames - 1, step), 1, 8).alias(
+            "frames"
+        ),
+    )
+    return v.select(
+        "doc_id",
+        "duration_ms",
+        F.explode("frames").alias("frame_no"),
+    ).withColumn("frame_ts_ms", (F.col("frame_no") * 40).cast("long"))
