@@ -124,3 +124,35 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("order_cnt") >= 5)
     )
+
+
+# --- A8 ext: value histogram via width_bucket ---------------------------
+
+_HISTOGRAM_ORACLE = """
+SELECT event_type,
+       CASE WHEN value < 0 THEN 0
+            WHEN value >= 500 THEN 11
+            ELSE CAST(floor(value / 50) + 1 AS BIGINT) END AS bucket,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type, bucket
+"""
+
+
+@register("agg_value_histogram", oracle=_HISTOGRAM_ORACLE, tags=("A8", "ext"))
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ext: fixed-width value histogram per event type —
+    ``width_bucket`` bins map-side, then one partial→final count
+    aggregate; the distributed histogram shape that replaces exact
+    percentiles when 100 TB only needs the distribution's form."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10))
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

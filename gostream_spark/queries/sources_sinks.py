@@ -158,3 +158,44 @@ def jsonl_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     PERMISSIVE null row rather than failing the scan — and no
     inference pass."""
     return _file_source_agg(spark, sf_dir, "json")
+
+
+@register("orc_source_agg", oracle=_FILE_SRC_ORACLE, tags=("S1", "ext"))
+def orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ext: ORC file source — the other columnar format Spark
+    reads natively (predicate pushdown + column pruning, like
+    parquet). Same roundtrip-and-agg proof as the CSV/JSONL twins."""
+    return _file_source_agg(spark, sf_dir, "orc")
+
+
+_PART_SINK_ORACLE = """
+SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents WHERE lang = 'en'
+GROUP BY source
+"""
+
+
+@register("partitioned_sink_pruned_read", oracle=_PART_SINK_ORACLE, tags=("S5", "ext"))
+def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 ext: hive-partitioned parquet sink → partition-PRUNED read.
+    Documents are written partitioned by ``lang``; the re-read filters
+    one language, so the scan lists only that partition directory —
+    at 100 TB the lang='en' query reads the en/ files and nothing
+    else (the pruning itself is asserted in
+    tests/test_partition_pruning.py; this query proves the write →
+    prune → aggregate roundtrip end to end against the unpartitioned
+    oracle)."""
+    from gostream_spark.io import load_table
+
+    path = _roundtrip_dir(sf_dir, "part")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
