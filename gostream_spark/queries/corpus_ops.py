@@ -351,3 +351,134 @@ def scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_redacted") > 0)
     )
+
+
+# --- end-to-end training-mix build --------------------------------------
+
+_MIX_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, lang, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+rep AS (SELECT doc_id, max(c) AS maxc, sum(c) AS n, count(*) AS ndist
+        FROM cnt GROUP BY 1),
+qual AS (
+  SELECT t.doc_id, t.source, CAST(r.n AS BIGINT) AS n_tokens
+  FROM toks t JOIN rep r USING (doc_id)
+  WHERE t.lang IN ('en', 'de')
+    AND 10000 * r.maxc // r.n <= 2500
+    AND 10000 * r.ndist // r.n >= 3500),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(len(t) - 3),
+                               i -> array_to_string(t[i+1:i+4], ' '))) AS g
+  FROM toks),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench)),
+decon AS (
+  SELECT * FROM qual
+  WHERE source <> 'src0'
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+sampled AS (
+  SELECT * FROM decon
+  WHERE instr('0123456789abcdef',
+              substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 1)) - 1
+        < CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 16
+               WHEN CAST(substr(source, 4) AS INT) < 15 THEN 8
+               ELSE 2 END),
+budget AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sampled)
+SELECT source, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM budget WHERE cum <= 2500
+GROUP BY source
+"""
+
+
+@register("training_mix_pipeline", oracle=_MIX_ORACLE, tags=("L8", "ext"), bench=True)
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone: a full training-mix build composed from the
+    stage operators above, in ONE declarative plan — lang filter →
+    repetition quality gate → benchmark decontamination (anti-join) →
+    deterministic stratified sampling → per-source token budget →
+    mix summary. What a 100 TB corpus build actually runs, end to
+    end.
+
+    Plan shape (verified in the physical plan): the lang filter and
+    the quality-gate HOF fuse into the main scan's Filter; sampling
+    is row-local in the same stage; decontamination is a broadcast
+    anti-join against the (tiny) contaminated-id set; the only
+    main-branch shuffles are the budget window (by source) and the
+    final aggregate. The corpus is read twice total — once pruned to
+    (doc_id, text) to find contamination candidates, once for the
+    mix build — and the benchmark branch's scan prunes to the src0
+    slice (filter pushed). At 100 TB the candidate pass is the
+    standard pre-pass; its output (contaminated ids) is small enough
+    to broadcast by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    srt = F.array_sort(toks)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    maxc = F.aggregate(srt, init, step, lambda acc: acc.getField("best"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "text",
+        F.size(toks).cast("long").alias("n_tokens"),
+        maxc.cast("long").alias("maxc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("ndist"),
+    )
+    qual = base.filter(
+        F.col("lang").isin("en", "de")
+        & F.expr("10000 * maxc div n_tokens <= 2500")
+        & F.expr("10000 * ndist div n_tokens >= 3500")
+    )
+
+    grams = docs.select(
+        "doc_id", "source", F.explode(_word_ngrams(F.split("text", " "), 4)).alias("g")
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    contaminated = (
+        grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    )
+
+    clean = qual.filter(F.col("source") != "src0").join(
+        F.broadcast(contaminated), "doc_id", "left_anti"
+    )
+
+    src_num = F.substring("source", 4, 9).cast("int")
+    keep_below = (
+        F.when(src_num < 5, F.lit(16)).when(src_num < 15, F.lit(8)).otherwise(F.lit(2))
+    )
+    hv = _hexval1(F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source")))
+    sampled = clean.filter(hv < keep_below)
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budget = sampled.withColumn("cum", F.sum("n_tokens").over(w)).filter(
+        F.col("cum") <= 2500
+    )
+    return budget.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
