@@ -1,0 +1,64 @@
+"""Connected components over a candidate-pair graph (SURVEY.md §2.8
+L2 scale path, the clustering step after MinHash banding).
+
+Band collisions give candidate EDGES; production dedup needs the
+transitive closure — if A~B in one band and B~C in another, {A,B,C}
+is ONE duplicate cluster even though A and C never collide. The
+classic distributed solution is iterative min-label propagation
+(BSP): every node adopts the smallest label among itself and its
+neighbors until fixpoint, which lands every node on its component's
+minimum id.
+
+Scale properties:
+- each iteration is one join + one aggregate (two shuffles), all
+  hash-partitioned on node id — no single-task stage anywhere;
+- iterations needed = graph diameter, which for banding graphs is
+  small (duplicate clusters are near-cliques; star edges keep bucket
+  contributions linear, never quadratic, in bucket size);
+- ``localCheckpoint`` truncates the lineage each round, so the plan
+  does not grow with iterations (the classic iterative-DataFrame
+  trap);
+- the per-iteration ``count()`` is the driver-side convergence check
+  every BSP framework has — it moves ONE long, not the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Label every node with the minimum node id of its connected
+    component.
+
+    ``nodes``: single-column DataFrame of node ids. ``edges``:
+    two-column DataFrame of undirected edges (any names). Returns
+    (id, cluster). Deterministic: the fixpoint is unique regardless
+    of partitioning or iteration interleaving.
+    """
+    a, b = edges.columns
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    id_col = nodes.columns[0]
+    labels = nodes.select(F.col(id_col).alias("id")).withColumn("lbl", F.col("id"))
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("dst", "id")
+        )
+        proposed = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
+            F.col("lbl").alias("old_lbl"),
+        )
+        proposed = proposed.localCheckpoint(eager=True)
+        changed = proposed.filter(F.col("lbl") < F.col("old_lbl")).count()
+        labels = proposed.select("id", "lbl")
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster"))

@@ -174,3 +174,104 @@ def neardup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a"),
         F.col("doc_b"),
     )
+
+
+# --- L2: duplicate-cluster construction (connected components) ----------
+
+_COMPONENTS_ORACLE = """
+WITH RECURSIVE sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), mins AS (
+  SELECT doc_id,
+         list_slice(list_sort(list(substr(md5(shingle), 1, 15))), 1, 8) AS m
+  FROM sh GROUP BY doc_id HAVING count(*) >= 8
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(m[1] || m[2]) AS band_hash FROM mins
+  UNION ALL SELECT doc_id, 1, md5(m[3] || m[4]) FROM mins
+  UNION ALL SELECT doc_id, 2, md5(m[5] || m[6]) FROM mins
+  UNION ALL SELECT doc_id, 3, md5(m[7] || m[8]) FROM mins
+), starred AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band_id, band_hash) AS hub
+  FROM bands
+), edges AS (
+  SELECT DISTINCT hub AS src, doc_id AS dst FROM starred WHERE doc_id <> hub
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+)
+SELECT a AS doc_id, min(b) AS cluster,
+       (a = min(b)) AS is_keeper
+FROM reach GROUP BY a
+"""
+
+
+@register("neardup_cluster_components", oracle=_COMPONENTS_ORACLE, tags=("L2", "ext"))
+def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 completion: candidate pairs → duplicate CLUSTERS. Band
+    collisions only assert pairwise similarity; dedup needs the
+    transitive closure (A~B, B~C ⇒ {A,B,C} one cluster) — computed
+    with `operators.components.connected_components` (iterative
+    min-label propagation, the BSP algorithm GraphX/GraphFrames use).
+    Edges are STAR edges per (band, band_hash) bucket — linear in
+    bucket size, never the quadratic all-pairs — from the bottom-k
+    MinHash bands. Output: every doc's cluster id (= min doc_id in
+    its component) and the keep/drop decision. The oracle computes
+    the identical closure with a recursive CTE — exact agreement
+    certifies the iterative fixpoint."""
+    from gostream_spark.functions.sketches import bottomk_sketch
+    from gostream_spark.operators.components import connected_components
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, n - 2),
+            F.zip_with(
+                F.slice(toks, 2, n - 2),
+                F.slice(toks, 3, n - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
+        )
+    )
+    with_sh = docs.filter(n >= 3).select("doc_id", shingles.alias("sh"))
+    m = bottomk_sketch(F.col("sh"), 8)
+    sig = with_sh.filter(F.size("sh") >= 8).select("doc_id", m.alias("m"))
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat(F.element_at("m", 2 * b + 1), F.element_at("m", 2 * b + 2))
+            ).alias(f"band{b}")
+            for b in range(4)
+        ],
+    )
+    stacked = bands.selectExpr(
+        "doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)",
+    )
+    hub = F.min("doc_id").over(Window.partitionBy("band_id", "band_hash"))
+    edges = (
+        stacked.withColumn("hub", hub)
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+    nodes = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(nodes, edges)
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        "cluster",
+        (F.col("id") == F.col("cluster")).alias("is_keeper"),
+    )

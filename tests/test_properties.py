@@ -307,3 +307,19 @@ def test_word_ngrams_short_doc_guard(spark):
         F.size(_word_ngrams(F.split("text", " "), 4)).alias("n")
     ).collect()
     assert sorted(r.n for r in out) == [0, 2]
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must close a LONG chain (label walks one
+    hop per iteration — the multi-iteration case) and leave islands
+    and singletons untouched."""
+    from gostream_spark.operators.components import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 13)], "id BIGINT")
+    chain = [(i, i + 1) for i in range(1, 9)]  # 1-2-...-9: diameter 8
+    island = [(10, 11)]
+    edges = spark.createDataFrame(chain + island, "src BIGINT, dst BIGINT")
+    got = {r.id: r.cluster for r in connected_components(nodes, edges).collect()}
+    assert all(got[i] == 1 for i in range(1, 10))
+    assert got[10] == got[11] == 10
+    assert got[12] == 12
