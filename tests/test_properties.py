@@ -323,3 +323,30 @@ def test_connected_components_chain_and_islands(spark):
     assert all(got[i] == 1 for i in range(1, 10))
     assert got[10] == got[11] == 10
     assert got[12] == 12
+
+
+def test_no_driver_side_antipatterns_in_package():
+    """Pin the engine-wide discipline the scale posture depends on:
+    no .collect()/.toPandas()/row-at-a-time @udf anywhere in package
+    code, and driver-side .count() only at the two audited sites
+    (BSP convergence check; tiny-dim-table count)."""
+    import os
+    import re
+
+    pkg = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "gostream_spark")
+    allowed_count_sites = {"operators/components.py", "queries/streaming_similarity.py"}
+    bad = []
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            src = open(path).read()
+            for pat in (r"\.collect\(\)", r"\.toPandas\(\)", r"^\s*@udf\b"):
+                if re.search(pat, src, re.M):
+                    bad.append((rel, pat))
+            if re.search(r"(?<!itertools)\.count\(\)", src) and rel not in allowed_count_sites:
+                bad.append((rel, ".count()"))
+    assert not bad, bad
