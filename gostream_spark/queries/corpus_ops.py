@@ -452,11 +452,21 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     grams = docs.select(
-        "doc_id", "source", F.explode(_word_ngrams(F.split("text", " "), 4)).alias("g")
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(_word_ngrams(F.split("text", " "), 4)).alias("g"),
     )
     bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    # Probe-side pruning: only docs that can reach the anti-join
+    # (lang-admitted, non-benchmark) need contamination ids — the
+    # filters push into the probe scan, so the gram explode runs on
+    # the admitted slice, not the whole corpus. Same final result.
+    probe = grams.filter(
+        (F.col("source") != "src0") & F.col("lang").isin("en", "de")
+    )
     contaminated = (
-        grams.join(F.broadcast(bench), "g").select("doc_id").distinct()
+        probe.join(F.broadcast(bench), "g").select("doc_id").distinct()
     )
 
     clean = qual.filter(F.col("source") != "src0").join(
