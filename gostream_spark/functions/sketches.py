@@ -8,6 +8,13 @@ md5 hex digits — deliberately: fixed-width lowercase hex strings
 compare identically in Spark and DuckDB, which is what makes the
 dedup family exactly oracle-checkable. Production at 100 TB would
 swap md5 for xxhash64 (cheaper, Spark-internal) with the same shapes.
+
+Public algorithm lineage: MinHash resemblance sketches (Broder, "On
+the resemblance and containment of documents", 1997), bottom-k/KMV
+single-permutation variant (Cohen & Kaplan 2007; Li & König's
+one-permutation hashing line), SimHash (Charikar, "Similarity
+estimation techniques from rounding algorithms", STOC 2002) as
+deployed for web near-dup detection in Manku et al., WWW 2007.
 """
 
 from __future__ import annotations

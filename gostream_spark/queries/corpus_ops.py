@@ -18,6 +18,13 @@ Scale shapes (the design constraint for every op here):
 - token budgets are a per-source cumulative-sum window; source
   cardinality is small (thousands), far below reducer count only in
   degenerate cases — skewed giant sources would salt by doc-range.
+
+Public lineage: repetition/quality gates follow the MassiveText
+rules (Rae et al., "Scaling Language Models: ... Gopher", 2021,
+§A1.1) and the C4 cleanup family (Raffel et al., 2020); benchmark
+n-gram decontamination follows the overlap procedures described for
+GPT-2/GPT-3 and The Pile (Radford et al. 2019; Brown et al. 2020,
+§4; Gao et al. 2020).
 """
 
 from __future__ import annotations
