@@ -16,7 +16,7 @@ collapses in the partial aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
@@ -211,4 +211,70 @@ def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id").alias("first_event"),
             ts_str("ts").alias("first_ts"),
         )
+    )
+
+
+# --- time-series resample + gap fill ------------------------------------
+
+_RESAMPLE_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, value
+  FROM events WHERE user_id < 20),
+hourly AS (
+  SELECT user_id, h, count(*) AS c,
+         CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS v
+  FROM base GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM base GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+j AS (
+  SELECT g.user_id, g.h, coalesce(c, 0) AS event_cnt, v
+  FROM grid g LEFT JOIN hourly USING (user_id, h))
+SELECT user_id, strftime(h, '{TS_FMT_DUCK}') AS hour, event_cnt,
+       coalesce(v, -1.0) AS val_sum,
+       last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_val
+FROM j
+"""
+
+
+@register("events_resample_gapfill", oracle=_RESAMPLE_ORACLE, tags=("T1", "W2", "ext"))
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill: per-user hourly grid from the
+    user's own first to last hour (sequence → explode, map-side),
+    left-joined with the hourly aggregates, empty hours zero-filled
+    and the last observed hourly value carried forward
+    (``last(ignorenulls)`` over a per-user running window).
+
+    Scale: the grid explode is map-side over the per-user bounds (one
+    row per user before the explode); the join and the fill window
+    both hash-partition on user_id — no global operation. The dense
+    grid is what downstream forecasting/feature jobs consume."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    base = ev.select("user_id", F.date_trunc("hour", "ts").alias("h"), "value")
+    hourly = base.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("v"),
+    )
+    bounds = base.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        ts_str("h").alias("hour"),
+        F.coalesce("c", F.lit(0)).alias("event_cnt"),
+        F.coalesce("v", F.lit(-1.0)).alias("val_sum"),
+        F.last("v", ignorenulls=True).over(w).alias("filled_val"),
     )

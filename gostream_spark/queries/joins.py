@@ -430,3 +430,60 @@ def join_stream_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.join(c, cond).select(
         "purchase_id", "click_id", F.col("p_user").alias("user_id")
     )
+
+
+# --- Q14-shaped promo revenue share (part ⋈ lineitem) -------------------
+
+_Q14_ORACLE = """
+WITH j AS (
+  SELECT p_type,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS dp
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01')
+SELECT CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN dp
+                           ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+         AS promo_revenue,
+       CAST(round(sum(dp), 2) AS DOUBLE) AS total_revenue,
+       CAST(round(10000 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN dp
+                                        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                        / CAST(sum(dp) AS DOUBLE), 2) AS DOUBLE)
+         AS promo_share_bp
+FROM j
+"""
+
+
+@register("join_promo_share", oracle=_Q14_ORACLE, tags=("J1", "ext"))
+def join_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo revenue share: one-month... here
+    one-year shipdate slice of lineitem joined to part, conditional
+    decimal aggregation, share as one double division of two exact
+    decimal sums (deterministic — no float fold anywhere).
+
+    Scale: the shipdate filter pushes to the lineitem scan; part is
+    the midsize dimension — Catalyst broadcasts it under the
+    threshold; past it, bucket both sides on the part key
+    (tests/test_bucketing.py demonstrates the exchange-free form) or
+    let AQE pick shuffle-hash. Exercises the last otherwise-unjoined
+    fixture table (part ⋈ fact)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = (dec2("l_extendedprice") * (1 - dec2("l_discount"))).cast("decimal(18,4)")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_type", dp.alias("dp")
+    )
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("dp")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    ))
+    total = F.sum("dp")
+    return j.agg(
+        F.round(promo, 2).cast("double").alias("promo_revenue"),
+        F.round(total, 2).cast("double").alias("total_revenue"),
+        F.round(10000 * promo.cast("double") / total.cast("double"), 2)
+        .cast("double")
+        .alias("promo_share_bp"),
+    )
