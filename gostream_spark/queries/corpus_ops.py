@@ -499,3 +499,37 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
     )
+
+
+# --- deterministic fixed-k sample per stratum ---------------------------
+
+_KSAMPLE_ORACLE = """
+SELECT source, doc_id, pos FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+  FROM documents)
+WHERE pos <= 5
+"""
+
+
+@register("sample_k_per_source", oracle=_KSAMPLE_ORACLE, tags=("L8", "W5", "ext"))
+def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size sample per stratum: exactly 5 docs per
+    source, chosen by ranking on the md5 of the doc id — a seedless,
+    engine-portable 'random' draw (same docs every run, every engine,
+    any partitioning; the property reservoir sampling has only
+    per-run). One shuffle on source; rank runs per-stratum. The
+    rate-based twin is `sample_stratified`; this is the eval-set /
+    human-review draw where the OUTPUT SIZE must be exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    from gostream_spark.operators import topk_per_group
+
+    ranked = topk_per_group(
+        docs.select("source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")),
+        5,
+        ["source"],
+        [F.col("hk"), F.col("doc_id")],
+        rank_col="pos",
+    )
+    return ranked.select("source", "doc_id", "pos")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
 from gostream_spark.io import load_table, spread_for_compute
-from gostream_spark.operators import topk_ranked
+from gostream_spark.operators import topk_per_group, topk_ranked
 from gostream_spark.registry import register
 
 # DuckDB twins of functions.dot_product / l2_norm (float64, in order).
@@ -581,4 +581,53 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("bucket_size").alias("min_bucket"),
             F.sum("bucket_size").alias("n_vectors"),
         )
+    )
+
+
+# --- L3/L4: batch k-NN join (query SET x corpus) ------------------------
+
+_KNN_JOIN_ORACLE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10)
+SELECT query_id, vec_id, cos, rn FROM (
+  SELECT q.query_id, c.vec_id,
+         round({_duck_cosine('c.embedding', 'q.qv')}, 6) AS cos,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY round({_duck_cosine('c.embedding', 'q.qv')}, 6) DESC,
+                    c.vec_id) AS rn
+  FROM c, q
+) WHERE rn <= 3
+"""
+
+
+@register("knn_join", oracle=_KNN_JOIN_ORACLE, tags=("L3", "L4", "ext"))
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L4 batch form: k-NN JOIN — top-3 corpus neighbors for EACH
+    of a query set (the retrieval-index build / dedup-against-seed
+    shape, vs `similarity_topk`'s single query). The query set
+    broadcasts (query batches are small relative to a 100 TB corpus);
+    the corpus is scanned ONCE, each row scored against all broadcast
+    queries map-side, and the per-query top-k reduces via
+    `topk_per_group` — one shuffle on query_id, never a corpus
+    self-join. Corpus-side growth is linear; query-side growth adds
+    map-side work only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= 10)
+        .crossJoin(q)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    return topk_per_group(
+        scored, 3, ["query_id"], [F.col("cos").desc(), F.col("vec_id")]
     )
