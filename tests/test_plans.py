@@ -200,3 +200,14 @@ def test_corpus_ops_scale_shapes(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "Window" in plan, name
         assert "SinglePartition" not in plan, name
+
+
+def test_knn_join_broadcasts_queries_no_smj(spark, sf_dir):
+    # The query set must broadcast (BroadcastNestedLoopJoin: map-side
+    # scoring of each corpus row against all broadcast queries); a
+    # SortMergeJoin or corpus-side self-join here would mean the
+    # corpus is being shuffled or squared — the 100 TB killer.
+    plan = _plan(spark, sf_dir, "knn_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # per-query top-k only

@@ -93,3 +93,15 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Right/full outer through a replicated build side would emit one
+    unmatched row PER REPLICA — the operator must refuse."""
+    import pytest
+
+    from gostream_spark.operators.skew import salted_join
+
+    df = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(df, df, "k", how="full_outer")
