@@ -156,3 +156,22 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# --- A8 ext: approx percentile (rows-only; exact twin = agg_percentile_spread)
+
+
+@register("agg_approx_percentile", oracle=None, tags=("A8", "ext"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ext: sketch-based percentile (Greenwald-Khanna via Spark's
+    approx_percentile) — the mergeable-sketch path that replaces the
+    exact sort-based percentile at 100 TB. Rows-only by design
+    (sketch internals are engine-specific; the A4 pattern): the EXACT
+    twin `agg_percentile_spread` is hash-checked, and the sketch's
+    rank-error guarantee (<= 1/accuracy) is asserted directly in
+    tests/test_rows_only.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p50_95_99"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -100,3 +100,37 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("v_nullif"),
     )
+
+
+# --- P6 ext: safe/try arithmetic ----------------------------------------
+
+_TRY_ORACLE = """
+SELECT event_id,
+       coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), -1) AS k_int,
+       coalesce(CASE WHEN (event_id % 7) = 0 THEN NULL
+                     ELSE round(CAST(value / (event_id % 7) AS DOUBLE), 4) END,
+                -1.0) AS safe_div,
+       (TRY_CAST('not a number' AS INTEGER) IS NULL) AS bad_cast_is_null
+FROM events WHERE event_id < 2000
+"""
+
+
+@register("safe_arithmetic", oracle=_TRY_ORACLE, tags=("P6", "ext"))
+def safe_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 ext: error-safe expressions — try_cast (malformed input →
+    NULL, not a task failure) and try_divide (÷0 → NULL). At 100 TB a
+    single dirty row must never kill a 10k-task stage; the try_*
+    family is the row-level quarantine that keeps ANSI mode ON for
+    everything else."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.k").try_cast("int"), F.lit(-1)
+        ).alias("k_int"),
+        F.coalesce(
+            F.round(F.try_divide("value", F.col("event_id") % 7), 4).cast("double"),
+            F.lit(-1.0),
+        ).alias("safe_div"),
+        F.lit("not a number").try_cast("int").isNull().alias("bad_cast_is_null"),
+    )

@@ -93,3 +93,26 @@ def test_lsh_buckets_group_similar_vectors(spark, sf_dir):
     )
     mates_mean = mates.agg(F.avg("cos")).collect()[0][0]
     assert mates_mean > global_mean
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """A8 ext: assert the sketch's ACTUAL guarantee — rank error. For
+    each estimate, the fraction of group rows <= estimate must bracket
+    the target quantile within epsilon (1/accuracy) plus the discrete
+    mass of the estimate's own value (value-space tolerance would
+    mis-test a sparse tail, where adjacent ranks are far apart)."""
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r.event_type: r.p50_95_99
+        for r in get_query("agg_approx_percentile").fn(spark, sf_dir).collect()
+    }
+    for etype, ests in approx.items():
+        vals = sorted(
+            r.value for r in ev.filter(F.col("event_type") == etype).select("value").collect()
+        )
+        n = len(vals)
+        for q, est in zip((0.5, 0.95, 0.99), ests):
+            below = sum(v < est for v in vals) / n
+            at_or_below = sum(v <= est for v in vals) / n
+            eps = 1.0 / 10000 + 1.0 / n
+            assert below - eps <= q <= at_or_below + eps, (etype, q, est, below, at_or_below)
