@@ -1,0 +1,53 @@
+"""Training-shard writer discipline: `corpus_shuffle_order` assigns
+(shard, pos); the writer must produce one directory per shard whose
+files hold rows in pos order — that file layout IS the reproducible
+training order contract (readers stream shard dirs in order, no
+shuffle, no sort at read time)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import uuid
+
+import duckdb
+
+from gostream_spark.registry import get_query
+
+TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
+
+
+def test_shard_write_produces_sorted_shard_files(spark, sf_dir):
+    order = get_query("corpus_shuffle_order").fn(spark, sf_dir)
+    out = os.path.join(TMP, f"shardwrite-{uuid.uuid4().hex[:8]}")
+    (
+        order.repartition("shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    try:
+        shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
+        assert len(shard_dirs) == 8
+        con = duckdb.connect()
+        total = 0
+        for d in shard_dirs:
+            files = glob.glob(os.path.join(d, "*.parquet"))
+            # repartition("shard") gives each shard to exactly one task
+            assert len(files) == 1, d
+            rows = con.execute(
+                f"SELECT pos FROM read_parquet('{files[0]}')"
+            ).fetchall()
+            poses = [r[0] for r in rows]
+            # file order IS pos order, and poses are the contiguous
+            # 1..N ranks the window assigned
+            assert poses == sorted(poses) == list(range(1, len(poses) + 1)), d
+            total += len(poses)
+        n_docs = con.execute(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchone()[0]
+        assert total == n_docs
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
