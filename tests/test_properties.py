@@ -350,3 +350,28 @@ def test_no_driver_side_antipatterns_in_package():
             if re.search(r"(?<!itertools)\.count\(\)", src) and rel not in allowed_count_sites:
                 bad.append((rel, ".count()"))
     assert not bad, bad
+
+
+def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
+    """The determinism discipline's end-to-end claim: rerunning a
+    query with a different shuffle-partition count (different partial
+    -aggregation order, different reducer assignment) must produce
+    IDENTICAL rows — pinned for a decimal-fold aggregate, a sketch
+    pipeline, and a rank-assigning window."""
+    from gostream_spark.registry import get_query
+
+    names = ("pricing_summary", "minhash_bottomk_bands", "corpus_shuffle_order")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run(name):
+        df = get_query(name).fn(spark, sf_dir)
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        base = {n: run(n) for n in names}
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        for n in names:
+            assert run(n) == base[n], n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
