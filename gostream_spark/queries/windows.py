@@ -454,3 +454,41 @@ def event_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_sec").cast("bigint").alias("min_gap_sec"),
         F.max("gap_sec").cast("bigint").alias("max_gap_sec"),
     )
+
+
+# --- W2 ext: SCD2-style validity intervals ------------------------------
+
+_SCD2_ORACLE = """
+SELECT user_id,
+       event_type AS state,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id),
+                         '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+         AS is_current
+FROM events
+WHERE user_id < 50
+"""
+
+
+@register("events_scd2_intervals", oracle=_SCD2_ORACLE, tags=("W2", "ext"))
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 ext: slowly-changing-dimension (type 2) interval build —
+    each event opens a validity interval that the user's NEXT event
+    closes (`lead` with a deterministic tie-break); the open interval
+    gets the sentinel end and an is_current flag. This event-log →
+    interval-table transform is how a warehouse derives point-in-time
+    join targets (pair with J7's as-of join to query them). One
+    shuffle on user_id; interval construction is a single pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        ts_str("ts").alias("valid_from"),
+        F.coalesce(ts_str(nxt), F.lit("9999-12-31 00:00:00")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
