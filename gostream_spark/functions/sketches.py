@@ -80,3 +80,27 @@ def bottomk_sketch(items: Column, k: int) -> Column:
         1,
         k,
     )
+
+
+def top_token_run_max(toks: Column) -> Column:
+    """Count of the most frequent element in a token array, computed
+    row-locally as a run-length maximum over the SORTED array with one
+    ``F.aggregate`` HOF — zero shuffles/explodes, works identically in
+    batch and streaming projections (the Gopher-style repetition
+    gates' core primitive)."""
+    srt = F.array_sort(toks)
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, t: Column) -> Column:
+        run = F.when(t == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            t.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    return F.aggregate(srt, init, step, lambda acc: acc.getField("best"))

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from gostream_spark.functions.sketches import top_token_run_max
 from gostream_spark.io import load_table
 from gostream_spark.registry import register
 
@@ -136,24 +137,7 @@ def quality_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     way (unnest → two aggregates); agreement certifies the HOF."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    srt = F.array_sort(toks)
-    init = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).alias("run"),
-        F.lit(0).alias("best"),
-    )
-
-    def step(acc: Column, t: Column) -> Column:
-        run = F.when(t == acc.getField("prev"), acc.getField("run") + 1).otherwise(
-            F.lit(1)
-        )
-        return F.struct(
-            t.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc.getField("best"), run).alias("best"),
-        )
-
-    maxc = F.aggregate(srt, init, step, lambda acc: acc.getField("best"))
+    maxc = top_token_run_max(toks)
     base = docs.select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
@@ -427,22 +411,7 @@ def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     to broadcast by construction."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
-    srt = F.array_sort(toks)
-    init = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
-
-    def step(acc: Column, t: Column) -> Column:
-        run = F.when(t == acc.getField("prev"), acc.getField("run") + 1).otherwise(
-            F.lit(1)
-        )
-        return F.struct(
-            t.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc.getField("best"), run).alias("best"),
-        )
-
-    maxc = F.aggregate(srt, init, step, lambda acc: acc.getField("best"))
+    maxc = top_token_run_max(toks)
     base = docs.select(
         "doc_id",
         "source",

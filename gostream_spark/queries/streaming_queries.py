@@ -261,3 +261,58 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str("w.end").alias("session_end"),
         "event_cnt",
     )
+
+
+# --- L8 streaming: corpus quality gate on a document stream -------------
+
+_STREAM_QUALITY_ORACLE = """
+WITH tok AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tk
+             FROM documents),
+cnt AS (SELECT doc_id, source, tk, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+agg AS (SELECT doc_id, source, max(c) AS maxc, sum(c) AS n,
+               count(*) AS ndist
+        FROM cnt GROUP BY 1, 2)
+SELECT source,
+       (10000 * maxc // n <= 2000 AND 10000 * ndist // n >= 4000)
+         AS quality_pass,
+       count(*) AS doc_cnt,
+       CAST(sum(n) AS BIGINT) AS token_cnt
+FROM agg GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_corpus_quality",
+    oracle=_STREAM_QUALITY_ORACLE,
+    tags=("S2", "L8", "T7", "ext"),
+)
+def streaming_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming L8: the corpus quality gate as a STREAM job — the
+    shape of continuous ingest curation (crawl lands as files, the
+    gate classifies as they arrive). The repetition stats are the
+    same row-local HOF the batch gate uses (`top_token_run_max` —
+    stateless, so the streaming plan needs no state store for them);
+    only the per-(source, verdict) count is a stateful aggregate.
+    Complete-mode memory sink + availableNow makes it exactly
+    comparable to the batch oracle."""
+    from gostream_spark.functions.sketches import top_token_run_max
+
+    docs = file_stream(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    gated = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        top_token_run_max(toks).cast("long").alias("maxc"),
+        F.size(F.array_distinct(toks)).cast("long").alias("ndist"),
+    ).select(
+        "source",
+        "n_tokens",
+        F.expr(
+            "10000 * maxc div n_tokens <= 2000 AND 10000 * ndist div n_tokens >= 4000"
+        ).alias("quality_pass"),
+    )
+    agg = gated.groupBy("source", "quality_pass").agg(
+        F.count(F.lit(1)).alias("doc_cnt"),
+        F.sum("n_tokens").cast("bigint").alias("token_cnt"),
+    )
+    return run_available_now(agg, output_mode="complete")
