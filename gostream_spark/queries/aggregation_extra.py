@@ -175,3 +175,41 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p50_95_99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- A7 ext: GROUPING() disambiguation ----------------------------------
+
+_GROUPING_ID_ORACLE = """
+SELECT coalesce(o_orderstatus, '(data-null)') AS status,
+       coalesce(o_orderpriority, '(data-null)') AS priority,
+       CAST(grouping(o_orderstatus) AS BIGINT) AS status_rolled,
+       CAST(grouping(o_orderpriority) AS BIGINT) AS priority_rolled,
+       count(*) AS order_cnt
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+@register("agg_rollup_grouping_id", oracle=_GROUPING_ID_ORACLE, tags=("A7", "ext"))
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 ext: GROUPING() disambiguation — in a rollup, a NULL key can
+    mean 'the subtotal row' OR 'the data really was NULL'; grouping()
+    is the bit that tells them apart (the correctness detail naive
+    rollup consumers get wrong). Identical GROUP BY ROLLUP text runs
+    on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("long").alias("status_rolled"),
+            F.grouping("o_orderpriority").cast("long").alias("priority_rolled"),
+            F.count(F.lit(1)).alias("order_cnt"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(data-null)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(data-null)")).alias("priority"),
+            "status_rolled",
+            "priority_rolled",
+            "order_cnt",
+        )
+    )

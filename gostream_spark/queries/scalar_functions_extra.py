@@ -322,3 +322,35 @@ def calendar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_95"),
     )
+
+
+# --- F5 ext: array predicate HOFs (exists / forall / position) ----------
+
+_ARRAY_PRED_ORACLE = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+       len(list_filter(toks, x -> len(x) > 6)) = 0 AS all_short,
+       CAST(list_position(toks, 'the') AS BIGINT) AS first_the_pos,
+       CAST(len(list_filter(toks, x -> x LIKE 's%')) AS BIGINT) AS s_tokens
+FROM t
+"""
+
+
+@register("array_predicates", oracle=_ARRAY_PRED_ORACLE, tags=("F5", "ext"))
+def array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 ext: the predicate HOF family — exists / forall /
+    array_position / filter-count. All row-local JVM lambdas (no
+    explode, no Python); DuckDB expresses the same predicates through
+    list_filter/list_position, so agreement checks the lambda
+    semantics themselves (including position's 1-based/0-for-absent
+    convention)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.exists(toks, lambda x: x == "the").alias("has_the"),
+        F.forall(toks, lambda x: F.length(x) <= 6).alias("all_short"),
+        F.array_position(toks, "the").cast("long").alias("first_the_pos"),
+        F.size(F.filter(toks, lambda x: x.startswith("s"))).cast("long").alias("s_tokens"),
+    )
