@@ -213,3 +213,38 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_cnt",
         )
     )
+
+
+# --- part price-band stats (covers p_retailprice) -----------------------
+
+_PART_BANDS_ORACLE = """
+SELECT p_brand,
+       CASE WHEN p_retailprice < 1000 THEN 'budget'
+            WHEN p_retailprice < 1500 THEN 'mid' ELSE 'premium' END AS band,
+       count(*) AS n_parts,
+       CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_price,
+       CAST(min(p_size) AS INTEGER) AS min_size,
+       CAST(max(p_size) AS INTEGER) AS max_size
+FROM part GROUP BY 1, 2
+"""
+
+
+@register("part_price_bands", oracle=_PART_BANDS_ORACLE, tags=("A1", "P5", "ext"))
+def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension profiling: price-band segmentation of the part table
+    (CASE banding + decimal totals per brand/band) — the
+    select-and-describe pass a mix designer runs before choosing join
+    filters. Map-side banding, one partial→final aggregate."""
+    part = load_table(spark, sf_dir, "part")
+    band = (
+        F.when(F.col("p_retailprice") < 1000, "budget")
+        .when(F.col("p_retailprice") < 1500, "mid")
+        .otherwise("premium")
+    )
+    return part.groupBy("p_brand", band.alias("band")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum(dec2("p_retailprice")), 2).cast("double").alias("total_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+    )

@@ -487,3 +487,57 @@ def join_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("promo_share_bp"),
     )
+
+
+# --- supplier revenue ranking (covers the supplier dim end to end) ------
+
+_SUPP_REV_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+           AS revenue
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, n_name,
+       CAST(round(CAST(s_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal,
+       revenue, rn
+FROM (
+  SELECT s.s_suppkey, s.s_name, n.n_name, s.s_acctbal, rev.revenue,
+         row_number() OVER (ORDER BY rev.revenue DESC, s.s_suppkey) AS rn
+  FROM rev
+  JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey)
+WHERE rn <= 10
+"""
+
+
+@register("supplier_revenue_top", oracle=_SUPP_REV_ORACLE, tags=("J8", "W4", "ext"))
+def supplier_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 suppliers by lineitem revenue with nation context — the
+    fact side aggregates FIRST (one shuffle on l_suppkey collapses
+    600k rows to 100 supplier rows), THEN joins the broadcast
+    supplier/nation dims, then TakeOrdered ranks the 100. Aggregating
+    below the join is the order-of-operations rule that keeps the
+    join input dimension-sized at 100 TB."""
+    from gostream_spark.operators import topk_ranked
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount"))), 2)
+        .cast("double")
+        .alias("revenue")
+    )
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = (
+        rev.join(supp, rev.l_suppkey == supp.s_suppkey)
+        .join(nation, supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            F.round(dec2("s_acctbal"), 2).cast("double").alias("acctbal"),
+            "revenue",
+        )
+    )
+    return topk_ranked(joined, 10, F.col("revenue").desc(), F.col("s_suppkey"))

@@ -375,3 +375,26 @@ def test_results_invariant_under_shuffle_partitioning(spark, sf_dir):
             assert run(n) == base[n], n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_results_invariant_under_aqe_toggle(spark, sf_dir):
+    """AQE re-plans at runtime (coalescing, join-strategy switches,
+    skew splits) — none of which may change RESULTS. Pinned for a
+    broadcast-join star, a salted skew join, and a windowed rank."""
+    from gostream_spark.registry import get_query
+
+    names = ("join_star_revenue", "skew_salted_join", "topk_per_group")
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+
+    def run(name):
+        df = get_query(name).fn(spark, sf_dir)
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        base = {n: run(n) for n in names}
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        for n in names:
+            assert run(n) == base[n], n
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
