@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
-from gostream_spark.parity import dec2, dec4, exact_avg, money_sum
+from gostream_spark.parity import dec2, exact_avg, money_sum
 from gostream_spark.registry import register
 
 _CUTOFF = "1998-09-02 00:00:00"
