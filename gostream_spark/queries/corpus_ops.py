@@ -502,3 +502,86 @@ def sample_k_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_col="pos",
     )
     return ranked.select("source", "doc_id", "pos")
+
+
+# --- temperature-flattened source rebalancing ---------------------------
+
+_HV4 = (
+    "(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '@' || source), 1, 1)) - 1) * 4096"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '@' || source), 2, 1)) - 1) * 256"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '@' || source), 3, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) || '@' || source), 4, 1)) - 1)"
+)
+
+_REBALANCE_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+  FROM documents),
+stats AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+          FROM sized GROUP BY source),
+lo AS (SELECT min(src_tokens) AS tmin FROM stats),
+rates AS (SELECT source, src_tokens,
+                 10000 * tmin // src_tokens AS rate_bp
+          FROM stats, lo),
+hashed AS (
+  SELECT s.doc_id, s.source, s.n_tokens, r.rate_bp, r.src_tokens,
+         {_HV4} AS hv
+  FROM sized s JOIN rates r USING (source))
+SELECT source,
+       CAST(max(rate_bp) AS BIGINT) AS rate_bp,
+       CAST(max(src_tokens) AS BIGINT) AS src_tokens,
+       count(*) FILTER (hv < rate_bp * 65536 // 10000) AS kept_docs,
+       CAST(coalesce(sum(n_tokens) FILTER (hv < rate_bp * 65536 // 10000), 0)
+            AS BIGINT) AS kept_tokens
+FROM hashed GROUP BY source
+"""
+
+
+@register("sample_temperature_rebalance", oracle=_REBALANCE_ORACLE, tags=("L8", "ext"))
+def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source rebalancing: per-source keep rate
+    ∝ tmin/src_tokens (integer basis points — the α→0 flattening that
+    upweights small sources in a training mix), applied as a
+    deterministic 16-bit md5 threshold per doc. Two passes: a
+    stats aggregate derives the DATA-DRIVEN rates (unlike
+    `sample_stratified`'s fixed rates), which broadcast back onto the
+    corpus for a row-local filter. Everything is integer arithmetic —
+    rate_bp, the 16-bit hash value, and the scaled threshold — so the
+    sample is bit-reproducible on any engine, any partitioning.
+
+    100 TB: pass 1 is one partial→final aggregate to source
+    cardinality; the rates table is tiny and broadcasts; pass 2 is
+    the corpus scan with a row-local predicate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    stats = sized.groupBy("source").agg(F.sum("n_tokens").alias("src_tokens"))
+    tmin = stats.agg(F.min("src_tokens").alias("tmin"))
+    rates = stats.crossJoin(F.broadcast(tmin)).select(
+        "source",
+        "src_tokens",
+        F.expr("10000 * tmin div src_tokens").alias("rate_bp"),
+    )
+    hexpos = lambda p, w: (
+        F.instr(
+            F.lit(_HEXDIGITS),
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("@"), F.col("source"))),
+                p,
+                1,
+            ),
+        )
+        - 1
+    ) * w
+    hv = hexpos(1, 4096) + hexpos(2, 256) + hexpos(3, 16) + hexpos(4, 1)
+    hashed = sized.join(F.broadcast(rates), "source").withColumn("hv", hv)
+    kept = F.col("hv") < F.expr("rate_bp * 65536 div 10000")
+    return hashed.groupBy("source").agg(
+        F.max("rate_bp").cast("long").alias("rate_bp"),
+        F.max("src_tokens").cast("long").alias("src_tokens"),
+        F.count(F.when(kept, 1)).alias("kept_docs"),
+        F.coalesce(F.sum(F.when(kept, F.col("n_tokens"))), F.lit(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
