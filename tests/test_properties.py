@@ -398,3 +398,48 @@ def test_results_invariant_under_aqe_toggle(spark, sf_dir):
             assert run(n) == base[n], n
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_asof_join_matches_pure_python_reference(spark, seed):
+    """J7 operator property: on random (key, ts, kind) data the
+    windowed as-of must attach exactly the latest build row at-or-
+    before each probe row — checked against an O(n^2) pure-Python
+    reference."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.operators import asof_join
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(120):
+        rows.append(
+            (i, rng.randrange(5), rng.randrange(1000),
+             "probe" if rng.random() < 0.5 else "build")
+        )
+    df = spark.createDataFrame(rows, "rid BIGINT, k BIGINT, t BIGINT, kind STRING")
+    out = asof_join(
+        df,
+        key="k",
+        ts="t",
+        probe_filter=F.col("kind") == "probe",
+        build_filter=F.col("kind") == "build",
+        carry=["rid"],
+    )
+    got = {r.rid: r.asof_rid for r in out.collect()}
+
+    expect = {}
+    for rid, k, t, kind in rows:
+        if kind != "probe":
+            continue
+        # reference mirrors the operator's documented tie rule: the
+        # window orders by (ts, carry), so a build row is visible iff
+        # (t2, rid2) <= (t, rid) lexicographically; latest such wins
+        cands = [(t2, r2) for (r2, k2, t2, kd2) in rows
+                 if kd2 == "build" and k2 == k and (t2, r2) <= (t, rid)]
+        expect[rid] = max(cands)[1] if cands else None
+    assert got == expect
