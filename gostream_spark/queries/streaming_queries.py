@@ -316,3 +316,34 @@ def streaming_corpus_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("token_cnt"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+# --- S1/S2 ext: JSON-lines file STREAM source ---------------------------
+
+
+@register(
+    "streaming_jsonl_source",
+    oracle=_SINK_ORACLE,
+    tags=("S1", "S2", "T7", "ext"),
+)
+def streaming_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ext: streaming ingest from JSON-lines files — the
+    crawl-delivery format read as a STREAM (explicit schema; no
+    inference pass, which a file stream cannot do anyway). The event
+    subset is staged to .tmp as JSONL once per run, then consumed via
+    readStream.json → per-type counts → complete-mode memory sink;
+    equals the batch aggregate over the same rows."""
+    import os
+
+    from gostream_spark.queries.sources_sinks import _roundtrip_dir
+
+    path = _roundtrip_dir(sf_dir, "streamjson")
+    subset = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    subset.write.mode("overwrite").json(path)
+    sdf = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", 4)
+        .json(path)
+    )
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("event_cnt"))
+    return run_available_now(agg, output_mode="complete")
