@@ -32,21 +32,38 @@ def _hexval(tok: Column, p: int) -> Column:
     ).cast("double")
 
 
-def simhash_expr(toks: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint of a token array: bit p is the sign of the
-    sum over tokens of (md5-hex-digit_p - 7.5). Similar token sets
-    produce nearby fingerprints (small Hamming distance) — the
-    property the dedup bucketing and the monotonicity property test
-    both rely on. One row-local pass; the caller shuffles on the
-    resulting integer."""
+def simhash_from_md5s(md5s: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint from a PRE-HASHED md5-hex array: bit p is
+    the sign of the sum over tokens of (hex-digit_p - 7.5). Callers
+    should materialize ``F.transform(toks, F.md5)`` in a SEPARATE
+    projection and pass the column here: CollapseProject refuses to
+    merge a non-cheap alias referenced ``bits`` times, so the md5
+    runs ONCE per token instead of once per (token, bit) — 16× less
+    hash work, measured ~25% faster end-to-end at sf0.1 and the
+    dominant cost at corpus scale."""
+
+    def hexval(h: Column, p: int) -> Column:
+        return (
+            F.instr(F.lit(_HEXDIGITS), F.substring(h, p + 1, 1)) - 1
+        ).cast("double")
 
     def bit(p: int) -> Column:
         signed_sum = F.aggregate(
-            toks, F.lit(0.0), lambda acc, t: acc + (_hexval(t, p) - 7.5)
+            md5s, F.lit(0.0), lambda acc, h: acc + (hexval(h, p) - 7.5)
         )
         return (signed_sum > 0).cast("int")
 
     return sum([bit(p) * F.lit(2**p) for p in range(bits)], F.lit(0))
+
+
+def simhash_expr(toks: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint of a token array (single-expression form —
+    convenient for tests/small data; the md5 inlines into every bit
+    term, so hot paths should materialize the hash array and use
+    ``simhash_from_md5s``). Similar token sets produce nearby
+    fingerprints (small Hamming distance) — the property the dedup
+    bucketing and the monotonicity property test both rely on."""
+    return simhash_from_md5s(F.transform(toks, lambda t: F.md5(t)), bits)
 
 
 def minhash_khash_sig(items: Column, k: int) -> Column:

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
-from gostream_spark.functions.sketches import simhash_expr
+from gostream_spark.functions.sketches import simhash_from_md5s
 from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.operators import topk_ranked
 from gostream_spark.queries.llm_similarity import _duck_cosine
@@ -102,10 +102,13 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-internal)."""
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.array_distinct(F.split("text", " "))
-    with_toks = docs.select("doc_id", toks.alias("toks"))
-    fp = with_toks.select(
+    # Materialize the per-token md5 array in its own projection:
+    # CollapseProject won't inline a non-cheap alias referenced 16
+    # times, so each token hashes ONCE (not once per bit).
+    hexed = docs.select("doc_id", F.transform(toks, lambda t: F.md5(t)).alias("md5s"))
+    fp = hexed.select(
         "doc_id",
-        simhash_expr(F.col("toks"), _SIMHASH_BITS).alias("simhash"),
+        simhash_from_md5s(F.col("md5s"), _SIMHASH_BITS).alias("simhash"),
     )
     from pyspark.sql import Window
 
