@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Driver-contract sweep: run EVERY registered query on Spark and its
+DuckDB oracle side by side, compare stringified sorted rows, and
+report failures. This is the one-command local replica of the
+driver's correctness gate (the stricter exact form lives in
+tests/parity.py; this one mirrors the recipe in
+.claude/skills/verify/SKILL.md).
+
+    python tools/sweep.py                 # sf0.01 (the driver's gate scale)
+    python tools/sweep.py --sf 0.1        # 10x stress sweep
+    python tools/sweep.py --only a,b,c    # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="0.01")
+    ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument("--root", default="/root/testdata")
+    args = ap.parse_args()
+    sf_dir = f"{args.root}/sf{args.sf}"
+
+    from pyspark.sql import SparkSession
+
+    from gostream_spark import registry
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    qs, oracles = registry.queries(), registry.oracle_sql()
+    if args.only:
+        keep = set(args.only.split(","))
+        qs = {n: f for n, f in qs.items() if n in keep}
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    bad, n_exact, n_rows = [], 0, 0
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            got = sorted(
+                tuple(str(v) for v in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            )
+            if name in oracles:
+                ddf = con.execute(oracles[name]).fetchdf()
+                want = sorted(
+                    tuple(str(v) for v in row)
+                    for row in ddf[sorted(ddf.columns)].itertuples(index=False)
+                )
+                n_exact += 1
+                if got != want:
+                    bad.append(name)
+                    print(f"FAIL {name}: spark={len(got)} rows, oracle={len(want)} rows")
+            else:
+                n_rows += 1
+                if not got:
+                    bad.append(f"{name} (empty rows-only)")
+        except Exception as e:  # surface, keep sweeping
+            bad.append(f"{name} ({type(e).__name__})")
+            print(f"ERROR {name}: {e}")
+    print(
+        f"sweep sf{args.sf}: {n_exact} exact-checked, {n_rows} rows-only, "
+        f"FAILURES: {bad or 'none'}"
+    )
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
