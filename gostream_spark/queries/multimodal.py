@@ -112,3 +112,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "duration_ms",
         F.explode("frames").alias("frame_no"),
     ).withColumn("frame_ts_ms", (F.col("frame_no") * 40).cast("long"))
+
+
+_L9_RESIZE_ORACLE = """
+WITH dims AS (
+  SELECT doc_id,
+         320 + doc_id % 1024 AS w,
+         240 + (doc_id * 7) % 768 AS h
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(CASE WHEN w >= h THEN 224 ELSE greatest(1, w * 224 // h) END AS BIGINT)
+         AS out_w,
+       CAST(CASE WHEN w >= h THEN greatest(1, h * 224 // w) ELSE 224 END AS BIGINT)
+         AS out_h,
+       (w * 224 // greatest(w, h)) * (h * 224 // greatest(w, h)) * 3
+         AS out_bytes_rgb
+FROM dims
+"""
+
+
+@register("multimodal_resize_plan", oracle=_L9_RESIZE_ORACLE, tags=("L9", "ext"))
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 ext: resize planning — aspect-preserving max-side-224 output
+    geometry and decoded-buffer budget per image, as pure integer
+    arithmetic over metadata (dims modeled from doc_id; a real table
+    carries them in the meta struct). Like frame sampling, geometry
+    planning runs BEFORE any pixel touch: the budget column is what a
+    batch scheduler packs Arrow batches by, so the decode stage
+    (`operators/multimodal.decode_features` plumbing) never overflows
+    worker memory on mixed-resolution corpora. Row-local, zero
+    shuffle, no codec dependency."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (320 + F.col("doc_id") % 1024).cast("long")
+    h = (240 + (F.col("doc_id") * 7) % 768).cast("long")
+    dims = docs.select("doc_id", w.alias("w"), h.alias("h"))
+    out_w = (
+        F.when(F.col("w") >= F.col("h"), F.lit(224).cast("long"))
+        .otherwise(F.greatest(F.lit(1).cast("long"), F.expr("w * 224 div h")))
+    )
+    out_h = (
+        F.when(F.col("w") >= F.col("h"), F.greatest(F.lit(1).cast("long"), F.expr("h * 224 div w")))
+        .otherwise(F.lit(224).cast("long"))
+    )
+    return dims.select(
+        "doc_id",
+        "w",
+        "h",
+        out_w.alias("out_w"),
+        out_h.alias("out_h"),
+        (
+            F.expr("w * 224 div greatest(w, h)")
+            * F.expr("h * 224 div greatest(w, h)")
+            * 3
+        ).alias("out_bytes_rgb"),
+    )
