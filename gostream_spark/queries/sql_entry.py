@@ -55,3 +55,33 @@ def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     scans) as the DataFrame API."""
     register_views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql(_SQL_SPARK)
+
+
+# --- E2: dialect-neutral analytics over the corpus tables ---------------
+
+# ONE SQL text, executed verbatim by BOTH engines (Spark SQL runs it,
+# DuckDB runs the identical string as the oracle) — the strongest form
+# of the E2 contract: not just same results, same QUERY.
+_PROFILE_SQL = """
+SELECT source,
+       lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CASE WHEN count(*) >= 30 THEN 'major' ELSE 'minor' END AS tier
+FROM documents
+GROUP BY source, lang
+HAVING count(*) > 1
+"""
+
+
+@register("sql_corpus_profile", oracle=_PROFILE_SQL, tags=("E2", "A5", "ext"))
+def sql_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 ext: corpus profile through the SQL entry point with a
+    DIALECT-NEUTRAL statement — the identical text is what the DuckDB
+    oracle executes, so the check covers the SQL surface itself
+    (grouping, HAVING, CASE tiers), not just the result values.
+    Integer aggregates only; no float, no dialect functions."""
+    register_views(spark, sf_dir, "documents")
+    return spark.sql(_PROFILE_SQL)
