@@ -443,3 +443,41 @@ def test_asof_join_matches_pure_python_reference(spark, seed):
                  if kd2 == "build" and k2 == k and (t2, r2) <= (t, rid)]
         expect[rid] = max(cands)[1] if cands else None
     assert got == expect
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_token_budget_matches_sequential_reference(spark, seed):
+    """Budget-admission property: the windowed cumulative-sum filter
+    must admit exactly the docs a sequential per-source scan admits
+    (same order, same <= boundary), on random doc sizes — including
+    the doc that lands exactly ON the budget."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    budget = 100
+    rows = []
+    for i in range(200):
+        # sizes chosen so exact-boundary hits are common
+        rows.append((i, f"s{rng.randrange(6)}", rng.choice([10, 20, 25, 50])))
+    df = spark.createDataFrame(rows, "doc_id BIGINT, source STRING, n BIGINT")
+    w = (
+        Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    got = sorted(
+        r.doc_id
+        for r in df.withColumn("cum", F.sum("n").over(w))
+        .filter(F.col("cum") <= budget)
+        .collect()
+    )
+    expect, cum = [], {}
+    for doc_id, src, n in rows:  # rows are already doc_id-ordered
+        cum[src] = cum.get(src, 0) + n
+        if cum[src] <= budget:
+            expect.append(doc_id)
+    assert got == sorted(expect)
