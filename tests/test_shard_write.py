@@ -29,8 +29,9 @@ def test_shard_write_produces_sorted_shard_files(spark, sf_dir):
         .parquet(out)
     )
     try:
+        n_shards = order.select("shard").distinct().count()
         shard_dirs = sorted(glob.glob(os.path.join(out, "shard=*")))
-        assert len(shard_dirs) == 8
+        assert len(shard_dirs) == n_shards
         con = duckdb.connect()
         total = 0
         for d in shard_dirs:
