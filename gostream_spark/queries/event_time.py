@@ -123,6 +123,13 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T3 session window --------------------------------------------------
 
+# Boundary caveat (pinned by tests/test_properties.py::
+# test_session_window_matches_gap_sessionizer): Spark merges an event
+# landing EXACTLY gap after the previous one; this oracle's
+# `ts >= prev_ts + gap → new session` disagrees on that knife-edge.
+# Safe here because fixture timestamps carry microseconds (an exact
+# 30:00.000000 gap never occurs); data quantized to the gap unit
+# would need `>` in the oracle.
 _T3_ORACLE = f"""
 WITH ordered AS (
   SELECT user_id, ts, event_id,

@@ -481,3 +481,51 @@ def test_token_budget_matches_sequential_reference(spark, seed):
         if cum[src] <= budget:
             expect.append(doc_id)
     assert got == sorted(expect)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_session_window_matches_gap_sessionizer(spark, seed):
+    """T3 semantics fuzz: Spark's session_window must produce exactly
+    the sessions a sequential 30-unit-gap scanner produces on random
+    event times — session start = first event, end = last event + gap,
+    count = events in session. Boundary semantic (discovered by this
+    fuzz, invisible in the microsecond-timestamped fixtures): an event
+    EXACTLY gap after the previous one still merges — the scanner must
+    use diff > gap, not >=, to open a session."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.operators import session_windowed
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    rows = []
+    for uid in range(4):
+        t = 0
+        for _ in range(40):
+            t += rng.choice([1, 5, 29, 30, 31, 90])  # straddle the gap
+            rows.append((uid, base + timedelta(minutes=t)))
+    df = spark.createDataFrame(rows, "user_id BIGINT, ts TIMESTAMP")
+    out = session_windowed(
+        df, "ts", "30 minutes", keys=("user_id",),
+        aggs=(F.count(F.lit(1)).alias("n"),),
+    ).select("user_id", "w.start", "w.end", "n").collect()
+    got = sorted((r.user_id, r.start, r.end, r.n) for r in out)
+
+    expect = []
+    gap = timedelta(minutes=30)
+    for uid in range(4):
+        times = sorted(t for (u, t) in rows if u == uid)
+        start, last, n = times[0], times[0], 1
+        for t in times[1:]:
+            if t - last <= gap:
+                last, n = t, n + 1
+            else:
+                expect.append((uid, start, last + gap, n))
+                start, last, n = t, t, 1
+        expect.append((uid, start, last + gap, n))
+    assert got == sorted(expect)
