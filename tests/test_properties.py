@@ -529,3 +529,61 @@ def test_session_window_matches_gap_sessionizer(spark, seed):
                 start, last, n = t, t, 1
         expect.append((uid, start, last + gap, n))
     assert got == sorted(expect)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_tumbling_window_bucket_boundaries(spark, seed):
+    """T1 semantics fuzz: events landing EXACTLY on a window boundary
+    must go to the bucket they start (start-inclusive, end-exclusive)
+    — checked against epoch-floor bucketing on random times that
+    frequently hit exact hour marks."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.operators import tumbling_windowed
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=rng.choice([0, 59, 60, 61, 119, 120, 121])
+                             + 180 * rng.randrange(8)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP")
+    out = tumbling_windowed(
+        df, "ts", "1 hour", aggs=(F.count(F.lit(1)).alias("n"),)
+    ).select("w.start", "n").collect()
+    got = sorted((r.start, r.n) for r in out)
+
+    buckets = {}
+    for _i, t in rows:
+        epoch = int(t.timestamp())
+        start = datetime.utcfromtimestamp(epoch - epoch % 3600)
+        buckets[start] = buckets.get(start, 0) + 1
+    assert got == sorted(buckets.items())
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_topk_ranked_total_order_with_duplicate_keys(spark, seed):
+    """W4 tie fuzz: with HEAVY duplication in the primary sort value,
+    topk_ranked under a (value, id) total order must return exactly
+    python's sorted()[:k] with 1..k ranks."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.operators import topk_ranked
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(5)) for i in range(300)]  # ~60 ties/value
+    df = spark.createDataFrame(rows, "id BIGINT, v BIGINT")
+    out = topk_ranked(df, 10, F.col("v").desc(), F.col("id").asc()).collect()
+    got = [(r.v, r.id, r.rn) for r in sorted(out, key=lambda r: r.rn)]
+    expect = sorted(rows, key=lambda t: (-t[1], t[0]))[:10]
+    assert got == [(v, i, rank + 1) for rank, (i, v) in enumerate(expect)]
