@@ -91,9 +91,16 @@ def bottomk_sketch(items: Column, k: int) -> Column:
     Jaccard(A, B) ≈ |bottomk(A ∪ B) ∩ bottomk(A) ∩ bottomk(B)| / k,
     where bottomk(A ∪ B) is computable from the two sketches alone
     (merge + re-take k smallest) — the reason the sketch composes
-    distributively at 100 TB."""
+    distributively at 100 TB. Hashes are deduped before the take so
+    the KMV merge law holds on MULTISET inputs too (pinned by
+    tests/test_properties.py::test_bottomk_sketch_merges_distributively);
+    callers passing already-distinct shingles are unaffected."""
     return F.slice(
-        F.array_sort(F.transform(items, lambda s: F.substring(F.md5(s), 1, 15))),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(items, lambda s: F.substring(F.md5(s), 1, 15))
+            )
+        ),
         1,
         k,
     )

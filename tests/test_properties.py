@@ -587,3 +587,81 @@ def test_topk_ranked_total_order_with_duplicate_keys(spark, seed):
     got = [(r.v, r.id, r.rn) for r in sorted(out, key=lambda r: r.rn)]
     expect = sorted(rows, key=lambda t: (-t[1], t[0]))[:10]
     assert got == [(v, i, rank + 1) for rank, (i, v) in enumerate(expect)]
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_salted_agg_equals_direct_agg(spark, seed):
+    """Skew fuzz: two-phase salted aggregation must equal the direct
+    group-by exactly (decimal sums, counts) on random 90%-one-key
+    data."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.operators.skew import salted_agg
+
+    rng = random.Random(seed)
+    rows = [(0 if rng.random() < 0.9 else rng.randrange(1, 8), rng.randrange(1000))
+            for _ in range(2000)]
+    df = spark.createDataFrame(rows, "k BIGINT, v BIGINT")
+    salted = salted_agg(
+        df, keys=["k"],
+        partial_aggs=[F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")],
+        final_aggs=[F.sum("s").alias("s"), F.sum("c").alias("c")],
+    )
+    got = {(r.k): (r.s, r.c) for r in salted.collect()}
+    expect = {}
+    for k, v in rows:
+        s, c = expect.get(k, (0, 0))
+        expect[k] = (s + v, c + 1)
+    assert got == expect
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_keep_first_deterministic_under_duplicates(spark, seed):
+    """L1 fuzz: keep_first must keep exactly the order_by-minimal row
+    per key regardless of input order or partitioning."""
+    import random
+
+    from gostream_spark.operators import keep_first
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(20), rng.randrange(100)) for i in range(300)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "rid BIGINT, key BIGINT, ord BIGINT").repartition(7)
+    got = {r.key: (r.ord, r.rid) for r in keep_first(df, keys=["key"], order_by=["ord", "rid"]).collect()}
+    expect = {}
+    for rid, key, ordv in rows:
+        if key not in expect or (ordv, rid) < expect[key]:
+            expect[key] = (ordv, rid)
+    assert got == expect
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_bottomk_sketch_merges_distributively(spark, seed):
+    """The docstring's scale claim, pinned: bottomk(A ∪ B) must be
+    computable from the two sketches alone (merge + re-take k
+    smallest) — i.e. sketch(union) == take_k(sorted(set(sk_a) ∪
+    set(sk_b)))."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.functions.sketches import bottomk_sketch
+
+    rng = random.Random(seed)
+    k = 8
+    a = [f"a{rng.randrange(10**6)}" for _ in range(60)]
+    b = [f"b{rng.randrange(10**6)}" for _ in range(60)] + a[:20]  # overlap
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("u", a + b)], "id STRING, items ARRAY<STRING>"
+    )
+    sk = {r.id: r.s for r in df.select("id", bottomk_sketch(F.col("items"), k).alias("s")).collect()}
+    merged = sorted(set(sk["a"]) | set(sk["b"]))[:k]
+    assert merged == list(sk["u"])
