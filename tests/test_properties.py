@@ -665,3 +665,107 @@ def test_bottomk_sketch_merges_distributively(spark, seed):
     sk = {r.id: r.s for r in df.select("id", bottomk_sketch(F.col("items"), k).alias("s")).collect()}
     merged = sorted(set(sk["a"]) | set(sk["b"]))[:k]
     assert merged == list(sk["u"])
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_cosine_fold_matches_numpy(spark, seed):
+    """The JVM-side float64 cosine fold must agree with numpy to
+    ~1e-9 on random vectors (same element order, both float64 — only
+    summation-order-free because the fold is sequential per row)."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gostream_spark.functions import cosine_similarity
+
+    rng = random.Random(seed)
+    pairs = []
+    for i in range(40):
+        a = [rng.uniform(-1, 1) for _ in range(16)]
+        b = [rng.uniform(-1, 1) for _ in range(16)]
+        pairs.append((i, a, b))
+    df = spark.createDataFrame(pairs, "i BIGINT, a ARRAY<DOUBLE>, b ARRAY<DOUBLE>")
+    got = {r.i: r.c for r in df.select(
+        "i", cosine_similarity(F.col("a"), F.col("b")).alias("c")).collect()}
+    for i, a, b in pairs:
+        an, bn = np.array(a), np.array(b)
+        want = float(an @ bn / (np.linalg.norm(an) * np.linalg.norm(bn)))
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_sliding_window_expansion(spark, seed):
+    """T2 fuzz: every event must appear in exactly size/slide hopping
+    windows, and per-window counts must match a reference expansion
+    (including exact-boundary event times)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.operators import sliding_windowed
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    rows = [
+        (i, base + timedelta(minutes=rng.choice([0, 30, 60, 90, 115, 120, 125])
+                             + 240 * rng.randrange(5)))
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "event_id BIGINT, ts TIMESTAMP")
+    out = sliding_windowed(
+        df, "ts", duration="2 hours", slide="1 hour",
+        aggs=(F.count(F.lit(1)).alias("n"),),
+    ).select("w.start", "n").collect()
+    got = sorted((r.start, r.n) for r in out)
+
+    buckets = {}
+    for _i, t in rows:
+        epoch = int(t.timestamp())
+        # windows [s, s+2h) with s on hour marks containing t: the
+        # hour-floor and the previous hour
+        floor = epoch - epoch % 3600
+        for s in (floor - 3600, floor):
+            if s <= epoch < s + 7200:
+                start = datetime.utcfromtimestamp(s)
+                buckets[start] = buckets.get(start, 0) + 1
+    assert got == sorted(buckets.items())
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_connected_components_random_graph_vs_union_find(spark, seed):
+    """Random sparse graph: the BSP fixpoint must equal a union-find
+    reference exactly (cluster id = min node id of the component)."""
+    import random
+
+    from gostream_spark.operators.components import connected_components
+
+    rng = random.Random(seed)
+    n = 60
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(40)]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id BIGINT")
+    edf = spark.createDataFrame(edges or [(0, 0)], "src BIGINT, dst BIGINT")
+    got = {r.id: r.cluster for r in connected_components(nodes, edf, max_iter=30).collect()}
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comps = {}
+    for i in range(n):
+        comps.setdefault(find(i), []).append(i)
+    expect = {i: min(members) for members in comps.values() for i in members}
+    assert got == expect
