@@ -769,3 +769,33 @@ def test_connected_components_random_graph_vs_union_find(spark, seed):
         comps.setdefault(find(i), []).append(i)
     expect = {i: min(members) for members in comps.values() for i in members}
     assert got == expect
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_cdc_boundaries_are_content_local(spark, seed):
+    """The reason content-defined chunking exists: an edit at position
+    q must leave every boundary whose 8-char window lies entirely
+    before q unchanged (line/offset-based chunking fails this; the
+    md5-window boundary rule must pass it)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    text = "".join(rng.choice("abcdefgh ") for _ in range(400))
+    q = rng.randrange(100, 300)
+    edited = text[:q] + ("X" + text[q:])  # insertion at q
+
+    df = spark.createDataFrame([("o", text), ("e", edited)], "id STRING, text STRING")
+    n = F.length("text")
+    bnds = F.filter(
+        F.sequence(F.lit(1), n - 7),
+        lambda p: F.substring(F.md5(F.col("text").substr(p, F.lit(8))), 1, 2) == "00",
+    )
+    got = {r.id: set(r.b) for r in df.select("id", bnds.alias("b")).collect()}
+    horizon = q - 8  # windows starting here end before the edit
+    assert {p for p in got["o"] if p <= horizon} == {
+        p for p in got["e"] if p <= horizon
+    }
