@@ -278,3 +278,85 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         (F.col("id") == F.col("cluster")).alias("is_keeper"),
     )
+
+
+# --- SimHash Hamming-1 probing (Manku-style near-dup pairs) -------------
+
+_SIMHASH_FP_CTE = f"""
+WITH t AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  WHERE doc_id % 5 = 0
+), fp AS (
+  SELECT doc_id,
+         {' + '.join(f'{_duck_simhash_bit(p)} * {2 ** p}' for p in range(_SIMHASH_BITS))}
+           AS simhash
+  FROM t
+)"""
+
+_HAMMING_ORACLE = (
+    _SIMHASH_FP_CTE
+    + f""",
+keys AS (
+  SELECT doc_id, simhash, simhash AS k FROM fp
+  UNION ALL
+  SELECT doc_id, simhash, xor(simhash, CAST(power(2, i) AS BIGINT)) AS k
+  FROM fp, range({_SIMHASH_BITS}) AS r(i)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS fp_a, b.simhash AS fp_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 1
+"""
+)
+
+
+@register("simhash_hamming_pairs", oracle=_HAMMING_ORACLE, tags=("L2", "ext"))
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash completion (the Manku/Google web-dedup shape): find all
+    pairs within Hamming distance 1 WITHOUT comparing fingerprints
+    pairwise — each doc emits its fingerprint plus the 16 one-bit
+    flips as probe keys; a key collision IS a candidate pair, verified
+    by bit_count on the two fingerprints. 17 small integer keys per
+    doc, candidates form only inside key buckets (hash-partitioned
+    groupBy-join, linear); all-pairs never materializes. At 64 bits /
+    distance k the same scheme uses table rotations instead of flips
+    — identical plan shape."""
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+        spark,
+    )
+    toks = F.array_distinct(F.split("text", " "))
+    hexed = docs.select(
+        "doc_id", F.transform(toks, lambda t: F.md5(t)).alias("md5s")
+    )
+    fp = hexed.select(
+        "doc_id", simhash_from_md5s(F.col("md5s"), _SIMHASH_BITS).alias("simhash")
+    )
+    probe_keys = F.array(
+        F.col("simhash"),
+        *[
+            F.col("simhash").bitwiseXOR(F.lit(2**i)).alias(f"x{i}")
+            for i in range(_SIMHASH_BITS)
+        ],
+    )
+    keys = fp.select("doc_id", "simhash", F.explode(probe_keys).alias("k"))
+    a = keys.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "k"
+    )
+    b = keys.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "k"
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return pairs.filter(ham <= 1).select(
+        "doc_a", "doc_b", ham.cast("long").alias("hamming")
+    )
