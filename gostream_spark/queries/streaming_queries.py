@@ -347,3 +347,31 @@ def streaming_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("event_cnt"))
     return run_available_now(agg, output_mode="complete")
+
+
+# --- T6 second shape: set-valued state ----------------------------------
+
+_DISTINCT_TYPES_ORACLE = """
+SELECT user_id, count(DISTINCT event_type) AS n_distinct_types
+FROM events GROUP BY user_id
+"""
+
+
+@register(
+    "streaming_distinct_types_stateful",
+    oracle=_DISTINCT_TYPES_ORACLE,
+    tags=("S2", "T6", "T8", "ext"),
+)
+def streaming_distinct_types_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 with SET-valued state: per-user distinct event types held in
+    an explicit state handle (dedup-within-key bolt), update-mode
+    memory sink; the max emission per key equals the batch
+    count-distinct."""
+    from gostream_spark.streaming import distinct_types_stateful
+
+    ev = file_stream(spark, sf_dir, "events")
+    updates = distinct_types_stateful(ev)
+    result = run_available_now(updates, output_mode="update")
+    return result.groupBy("user_id").agg(
+        F.max("n_distinct_types").alias("n_distinct_types")
+    )

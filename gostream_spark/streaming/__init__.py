@@ -19,6 +19,7 @@ from gostream_spark.streaming.runner import (
 from gostream_spark.streaming.ops import (
     dedup_stream,
     enrich_stream,
+    distinct_types_stateful,
     running_count_stateful,
     windowed_counts,
 )
@@ -31,5 +32,6 @@ __all__ = [
     "windowed_counts",
     "dedup_stream",
     "enrich_stream",
+    "distinct_types_stateful",
     "running_count_stateful",
 ]

@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StructField, StructType
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from gostream_spark.operators import tumbling_windowed
 
@@ -89,6 +89,44 @@ def running_count_stateful(events: DataFrame) -> DataFrame:
         _count_fn,
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_SET_STATE_SCHEMA = StructType([StructField("seen", StringType())])
+_SET_OUT_SCHEMA = StructType(
+    [StructField("user_id", LongType()), StructField("n_distinct_types", LongType())]
+)
+
+
+def _distinct_types_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # Set-valued state serialized as a sorted comma-joined string —
+    # fixed schema, explicit growth (bounded by the event-type
+    # vocabulary, not the event count).
+    seen = set(state.get[0].split(",")) - {""} if state.exists else set()
+    for pdf in pdfs:
+        seen.update(pdf["event_type"].tolist())
+    state.update((",".join(sorted(seen)),))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_distinct_types": [len(seen)]}
+    )
+
+
+def distinct_types_stateful(events: DataFrame) -> DataFrame:
+    """T6 second shape: SET-valued per-key state (which event types
+    has each user produced) via ``applyInPandasWithState`` — the
+    dedup-within-key bolt. State size is bounded by the type
+    vocabulary; the update-mode emission per micro-batch carries the
+    running distinct count. Same protobuf-gated
+    ``transformWithStateInPandas`` upgrade path as
+    ``running_count_stateful``."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _distinct_types_fn,
+        outputStructType=_SET_OUT_SCHEMA,
+        stateStructType=_SET_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
