@@ -799,3 +799,32 @@ def test_cdc_boundaries_are_content_local(spark, seed):
     assert {p for p in got["o"] if p <= horizon} == {
         p for p in got["e"] if p <= horizon
     }
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_topk_per_group_matches_reference(spark, seed):
+    """W5 fuzz: per-group top-k under a total order must equal
+    python's per-group sorted()[:k] — including groups smaller than
+    k and heavy ties in the ranking value."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.operators import topk_per_group
+
+    rng = random.Random(seed)
+    rows = [(i, rng.randrange(8), rng.randrange(4)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id BIGINT, g BIGINT, v BIGINT")
+    out = topk_per_group(
+        df, 3, ["g"], [F.col("v").desc(), F.col("id").asc()]
+    ).collect()
+    got = sorted((r.g, r.rn, r.id) for r in out)
+
+    expect = []
+    for g in {r[1] for r in rows}:
+        members = sorted(((v, i) for i, gg, v in rows if gg == g),
+                         key=lambda t: (-t[0], t[1]))[:3]
+        expect += [(g, rank + 1, i) for rank, (_v, i) in enumerate(members)]
+    assert got == sorted(expect)
