@@ -541,3 +541,63 @@ def supplier_revenue_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return topk_ranked(joined, 10, F.col("revenue").desc(), F.col("s_suppkey"))
+
+
+# --- bucketed co-located fact-fact join ---------------------------------
+
+_BUCKETED_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS li_cnt,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS gross
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@register("join_bucketed_fact_fact", oracle=_BUCKETED_ORACLE, tags=("J1", "ext"))
+def join_bucketed_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The repeated-join optimization that matters most at 100 TB:
+    both fact tables written BUCKETED on the join key
+    (`bucketBy(8).sortBy`), then joined bucket-aligned — no per-join
+    shuffle of either side; the only exchange is the 5-row final
+    aggregate (asserted in tests/test_bucketing.py). Paying the
+    bucketed write once amortizes over every subsequent orderkey
+    join. Broadcast is disabled for the join so the plan demonstrates
+    the bucket path, mirroring the right-side-too-big reality."""
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    to, tl = f"gs_b_orders_{tag}", f"gs_b_lineitem_{tag}"
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders.select("o_orderkey", "o_orderpriority").write.mode("overwrite").bucketBy(
+        8, "o_orderkey"
+    ).sortBy("o_orderkey").saveAsTable(to)
+    li.select("l_orderkey", "l_extendedprice").write.mode("overwrite").bucketBy(
+        8, "l_orderkey"
+    ).sortBy("l_orderkey").saveAsTable(tl)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(to)
+            .join(spark.table(tl), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("li_cnt"),
+                F.round(F.sum(dec2("l_extendedprice")), 2)
+                .cast("double")
+                .alias("gross"),
+            )
+        )
+        # materialize NOW, while the demo conf is active: the eager
+        # checkpoint runs the bucket-aligned plan; the caller then
+        # reads materialized blocks regardless of its own conf
+        return joined.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # managed-table drop removes the warehouse files too — each
+        # run writes fresh uniquely-named tables, no residue
+        spark.sql(f"DROP TABLE IF EXISTS {to}")
+        spark.sql(f"DROP TABLE IF EXISTS {tl}")
