@@ -375,3 +375,27 @@ def streaming_distinct_types_stateful(spark: SparkSession, sf_dir: str) -> DataF
     return result.groupBy("user_id").agg(
         F.max("n_distinct_types").alias("n_distinct_types")
     )
+
+
+@register(
+    "streaming_csv_source",
+    oracle=_SINK_ORACLE,
+    tags=("S1", "S2", "T7", "ext"),
+)
+def streaming_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 ext: CSV files consumed as a STREAM (header-less parts,
+    explicit schema, maxFilesPerTrigger batching) — the
+    log-shipping/ingest-edge twin of `streaming_jsonl_source`;
+    equals the batch aggregate over the same rows."""
+    from gostream_spark.queries.sources_sinks import _roundtrip_dir
+
+    path = _roundtrip_dir(sf_dir, "streamcsv")
+    subset = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    subset.write.mode("overwrite").csv(path)
+    sdf = (
+        spark.readStream.schema("event_id BIGINT, event_type STRING")
+        .option("maxFilesPerTrigger", 4)
+        .csv(path)
+    )
+    agg = sdf.groupBy("event_type").agg(F.count(F.lit(1)).alias("event_cnt"))
+    return run_available_now(agg, output_mode="complete")
