@@ -828,3 +828,73 @@ def test_topk_per_group_matches_reference(spark, seed):
                          key=lambda t: (-t[0], t[1]))[:3]
         expect += [(g, rank + 1, i) for rank, (_v, i) in enumerate(members)]
     assert got == sorted(expect)
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_gapfill_grid_and_forward_fill(spark, seed):
+    """Resample fuzz: per-key hourly grid must span exactly
+    [floor(min), floor(max)] with no holes; zero-filled counts and
+    last-observation-carried-forward values must match a sequential
+    reference on sparse random event times."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    base = datetime(2024, 1, 1)
+    rows = []
+    rid = 0
+    for uid in range(3):
+        for _ in range(12):  # sparse: big random gaps
+            rows.append((rid, uid,
+                         base + timedelta(minutes=rng.randrange(0, 3000)),
+                         float(rng.randrange(100))))
+            rid += 1
+    df = spark.createDataFrame(rows, "rid BIGINT, uid BIGINT, ts TIMESTAMP, v DOUBLE")
+    hourly = df.groupBy("uid", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("c"), F.round(F.sum("v"), 2).alias("vs")
+    )
+    bounds = df.groupBy("uid").agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        "uid", F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    w = (
+        Window.partitionBy("uid").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        grid.join(hourly, ["uid", "h"], "left")
+        .select(
+            "uid", "h",
+            F.coalesce("c", F.lit(0)).alias("c"),
+            F.last("vs", ignorenulls=True).over(w).alias("ffill"),
+        )
+        .collect()
+    )
+    got = {(r.uid, r.h): (r.c, round(r.ffill, 2)) for r in out}
+
+    expect = {}
+    for uid in range(3):
+        times = [(t, v) for (_r, u, t, v) in rows if u == uid]
+        floor = lambda t: t.replace(minute=0, second=0, microsecond=0)
+        lo, hi = min(floor(t) for t, _ in times), max(floor(t) for t, _ in times)
+        per_hour = {}
+        for t, v in times:
+            h = floor(t)
+            c, s = per_hour.get(h, (0, 0.0))
+            per_hour[h] = (c + 1, s + v)
+        h, last = lo, None
+        while h <= hi:
+            c, s = per_hour.get(h, (0, None))
+            if s is not None:
+                last = round(s, 2)
+            expect[(uid, h)] = (c, last)
+            h += timedelta(hours=1)
+    assert got == expect
