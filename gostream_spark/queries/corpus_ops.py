@@ -585,3 +585,46 @@ def sample_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("kept_tokens"),
     )
+
+
+# --- source-priority dedup ----------------------------------------------
+
+_PRIORITY_DEDUP_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, source, md5(text) AS digest,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 5 THEN 0
+              WHEN CAST(substr(source, 4) AS INT) < 15 THEN 1
+              ELSE 2 END AS src_rank
+  FROM documents)
+SELECT doc_id, source, digest,
+       CAST(src_rank AS BIGINT) AS src_rank
+FROM ranked
+QUALIFY row_number() OVER (PARTITION BY digest
+                           ORDER BY src_rank, doc_id) = 1
+"""
+
+
+@register("docs_dedup_source_priority", oracle=_PRIORITY_DEDUP_ORACLE, tags=("L1", "ext"))
+def docs_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 with a curation policy: when the same content appears in
+    multiple sources, keep the copy from the most TRUSTED source
+    (src0-4 > src5-14 > rest), doc_id as the final tie-break — the
+    'prefer curated over crawl' rule every real mix build applies.
+    Same digest-keyed single-shuffle shape as `docs_dedup_digest`;
+    only the intra-group ordering changes (`keep_first` with a
+    priority prefix)."""
+    from gostream_spark.operators import keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    src_rank = (
+        F.when(F.substring("source", 4, 9).cast("int") < 5, 0)
+        .when(F.substring("source", 4, 9).cast("int") < 15, 1)
+        .otherwise(2)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("digest"),
+        src_rank.cast("long").alias("src_rank"),
+    )
+    return keep_first(keyed, keys=["digest"], order_by=["src_rank", "doc_id"])
