@@ -128,3 +128,27 @@ def top_token_run_max(toks: Column) -> Column:
         )
 
     return F.aggregate(srt, init, step, lambda acc: acc.getField("best"))
+
+
+def simhash64_from_xxhashes(hashes: Column) -> Column:
+    """Production-form 64-bit SimHash from a PRE-HASHED xxhash64
+    array: ONE hash per token supplies all 64 bit votes (bit p of the
+    hash votes ±1 on fingerprint bit p) — the design actually deployed
+    at corpus scale, vs the md5 form whose job is cross-engine
+    verifiability. Callers materialize ``F.transform(toks,
+    F.xxhash64)`` in its own projection (same CollapseProject
+    reasoning as ``simhash_from_md5s``). Spark-internal hash ⇒ no
+    DuckDB oracle; the invariants are pinned by guarantee tests."""
+
+    def bit(p: int) -> Column:
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(h, p).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    fp = F.lit(0).cast("long")
+    for p in range(64):
+        fp = fp.bitwiseOR(F.shiftleft(bit(p), p))
+    return fp

@@ -360,3 +360,36 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(ham <= 1).select(
         "doc_a", "doc_b", ham.cast("long").alias("hamming")
     )
+
+
+# --- production-form 64-bit SimHash (xxhash64, rows-only) ---------------
+
+
+@register("simhash64_xxhash_buckets", oracle=None, tags=("L2", "F7", "ext"))
+def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployable SimHash: 64-bit fingerprints where ONE
+    Spark-internal xxhash64 per token supplies all 64 bit votes — 1
+    hash pass vs the md5 form's 1-per-hex-digit, and a 2^64 keyspace
+    that kills the small-vocabulary collision problem the 16-bit demo
+    has. Rows-only by design (xxhash64 has no DuckDB twin); the
+    md5-form `simhash_dedup` is the exact-checked semantics anchor,
+    and the fingerprint invariants (duplicate⇒equal, locality) are
+    pinned in tests/test_properties.py. Returns bucket-size stats —
+    at this keyspace every fixture bucket is its exact-duplicate
+    group."""
+    from gostream_spark.functions.sketches import simhash64_from_xxhashes
+
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.array_distinct(F.split("text", " "))
+    hashed = docs.select(
+        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
+    )
+    fp = hashed.select("doc_id", simhash64_from_xxhashes(F.col("hs")).alias("fp"))
+    buckets = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return buckets.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("bucket_size").alias("max_bucket"),
+        F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_dup_buckets"
+        ),
+    )

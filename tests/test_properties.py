@@ -898,3 +898,43 @@ def test_gapfill_grid_and_forward_fill(spark, seed):
             expect[(uid, h)] = (c, last)
             h += timedelta(hours=1)
     assert got == expect
+
+
+@given(seed=st.integers(min_value=0, max_value=10**6))
+@settings(max_examples=3, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+def test_simhash64_duplicate_and_locality_invariants(spark, seed):
+    """64-bit xxhash SimHash guarantees (no oracle possible): equal
+    token sets ⇒ equal fingerprints; distinct random docs ⇒ distinct
+    fingerprints (2^64 keyspace); a 20% perturbation stays (mean-)
+    Hamming-closer than a full rewrite."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gostream_spark.functions.sketches import simhash64_from_xxhashes
+
+    rng = random.Random(seed)
+    rows = []
+    for d in range(6):
+        toks = [f"t{rng.randrange(10**6)}d{d}i{i}" for i in range(40)]
+        lo = list(toks)
+        for i in rng.sample(range(40), 8):
+            lo[i] = f"r{rng.randrange(10**6)}"
+        hi = [f"n{rng.randrange(10**6)}d{d}i{i}" for i in range(40)]
+        rows += [(d, "orig", " ".join(toks)), (d, "same", " ".join(toks)),
+                 (d, "lo", " ".join(lo)), (d, "hi", " ".join(hi))]
+    df = spark.createDataFrame(rows, "doc INT, kind STRING, text STRING")
+    hashed = df.select(
+        "doc", "kind",
+        F.transform(F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)).alias("hs"),
+    )
+    fp = hashed.select("doc", "kind", simhash64_from_xxhashes(F.col("hs")).alias("f"))
+    sig = {(r.doc, r.kind): r.f for r in fp.collect()}
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert all(sig[(d, "orig")] == sig[(d, "same")] for d in range(6))
+    origs = [sig[(d, "orig")] for d in range(6)]
+    assert len(set(origs)) == 6  # random docs -> distinct fingerprints
+    mean_lo = sum(ham(sig[(d, "orig")], sig[(d, "lo")]) for d in range(6)) / 6
+    mean_hi = sum(ham(sig[(d, "orig")], sig[(d, "hi")]) for d in range(6)) / 6
+    assert mean_lo < mean_hi, (mean_lo, mean_hi)
