@@ -22,6 +22,7 @@ from gostream_spark.queries import (  # noqa: F401
     sql_entry,
     streaming_queries,
     streaming_similarity,
+    training_assembly,
     udfs,
     windows,
 )

@@ -1,0 +1,361 @@
+"""Training-data ASSEMBLY operators (SURVEY.md §2.8 extensions) — the
+stages after curation (`queries/corpus_ops.py`) that turn a cleaned
+corpus into what a training job actually consumes: a leakage-safe
+train/val/test split, RAG-style overlapping chunk windows, incremental
+dedup of a new ingest batch against the existing corpus, GPT-style
+concat-and-pack sequence addressing, and int8-quantized similarity
+retrieval with exact rescoring.
+
+Scale shapes (the design constraint for every op here):
+- the split is a row-local md5 threshold on the CONTENT digest (not
+  the doc id), so byte-identical duplicates can never straddle
+  train/test — the standard leakage guard — and the assignment is
+  reproducible on any engine, any partitioning. One scan + one small
+  aggregate.
+- chunking is explode-only (one row → ~n/stride rows), row-local, no
+  shuffle; downstream chunk dedup/indexing shuffles the 16-byte chunk
+  digest, never the text.
+- incremental dedup anti-joins the batch against the corpus on the
+  digest: both sides shuffle on a 16-byte key (text pruned first). At
+  100 TB the corpus side is the big one — the standard accelerations
+  are a digest-bucketed corpus table (storage-partitioned join: no
+  corpus re-shuffle per ingest) and a bloom-filter pre-pass that
+  eliminates most batch rows before the join.
+- sequence packing is the same per-source cumulative window as
+  `token_budget_per_source` — one shuffle on source; the seq_id /
+  offset arithmetic is integer and row-local above it.
+- quantized retrieval scans the corpus once against a broadcast query
+  vector; the int8 scores are exact integers (cross-engine), and only
+  the k survivors get the float rescore. At scale the int8 corpus is
+  ~4x smaller than float32 — the reason real ANN systems quantize.
+
+Public lineage: content-hash splits and dedup-aware eval separation
+follow the C4/Pile/GPT-3 data-preparation descriptions (Raffel et al.
+2020; Gao et al. 2020; Brown et al. 2020 §4); overlapping-window
+chunking is the standard RAG retrieval-unit construction; concat-and-
+pack sequence layout is the GPT-style training-batch construction;
+int8 symmetric quantization with exact rescore is the standard
+two-stage retrieval form (e.g. IVF-PQ-style candidate-then-rescore).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.functions import cosine_similarity
+from gostream_spark.io import load_table
+from gostream_spark.operators import keep_first, topk_ranked
+from gostream_spark.registry import register
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _hexval(s: Column, pos: int) -> Column:
+    """Hex digit ``pos`` (1-based) of md5(s) as an integer 0..15 —
+    identical lowercase-hex md5 in Spark and DuckDB."""
+    return F.instr(F.lit(_HEXDIGITS), F.substring(F.md5(s), pos, 1)) - 1
+
+
+# --- leakage-safe train/val/test split ----------------------------------
+
+# 8-bit bucket of the content digest: train < 204 (~80%), val < 230
+# (~10%), test otherwise (~10%).
+_TRAIN_BELOW, _VAL_BELOW = 204, 230
+
+_SPLIT_ORACLE = f"""
+WITH hashed AS (
+  SELECT source,
+         len(string_split(text, ' ')) AS n_tokens,
+         (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS hv
+  FROM documents)
+SELECT CASE WHEN hv < {_TRAIN_BELOW} THEN 'train'
+            WHEN hv < {_VAL_BELOW} THEN 'val'
+            ELSE 'test' END AS split,
+       source,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+FROM hashed
+GROUP BY 1, 2
+"""
+
+
+@register("train_val_test_split", oracle=_SPLIT_ORACLE, tags=("L8", "ext"))
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/10/10 train/val/test assignment keyed on the
+    md5 of the CONTENT (not the doc id): byte-identical duplicates
+    always land in the same split, so exact-duplicate leakage across
+    the train/eval boundary is impossible by construction. Returns the
+    per-(split, source) doc/token totals a mix designer checks before
+    shipping the split.
+
+    Row-local threshold + one partial→final aggregate to (3 x
+    n_sources) groups — one corpus scan at any scale. Near-duplicate
+    leakage needs the cluster-level variant: assign the split on the
+    duplicate-cluster representative's digest (see
+    `neardup_cluster_components`) and broadcast it back."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = _hexval(F.col("text"), 1) * 16 + _hexval(F.col("text"), 2)
+    split = (
+        F.when(hv < _TRAIN_BELOW, "train")
+        .when(hv < _VAL_BELOW, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("toks"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+# --- RAG-style overlapping chunk windows --------------------------------
+
+_CHUNK_W, _CHUNK_S = 32, 16
+
+_CHUNK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         len(string_split(text, ' ')) AS n
+  FROM documents),
+chunks AS (
+  SELECT doc_id, t,
+         unnest(range(1 + (greatest(0, n - {_CHUNK_W}) + {_CHUNK_S - 1}) // {_CHUNK_S}))
+           AS chunk_id
+  FROM toks)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(t[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}])
+            AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(
+             t[chunk_id * {_CHUNK_S} + 1 : chunk_id * {_CHUNK_S} + {_CHUNK_W}], ' '))
+         AS chunk_md5
+FROM chunks
+"""
+
+
+@register("rag_chunk_windows", oracle=_CHUNK_ORACLE, tags=("L6", "P3", "ext"))
+def rag_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the RAG / context-window
+    retrieval-unit construction: windows of 32 tokens at stride 16
+    (50% overlap), each addressed (doc_id, chunk_id) and content-keyed
+    by the md5 of the re-joined window (proving the chunk BYTES match
+    cross-engine, not just the counts). A short doc yields exactly one
+    chunk; the last window is allowed to run short rather than padding.
+
+    Pure explode: one row fans out to ~n/stride rows with zero
+    shuffles — whole-stage codegen end to end. At 100 TB the chunk
+    stream feeds embedding + indexing; anything that groups chunks
+    (dedup, inverted index) shuffles the 16-byte chunk_md5, never the
+    chunk text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n_starts = F.expr(
+        f"1 + (greatest(0, size(t) - {_CHUNK_W}) + {_CHUNK_S - 1}) div {_CHUNK_S}"
+    )
+    chunked = toks.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_starts - 1)).alias("chunk_id"),
+    )
+    window = F.slice(
+        F.col("t"), (F.col("chunk_id") * _CHUNK_S + 1).cast("int"), _CHUNK_W
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        F.size(window).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+    )
+
+
+# --- incremental cross-corpus dedup -------------------------------------
+
+_INGEST_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id, source, md5(text) AS digest,
+         CAST(substr(source, 4) AS INT) AS sn
+  FROM documents),
+corpus AS (SELECT DISTINCT digest FROM keyed WHERE sn < 10),
+batch AS (SELECT doc_id, source, digest FROM keyed WHERE sn >= 10)
+SELECT doc_id, source, digest
+FROM batch
+WHERE digest NOT IN (SELECT digest FROM corpus)
+QUALIFY row_number() OVER (PARTITION BY digest ORDER BY doc_id) = 1
+"""
+
+
+@register("cross_corpus_dedup", oracle=_INGEST_ORACLE, tags=("L1", "J3", "ext"))
+def cross_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: admit a new batch (here: sources
+    src10+) only where its content digest appears neither in the
+    existing corpus (src0-9) nor earlier in the batch itself — the
+    shape every recurring crawl/ingest run executes, where re-deduping
+    the whole corpus per ingest would be absurd.
+
+    Both legs shuffle the 16-byte md5 digest with the text pruned
+    before the exchange: an anti-join against the corpus digests, then
+    a within-batch `keep_first`. At 100 TB the corpus digest table is
+    stored bucketed by digest so the ingest anti-join co-locates with
+    NO corpus re-shuffle (see `join_bucketed_fact_fact`), and a bloom
+    filter over the corpus digests prunes most of the batch before the
+    join even forms."""
+    docs = load_table(spark, sf_dir, "documents")
+    sn = F.substring("source", 4, 9).cast("int")
+    keyed = docs.select(
+        "doc_id", "source", F.md5("text").alias("digest"), sn.alias("sn")
+    )
+    corpus = keyed.filter(F.col("sn") < 10).select("digest").distinct()
+    batch = keyed.filter(F.col("sn") >= 10).select("doc_id", "source", "digest")
+    fresh = batch.join(corpus, "digest", "left_anti")
+    return keep_first(fresh, keys=["digest"], order_by=["doc_id"]).select(
+        "doc_id", "source", "digest"
+    )
+
+
+# --- GPT-style concat-and-pack sequence addressing ----------------------
+
+_SEQ_LEN = 512
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n,
+         sum(n) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS UNBOUNDED PRECEDING) AS c
+  FROM sized)
+SELECT doc_id, source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST((c - n) // {_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST((c - n) % {_SEQ_LEN} AS BIGINT) AS offset_in_seq
+FROM cum
+"""
+
+
+@register("sequence_packing", oracle=_PACK_ORACLE, tags=("L8", "W3", "ext"))
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-pack sequence addressing — the GPT-style training
+    batch layout: per source, documents concatenate in doc_id order
+    into a token stream cut every 512 tokens; each doc gets the
+    (seq_id, offset_in_seq) address where it STARTS (docs may span a
+    boundary — the loader carries the tail into the next sequence, as
+    concat-packing does; no padding waste).
+
+    One integer cumulative-sum window per source (same shape and same
+    salting escape hatch as `token_budget_per_source`), then row-local
+    div/mod — exact on any engine. At 100 TB the addresses drive the
+    sharded writer: everything with one seq_id lands in one training
+    file, so the shuffle is on (source, seq_id), never a global
+    sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sized.withColumn("c", F.sum("n_tokens").over(w))
+    return cum.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(f"(c - n_tokens) div {_SEQ_LEN}").alias("seq_id"),
+        ((F.col("c") - F.col("n_tokens")) % _SEQ_LEN).alias("offset_in_seq"),
+    )
+
+
+# --- int8-quantized retrieval with exact rescore ------------------------
+
+_DUCK_Q8 = (
+    "greatest(-127, least(127, CAST(floor(CAST({x} AS DOUBLE) * 127) AS BIGINT)))"
+)
+
+_DUCK_QDOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    f"x -> {_DUCK_Q8.format(x='x[1]')} * {_DUCK_Q8.format(x='x[2]')}), 'sum')"
+)
+
+_DUCK_DOT = (
+    "list_aggregate(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+)
+_DUCK_NORM = (
+    "sqrt(list_aggregate(list_transform({a}, "
+    "v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum'))"
+)
+
+_QUANT_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.label,
+         {_DUCK_QDOT.format(a='e.embedding', b='q.qv')} AS qscore,
+         round({_DUCK_DOT.format(a='e.embedding', b='q.qv')} /
+               ({_DUCK_NORM.format(a='e.embedding')} * {_DUCK_NORM.format(a='q.qv')}),
+               6) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0)
+SELECT vec_id, label, CAST(qscore AS BIGINT) AS qscore, cos, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY qscore DESC, vec_id) AS rn FROM scored)
+WHERE rn <= 10
+"""
+
+
+def _q8(x: Column) -> Column:
+    """Symmetric int8 quantization, engine-exact: floor(x * 127)
+    clamped to [-127, 127]. floor (not round) because double→int CAST
+    rounds in DuckDB but truncates in Spark, while floor is identical
+    IEEE in both."""
+    return F.greatest(
+        F.lit(-127).cast("long"),
+        F.least(F.lit(127).cast("long"), F.floor(x.cast("double") * 127)),
+    )
+
+
+@register("quantized_topk_rescore", oracle=_QUANT_ORACLE, tags=("L3", "ext"))
+def quantized_topk_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval with int8 quantization: candidates rank by
+    the INTEGER dot product of symmetrically-quantized vectors
+    (engine-exact — no float comparison anywhere in the ranking), and
+    only the 10 survivors get the exact float64 cosine rescore. The
+    production rationale: an int8 corpus is 4x smaller than float32
+    (memory-bandwidth-bound scans go ~4x faster) and integer dot
+    products SIMD-vectorize; the float corpus is touched only for k
+    rows.
+
+    One corpus scan against a broadcast query vector, TakeOrdered
+    top-k (never a global sort), rescore on k rows. The ranking is
+    bit-reproducible across engines because every compared value is an
+    integer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    qdot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda a, b: _q8(a) * _q8(b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select("vec_id", "label", qdot.alias("qscore"), "embedding", "qv")
+    )
+    top = topk_ranked(scored, 10, F.col("qscore").desc(), F.col("vec_id"))
+    return top.select(
+        "vec_id",
+        "label",
+        "qscore",
+        F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        "rn",
+    )

@@ -211,3 +211,39 @@ def test_knn_join_broadcasts_queries_no_smj(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1  # per-query top-k only
+
+
+def test_training_assembly_scale_shapes(spark, sf_dir):
+    # Split assignment is a row-local md5 threshold + ONE
+    # partial->final aggregate; no join anywhere
+    plan = _plan(spark, sf_dir, "train_val_test_split")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+    # Chunking is explode-only: ZERO exchanges, whole-stage row-local
+    plan = _plan(spark, sf_dir, "rag_chunk_windows")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+    # Incremental dedup: an anti-join on the digest with the TEXT
+    # pruned before any exchange (shuffling document bytes to dedup a
+    # 16-byte key is the 100 TB anti-pattern)
+    plan = _plan(spark, sf_dir, "cross_corpus_dedup")
+    assert "LeftAnti" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line
+
+    # Sequence packing: one window shuffle on source, never a
+    # single-partition global window
+    plan = _plan(spark, sf_dir, "sequence_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+    # Quantized retrieval: broadcast query vector + TakeOrdered top-k;
+    # the corpus must never shuffle or self-join
+    plan = _plan(spark, sf_dir, "quantized_topk_rescore")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
