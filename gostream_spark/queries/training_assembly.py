@@ -359,3 +359,194 @@ def quantized_topk_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
         "rn",
     )
+
+
+# --- BM25 lexical retrieval ---------------------------------------------
+
+_BM25_TERMS = ("data", "merge", "stream")
+
+_BM25_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl FROM sized),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ('data', 'merge', 'stream') GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id, t.token,
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (t.tf * 2.2)
+           / (t.tf + 1.2 * (0.25 + 0.75 * s.dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+           AS sc
+  FROM tf t JOIN dfreq USING (token) JOIN sized s USING (doc_id), stats),
+per_doc AS (
+  SELECT doc_id,
+         max(CASE WHEN token = 'data' THEN sc END) AS s1,
+         max(CASE WHEN token = 'merge' THEN sc END) AS s2,
+         max(CASE WHEN token = 'stream' THEN sc END) AS s3
+  FROM scored GROUP BY doc_id)
+SELECT doc_id, bm25, rn FROM (
+  SELECT doc_id,
+         round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 6) AS bm25,
+         row_number() OVER (
+           ORDER BY round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 6)
+             DESC, doc_id) AS rn
+  FROM per_doc) WHERE rn <= 20
+"""
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE, tags=("L3", "L7", "ext"))
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (k1=1.2, b=0.75) — the text-side
+    counterpart of `similarity_topk`: top-20 docs for a fixed 3-term
+    query, with document-length normalization (the part plain TF-IDF
+    lacks). Docs containing none of the query terms score 0 and are
+    excluded. Per-(doc, term) scores are singletons (max over a 1-row
+    group), combined in a FIXED per-term order — no cross-row float
+    accumulation anywhere, so the ranking is engine-exact at 6
+    decimals.
+
+    100 TB shape: tf is one explode + agg keyed (doc, term) with the
+    term filter pushed into the scan stage; df and the corpus stats
+    are tiny and broadcast; scoring is row-local; top-k is
+    TakeOrdered. In a full search engine the tf table IS the inverted
+    index — materialize it bucketed by term and the per-query cost is
+    a term-bucket lookup, not a corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n, dfc, tfc, dl = F.col("n_docs"), F.col("df"), F.col("tf"), F.col("dl")
+    avgdl = F.col("sum_dl").cast("double") / n
+    sc = (
+        F.log(F.lit(1) + (n - dfc + 0.5) / (dfc + 0.5))
+        * (tfc * 2.2)
+        / (tfc + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(sized, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", sc.alias("sc"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("sc"))).alias(f"s{i + 1}")
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
+    bm25 = F.round(
+        sum(F.coalesce(F.col(f"s{i + 1}"), F.lit(0)) for i in range(len(_BM25_TERMS))),
+        6,
+    )
+    return topk_ranked(
+        per_doc.select("doc_id", bm25.alias("bm25")), 20,
+        F.col("bm25").desc(), F.col("doc_id"),
+    )
+
+
+# --- cluster-level leakage-safe split -----------------------------------
+
+_CLUSTER_SPLIT_ORACLE = f"""
+WITH RECURSIVE sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), mins AS (
+  SELECT doc_id,
+         list_slice(list_sort(list(substr(md5(shingle), 1, 15))), 1, 8) AS m
+  FROM sh GROUP BY doc_id HAVING count(*) >= 8
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(m[1] || m[2]) AS band_hash FROM mins
+  UNION ALL SELECT doc_id, 1, md5(m[3] || m[4]) FROM mins
+  UNION ALL SELECT doc_id, 2, md5(m[5] || m[6]) FROM mins
+  UNION ALL SELECT doc_id, 3, md5(m[7] || m[8]) FROM mins
+), starred AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band_id, band_hash) AS hub
+  FROM bands
+), edges AS (
+  SELECT DISTINCT hub AS src, doc_id AS dst FROM starred WHERE doc_id <> hub
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+), comp AS (
+  SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
+), labeled AS (
+  SELECT c.cluster,
+         len(string_split(d.text, ' ')) AS n_toks,
+         (instr('0123456789abcdef',
+                substr(md5(CAST(c.cluster AS VARCHAR)), 1, 1)) - 1) * 16
+           + (instr('0123456789abcdef',
+                    substr(md5(CAST(c.cluster AS VARCHAR)), 2, 1)) - 1) AS hv
+  FROM comp c JOIN documents d USING (doc_id))
+SELECT CASE WHEN hv < {_TRAIN_BELOW} THEN 'train'
+            WHEN hv < {_VAL_BELOW} THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       count(DISTINCT cluster) AS n_clusters,
+       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+FROM labeled
+GROUP BY 1
+"""
+
+
+@register("cluster_safe_split", oracle=_CLUSTER_SPLIT_ORACLE, tags=("L2", "L8", "ext"))
+def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NEAR-duplicate-safe upgrade of `train_val_test_split`: the
+    split is keyed on the md5 of the duplicate-CLUSTER id (the min
+    doc_id of each MinHash-band connected component, from
+    `neardup_cluster_components`), so near-duplicate docs — not just
+    byte-identical ones — can never straddle the train/eval boundary.
+    Returns per-split doc/cluster/token totals.
+
+    Cost on top of the clustering itself (iterative, see
+    `operators/components.py`): one join of the (doc_id, cluster)
+    labels back to doc sizes and one 3-group aggregate. At 100 TB the
+    labels table is (long, long) pairs — a fraction of corpus width —
+    and the join shuffles ids only, never text. The oracle re-derives
+    the identical closure with a recursive CTE, then applies the same
+    split arithmetic — exact agreement certifies both stages
+    composed."""
+    from gostream_spark.queries.dedup_advanced import neardup_cluster_components
+
+    comp = neardup_cluster_components(spark, sf_dir)
+    sized = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_toks")
+    )
+    ckey = F.col("cluster").cast("string")
+    hv = _hexval(ckey, 1) * 16 + _hexval(ckey, 2)
+    split = (
+        F.when(hv < _TRAIN_BELOW, "train")
+        .when(hv < _VAL_BELOW, "val")
+        .otherwise("test")
+    )
+    return (
+        comp.join(sized, "doc_id")
+        .select(split.alias("split"), "cluster", "n_toks")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("cluster").alias("n_clusters"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+        )
+    )

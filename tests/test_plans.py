@@ -247,3 +247,13 @@ def test_training_assembly_scale_shapes(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_broadcasts_stats_take_ordered(spark, sf_dir):
+    # df/corpus-stats sides broadcast; ranking is TakeOrdered — the
+    # corpus-scale legs (tf x doc-length) may shuffle on doc_id but a
+    # sort-merge against the tiny stats sides would be wrong
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "SortMergeJoin" not in plan
