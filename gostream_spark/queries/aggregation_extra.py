@@ -169,11 +169,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch internals are engine-specific; the A4 pattern): the EXACT
     twin `agg_percentile_spread` is hash-checked, and the sketch's
     rank-error guarantee (<= 1/accuracy) is asserted directly in
-    tests/test_rows_only.py."""
+    tests/test_rows_only.py. The sketch returns one array per group;
+    we project it to scalar columns because array cells are not
+    sortable/hashable by the driver's pandas canonicalizer."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p50_95_99"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.element_at("pcts", 1).alias("p50"),
+            F.element_at("pcts", 2).alias("p95"),
+            F.element_at("pcts", 3).alias("p99"),
+            "n",
+        )
     )
 
 

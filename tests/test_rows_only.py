@@ -103,7 +103,7 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
     mis-test a sparse tail, where adjacent ranks are far apart)."""
     ev = load_table(spark, sf_dir, "events")
     approx = {
-        r.event_type: r.p50_95_99
+        r.event_type: (r.p50, r.p95, r.p99)
         for r in get_query("agg_approx_percentile").fn(spark, sf_dir).collect()
     }
     for etype, ests in approx.items():
