@@ -67,10 +67,17 @@ def ensure_session_conf(spark: SparkSession, events: bool = False) -> None:
 
     - ``spark.sql.session.timeZone=UTC``: required for timestamp-string
       oracle parity (``parity.py``; DuckDB timestamps are UTC-naive).
+    - ``spark.sql.parquet.inferTimestampNTZ.enabled=false``: fixture
+      parquet marks timestamps ``isAdjustedToUTC=false``, which Spark
+      would otherwise read as TIMESTAMP_NTZ — a type that cannot be
+      cast to epoch seconds and is rejected by several streaming
+      operators. Reading them as the session-TZ (UTC) TimestampType
+      preserves the wall-clock values DuckDB sees, so oracle parity is
+      unchanged.
     - ``spark.sql.legacy.parquet.nanosAsLong=true`` (only once an
-      ``events`` read is requested): the events table is
-      TIMESTAMP(NANOS), which Spark's vectorized reader otherwise
-      rejects. This affects every later nanos-parquet read in the
+      ``events`` read is requested): a TIMESTAMP(NANOS) events table —
+      which Spark's vectorized reader otherwise rejects — arrives as
+      raw nanos. This affects every later nanos-parquet read in the
       session — acceptable here because the engine converts such
       columns itself (see ``load_table``), but callers embedding the
       engine under their own session should know; to opt out, call
@@ -81,6 +88,9 @@ def ensure_session_conf(spark: SparkSession, events: bool = False) -> None:
     """
     if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ntz_key = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    if spark.conf.get(ntz_key, None) != "false":
+        spark.conf.set(ntz_key, "false")
     if events and spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gostream_spark.io import TABLES, table_path
+from gostream_spark.io import TABLES, ensure_session_conf, table_path
 
 
 def file_stream(
@@ -23,9 +23,8 @@ def file_stream(
     and streaming pipelines see identical schemas."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        # see io.load_table: engine must work under any caller session
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # see io.ensure_session_conf: engine must work under any caller session
+    ensure_session_conf(spark, events=name == "events")
     path = table_path(sf_dir, name)
     schema = spark.read.parquet(path).schema
     # The streaming file source wants a directory; scope it to this
