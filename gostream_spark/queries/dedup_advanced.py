@@ -393,3 +393,83 @@ def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_buckets"
         ),
     )
+
+
+# --- winnowing fingerprints (MOSS) --------------------------------------
+
+_WINNOW_K = 3  # words per shingle
+_WINNOW_W = 4  # shingle hashes per winnowing window
+
+_WINNOW_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+h AS (
+  SELECT doc_id, len(tk) - {_WINNOW_K - 1} AS m,
+         list_transform(range(1, len(tk) - {_WINNOW_K - 2}),
+                        p -> substr(md5(array_to_string(tk[p:p+{_WINNOW_K - 1}], ' ')), 1, 8))
+           AS hs
+  FROM t),
+w AS (
+  SELECT doc_id, m, hs,
+         list_sort(list_distinct(list_transform(range({_WINNOW_W}, m + 1), i ->
+           list_aggregate(
+             list_filter(range(i - {_WINNOW_W - 1}, i + 1),
+                         p -> hs[p] = list_aggregate(hs[i-{_WINNOW_W - 1}:i], 'min')),
+             'max')))) AS fps
+  FROM h)
+SELECT doc_id,
+       CAST(m AS BIGINT) AS n_shingles,
+       CAST(len(fps) AS BIGINT) AS n_fps,
+       md5(array_to_string(list_transform(fps, p -> hs[p]), '|')) AS fp_digest,
+       CAST(10000 * len(fps) // m AS BIGINT) AS density_bp
+FROM w
+"""
+
+
+@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("L2", "F7", "ext"))
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-word shingle, slide a w-hash window, keep each window's minimum
+    (rightmost on ties). Guarantees a fingerprint in every w-window —
+    bounded-gap coverage that 0-mod-p sampling (rolling_hash_chunks)
+    cannot promise — so any shared run of k+w-1 words between two
+    documents shares a fingerprint. Entirely row-local array HOFs: one
+    corpus scan, zero shuffles; fingerprints land in (doc, position)
+    form ready for an inverted-index join. Hashes are 8-hex md5
+    prefixes compared lexicographically, exact in both engines."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    toks = F.split("text", " ")
+    m = (F.size(toks) - (_WINNOW_K - 1)).alias("m")
+    hs = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (_WINNOW_K - 1)),
+        lambda p: F.substring(
+            F.md5(F.array_join(F.slice(toks, p, _WINNOW_K), " ")), 1, 8
+        ),
+    )
+    base = docs.select("doc_id", m, hs.alias("hs"))
+    mn = lambda i: F.array_min(F.slice(F.col("hs"), i - (_WINNOW_W - 1), _WINNOW_W))  # noqa: E731
+    pick = lambda i: F.array_max(  # noqa: E731
+        F.filter(
+            F.sequence(i - (_WINNOW_W - 1), i),
+            lambda p: F.element_at(F.col("hs"), p) == mn(i),
+        )
+    )
+    sel = F.when(
+        F.col("m") >= _WINNOW_W,
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(_WINNOW_W), F.col("m")), pick)
+            )
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    fps = base.select("doc_id", "m", "hs", sel.alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.col("m").cast("long").alias("n_shingles"),
+        F.size("fps").cast("long").alias("n_fps"),
+        F.md5(
+            F.array_join(
+                F.transform("fps", lambda p: F.element_at(F.col("hs"), p)), "|"
+            )
+        ).alias("fp_digest"),
+        F.expr("CAST(10000 * size(fps) div m AS BIGINT)").alias("density_bp"),
+    )

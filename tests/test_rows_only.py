@@ -116,3 +116,43 @@ def test_approx_percentile_within_tolerance(spark, sf_dir):
             at_or_below = sum(v <= est for v in vals) / n
             eps = 1.0 / 10000 + 1.0 / n
             assert below - eps <= q <= at_or_below + eps, (etype, q, est, below, at_or_below)
+
+
+def test_winnowing_matches_python_reference(spark, sf_dir):
+    """Independent oracle for winnowing_fingerprint beyond DuckDB: a
+    pure-Python winnower over the same docs must agree on count and
+    digest, and the selected positions must satisfy the scheme's
+    coverage guarantee (a fingerprint in every w-window, so
+    consecutive picks are <= w apart)."""
+    import hashlib
+
+    from gostream_spark.queries.dedup_advanced import _WINNOW_K, _WINNOW_W
+
+    got = {
+        r.doc_id: r
+        for r in get_query("winnowing_fingerprint").fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    for row in docs[:40]:
+        toks = row.text.split(" ")
+        m = len(toks) - (_WINNOW_K - 1)
+        hs = [
+            hashlib.md5(" ".join(toks[p : p + _WINNOW_K]).encode()).hexdigest()[:8]
+            for p in range(m)
+        ]
+        sel = set()
+        for i in range(_WINNOW_W - 1, m):  # window [i-w+1, i], 0-based
+            win = hs[i - _WINNOW_W + 1 : i + 1]
+            mn = min(win)
+            # rightmost occurrence of the min
+            sel.add(i - list(reversed(win)).index(mn))
+        fps = sorted(sel)
+        digest = hashlib.md5("|".join(hs[p] for p in fps).encode()).hexdigest()
+        r = got[row.doc_id]
+        assert r.n_shingles == m
+        assert r.n_fps == len(fps), (row.doc_id, r.n_fps, len(fps))
+        assert r.fp_digest == digest, row.doc_id
+        gaps = [b - a for a, b in zip(fps, fps[1:])]
+        assert all(g <= _WINNOW_W for g in gaps)
+        if m >= _WINNOW_W:
+            assert fps[0] <= _WINNOW_W - 1 and fps[-1] >= m - _WINNOW_W
