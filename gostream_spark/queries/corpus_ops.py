@@ -628,3 +628,80 @@ def docs_dedup_source_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         src_rank.cast("long").alias("src_rank"),
     )
     return keep_first(keyed, keys=["digest"], order_by=["src_rank", "doc_id"])
+
+
+# --- regex PII redaction -------------------------------------------------
+
+# Both engines run the SAME regex source strings. Java (Spark) and RE2
+# (DuckDB) agree on this restricted syntax: literal classes, +/{n},
+# no lookaround, no backrefs.
+_EMAIL_RE = "[a-z0-9]+@[a-z]+[.][a-z]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+_PII_ORACLE = f"""
+WITH synth AS (
+  SELECT doc_id, source,
+         array_to_string(
+           list_transform(range(1, len(tk) + 1),
+             j -> CASE
+                    WHEN (doc_id + j) % 11 = 0
+                      THEN 'u' || CAST(doc_id AS VARCHAR) || '@mail.com'
+                    WHEN (doc_id + j) % 17 = 3
+                      THEN '555-' || lpad(CAST(j AS VARCHAR), 4, '0')
+                    ELSE tk[j]
+                  END),
+           ' ') AS text2
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents)),
+red AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(text2, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(text2, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(text2, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM synth)
+SELECT doc_id, source, n_emails, n_phones, md5(scrubbed) AS scrubbed_md5
+FROM red
+WHERE n_emails + n_phones > 0
+"""
+
+
+@register("scrub_pii_regex", oracle=_PII_ORACLE, tags=("F1", "L8", "ext"))
+def scrub_pii_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction — the email/phone scrub stage of corpus
+    curation. The fixture corpus carries no PII, so the query first
+    plants deterministic emails/phone numbers (identical construction
+    in both engines), then redacts with regexes from the Java∩RE2
+    compatible subset (no lookaround/backrefs — the portability
+    constraint a real multi-engine pipeline has to respect anyway).
+    Output proves content equality via md5 of the scrubbed text, not
+    just match counts. Row-local: one scan, no shuffle; at 100 TB
+    this fuses into whatever scan precedes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    synth = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda j: F.when(
+                (F.col("doc_id") + j) % 11 == 0,
+                F.concat(F.lit("u"), F.col("doc_id").cast("string"), F.lit("@mail.com")),
+            )
+            .when(
+                (F.col("doc_id") + j) % 17 == 3,
+                F.concat(F.lit("555-"), F.lpad(j.cast("string"), 4, "0")),
+            )
+            .otherwise(F.element_at(toks, j)),
+        ),
+        " ",
+    )
+    red = docs.select(
+        "doc_id",
+        "source",
+        F.regexp_count(synth, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(synth, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("scrubbed"),
+    )
+    return red.filter(F.col("n_emails") + F.col("n_phones") > 0).select(
+        "doc_id", "source", "n_emails", "n_phones", F.md5("scrubbed").alias("scrubbed_md5")
+    )

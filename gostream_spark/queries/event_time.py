@@ -285,3 +285,63 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("v", F.lit(-1.0)).alias("val_sum"),
         F.last("v", ignorenulls=True).over(w).alias("filled_val"),
     )
+
+
+# --- W3 ext: exponential-decay weighted moving average ------------------
+
+_EWMA_ORACLE = f"""
+WITH sub AS (
+  SELECT user_id, event_id, ts, value FROM events WHERE user_id % 20 = 0),
+fr AS (
+  SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wv
+  FROM sub)
+SELECT user_id, event_id, ts_s,
+       round(
+         list_aggregate(list_transform(range(1, len(wv) + 1),
+                                       j -> wv[j] * pow(0.5, len(wv) - j)), 'sum')
+         / list_aggregate(list_transform(range(1, len(wv) + 1),
+                                         j -> pow(0.5, len(wv) - j)), 'sum'),
+         6) AS ewma
+FROM fr
+"""
+
+
+@register("ewma_smoothing", oracle=_EWMA_ORACLE, tags=("W3", "W2", "ext"))
+def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-decay weighted moving average per user (half-decay
+    per step, 8-event horizon) — the streaming-telemetry smoother that
+    a plain frame AVG (window_running) can't express. The frame's
+    values are collected in frame order and fold-weighted by
+    0.5^distance; weights are powers of two, so every product is an
+    exact IEEE scaling and both engines fold in the same order
+    (round-6 guards the residual). One shuffle on user_id; the frame
+    is O(1) per row at any scale. Horizon-limited EWMA (vs the
+    unbounded recurrence) is the standard scale form: state per key is
+    8 values, not a full history."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    fr = ev.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts_s"),
+        F.collect_list("value").over(w).alias("wv"),
+    )
+    n = F.size("wv")
+    weights = F.transform(
+        F.sequence(F.lit(1), n), lambda j: F.pow(F.lit(0.5), (n - j).cast("double"))
+    )
+    num = F.aggregate(
+        F.zip_with("wv", weights, lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(weights, F.lit(0.0), lambda acc, x: acc + x)
+    return fr.select(
+        "user_id", "event_id", "ts_s", F.round(num / den, 6).alias("ewma")
+    )
