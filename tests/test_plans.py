@@ -257,3 +257,29 @@ def test_bm25_broadcasts_stats_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_winnowing_is_row_local(spark, sf_dir):
+    """Winnowing must stay a single row-local pass: no join, no
+    aggregate shuffle — the only permissible Exchange is the
+    spread_for_compute round-robin on degenerate local layouts."""
+    plan = _plan(spark, sf_dir, "winnowing_fingerprint")
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "WindowExec" not in plan
+
+
+def test_pii_scrub_is_shuffle_free(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scrub_pii_regex")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ewma_single_user_shuffle(spark, sf_dir):
+    """EWMA: one hash shuffle on user_id feeding a partitioned window
+    — never an unpartitioned (single-task) window."""
+    plan = _plan(spark, sf_dir, "ewma_smoothing")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    # pushdown of the user_id sampling filter into the scan
+    assert "PushedFilters" in plan
