@@ -345,3 +345,64 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select(
         "user_id", "event_id", "ts_s", F.round(num / den, 6).alias("ewma")
     )
+
+
+# --- W3 ext: rolling z-score outlier detection --------------------------
+
+_ZSCORE_ORACLE = f"""
+WITH fr AS (
+  SELECT event_id, user_id, event_type, value,
+         strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
+         avg(value) OVER w AS mu,
+         stddev_samp(value) OVER w AS sd,
+         count(*) OVER w AS n_frame
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, event_type, ts_s,
+       round(value, 2) AS value,
+       round((value - mu) / sd, 4) AS zscore
+FROM fr
+WHERE n_frame >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2
+"""
+
+
+@register("zscore_outliers", oracle=_ZSCORE_ORACLE, tags=("W3", "ext"))
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the telemetry outlier
+    monitor: each event scored against the trailing-20 mean/stddev of
+    its type, flagged when |z| > 2 (frames under 10 events are
+    warm-up and skipped). One shuffle on event_type into a
+    partitioned window; per-row state is a constant-size frame, so
+    the shape is stream-ready (the streaming twin keeps (sum, sumsq,
+    count) per key instead of the frame). Skew note: event_type is
+    low-cardinality — at cluster scale the same query runs per
+    (event_type, day) composite key to spread partitions."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    fr = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        ts_str("ts").alias("ts_s"),
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        fr.filter((F.col("n_frame") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts_s",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("zscore"),
+        )
+    )

@@ -482,3 +482,55 @@ def docs_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_chars", F.md5("text").alias("digest")
     )
     return keep_first(docs, keys=["digest"], order_by=["doc_id"])
+
+
+# --- L8 ext: token-entropy quality gate ----------------------------------
+
+_ENTROPY_ORACLE = """
+WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+e AS (
+  SELECT doc_id, lang, len(tk) AS n,
+         list_aggregate(
+           list_transform(list_distinct(tk),
+                          u -> CAST(len(list_filter(tk, x -> x = u)) AS DOUBLE)
+                               * ln(len(list_filter(tk, x -> x = u)))),
+           'sum') AS clnc
+  FROM t)
+SELECT doc_id, lang,
+       CAST(n AS BIGINT) AS n_tokens,
+       round(ln(n) - clnc / n, 4) AS token_entropy,
+       (ln(n) - clnc / n < 1.5) AS low_entropy
+FROM e
+"""
+
+
+@register("token_entropy_gate", oracle=_ENTROPY_ORACLE, tags=("L8", "L6", "ext"))
+def token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information-theoretic quality gate: Shannon entropy of the
+    token distribution per document, H = ln(n) - (1/n)·Σ c·ln c —
+    low-entropy docs are boilerplate/keyword-stuffed spam that
+    count-based repetition rules (quality_repetition_rules) under-
+    catch. Entirely row-local HOFs over the token array (per-token
+    counts via filter-within-distinct — O(u·n) bounded by document
+    length, not corpus size): zero shuffles, fuses into the curation
+    scan. ln/division rounded at 4 decimals for cross-engine hash
+    stability."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    tk = _toks()
+    cnt = lambda u: F.size(F.filter(tk, lambda x: x == u))  # noqa: E731
+    clnc = F.aggregate(
+        F.transform(
+            F.array_distinct(tk), lambda u: cnt(u).cast("double") * F.log(cnt(u))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(tk)
+    h = F.log(n.cast("double")) - clnc / n
+    return docs.select(
+        "doc_id",
+        "lang",
+        n.cast("long").alias("n_tokens"),
+        F.round(h, 4).alias("token_entropy"),
+        (h < 1.5).alias("low_entropy"),
+    )
