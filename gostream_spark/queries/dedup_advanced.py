@@ -425,18 +425,9 @@ FROM w
 """
 
 
-@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("L2", "F7", "ext"))
-def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (the MOSS scheme): hash every
-    k-word shingle, slide a w-hash window, keep each window's minimum
-    (rightmost on ties). Guarantees a fingerprint in every w-window —
-    bounded-gap coverage that 0-mod-p sampling (rolling_hash_chunks)
-    cannot promise — so any shared run of k+w-1 words between two
-    documents shares a fingerprint. Entirely row-local array HOFs: one
-    corpus scan, zero shuffles; fingerprints land in (doc, position)
-    form ready for an inverted-index join. Hashes are 8-hex md5
-    prefixes compared lexicographically, exact in both engines."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+def _winnow_selected(docs: DataFrame) -> DataFrame:
+    """(doc_id, m, hs, fps): shingle count, k-shingle hash array, and
+    the winnow-selected positions (w-window minima, rightmost ties)."""
     toks = F.split("text", " ")
     m = (F.size(toks) - (_WINNOW_K - 1)).alias("m")
     hs = F.transform(
@@ -461,7 +452,22 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<int>"))
-    fps = base.select("doc_id", "m", "hs", sel.alias("fps"))
+    return base.select("doc_id", "m", "hs", sel.alias("fps"))
+
+
+@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("L2", "F7", "ext"))
+def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme): hash every
+    k-word shingle, slide a w-hash window, keep each window's minimum
+    (rightmost on ties). Guarantees a fingerprint in every w-window —
+    bounded-gap coverage that 0-mod-p sampling (rolling_hash_chunks)
+    cannot promise — so any shared run of k+w-1 words between two
+    documents shares a fingerprint. Entirely row-local array HOFs: one
+    corpus scan, zero shuffles; fingerprints land in (doc, position)
+    form ready for an inverted-index join. Hashes are 8-hex md5
+    prefixes compared lexicographically, exact in both engines."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    fps = _winnow_selected(docs)
     return fps.select(
         "doc_id",
         F.col("m").cast("long").alias("n_shingles"),
@@ -472,4 +478,66 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("fp_digest"),
         F.expr("CAST(10000 * size(fps) div m AS BIGINT)").alias("density_bp"),
+    )
+
+
+# --- winnowing inverted-index candidate pairs ---------------------------
+
+_WINNOW_PAIRS_ORACLE = f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+           FROM documents WHERE doc_id % 5 = 0),
+h AS (
+  SELECT doc_id, len(tk) - {_WINNOW_K - 1} AS m,
+         list_transform(range(1, len(tk) - {_WINNOW_K - 2}),
+                        p -> substr(md5(array_to_string(tk[p:p+{_WINNOW_K - 1}], ' ')), 1, 8))
+           AS hs
+  FROM t),
+w AS (
+  SELECT doc_id, hs,
+         list_distinct(list_transform(range({_WINNOW_W}, m + 1), i ->
+           hs[list_aggregate(
+                list_filter(range(i - {_WINNOW_W - 1}, i + 1),
+                            p -> hs[p] = list_aggregate(hs[i-{_WINNOW_W - 1}:i], 'min')),
+                'max')])) AS fp_hashes
+  FROM h),
+posts AS (SELECT doc_id, unnest(fp_hashes) AS fp FROM w)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+
+
+@register("winnowing_candidate_pairs", oracle=_WINNOW_PAIRS_ORACLE, tags=("L2", "L4", "ext"))
+def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing dedup's join stage: explode each document's
+    distinct selected fingerprints into an inverted index and
+    self-join on the fingerprint — candidate pairs are documents
+    sharing >= 3 winnowed fingerprints (>= 3 independent shared
+    (k+w-1)-word runs). The shuffle is hash-partitioned on the
+    fingerprint value — never all-pairs; bucket sizes are bounded by
+    fingerprint popularity exactly as in MOSS/The Pile-style overlap
+    mining, and a production run would drop the head (stop-fingerprint
+    cut) the same way frequent-shingle cuts work in MinHash. 1-in-5
+    doc subset keeps the fixture-scale index small."""
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark
+    )
+    sel = _winnow_selected(docs)
+    posts = sel.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform("fps", lambda p: F.element_at(F.col("hs"), p))
+            )
+        ).alias("fp"),
+    )
+    a = posts.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = posts.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
     )
