@@ -260,3 +260,40 @@ def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_size").alias("min_size"),
         F.max("p_size").alias("max_size"),
     )
+
+
+# --- A8/W1 ext: equi-depth histogram ------------------------------------
+
+_EQUIDEPTH_ORACLE = """
+WITH b AS (
+  SELECT event_type, value,
+         ntile(8) OVER (PARTITION BY event_type ORDER BY value, event_id) AS bin
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type, CAST(bin AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM b GROUP BY 1, 2
+"""
+
+
+@register("agg_equidepth_bins", oracle=_EQUIDEPTH_ORACLE, tags=("A8", "W1", "ext"))
+def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quantile bins): ntile(8) per event type,
+    then per-bin count and value range — the distribution summary
+    behind percentile features and drift monitors, complementing the
+    equi-WIDTH `agg_value_histogram`. Ties broken by event_id so bin
+    assignment is deterministic in both engines. At 100 TB the ntile
+    sort becomes approx_percentile cut points + a row-local
+    width_bucket against them (sketch-then-bucket), trading exactness
+    for a shuffle-free second pass."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    b = ev.select("event_type", "value", F.ntile(8).over(w).alias("bin"))
+    return b.groupBy("event_type", F.col("bin").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )

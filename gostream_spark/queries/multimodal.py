@@ -166,3 +166,49 @@ def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 3
         ).alias("out_bytes_rgb"),
     )
+
+
+# --- L9 ext: byte-range chunk manifest ----------------------------------
+
+_L9_CHUNKS_ORACLE = """
+WITH m AS (SELECT doc_id, n_chars AS n_bytes FROM documents),
+c AS (
+  SELECT doc_id, n_bytes,
+         unnest(range(0, CAST(ceil(n_bytes / 64.0) AS INT))) AS chunk_idx
+  FROM m)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(chunk_idx * 64 AS BIGINT) AS byte_offset,
+       CAST(least(64, n_bytes - chunk_idx * 64) AS BIGINT) AS chunk_len,
+       (chunk_idx = CAST(ceil(n_bytes / 64.0) AS INT) - 1) AS is_last
+FROM c
+"""
+
+
+@register("multimodal_chunk_manifest", oracle=_L9_CHUNKS_ORACLE, tags=("L9", "P3", "ext"))
+def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 ext: byte-range chunk manifest for large payloads — the
+    multipart-upload / ranged-GET plan: each blob splits into fixed
+    64-byte ranges (offset, len, last-flag) via a row-local explode of
+    the chunk indices. The manifest is what a 100 TB media pipeline
+    shuffles and schedules INSTEAD of the blobs: downstream stages
+    fetch ranges lazily, so the only shuffled bytes are doc_id + two
+    longs per chunk. Metadata-only here by design — the byte math
+    needs n_bytes, never the payload."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.ceil(F.col("n_bytes") / 64.0).cast("int")
+    m = docs.select("doc_id", F.col("n_chars").alias("n_bytes"))
+    c = m.select(
+        "doc_id",
+        "n_bytes",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        (F.col("chunk_idx") * 64).cast("long").alias("byte_offset"),
+        F.least(F.lit(64), F.col("n_bytes") - F.col("chunk_idx") * 64)
+        .cast("long")
+        .alias("chunk_len"),
+        (F.col("chunk_idx") == n_chunks - 1).alias("is_last"),
+    )
