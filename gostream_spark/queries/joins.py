@@ -601,3 +601,54 @@ def join_bucketed_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         # run writes fresh uniquely-named tables, no residue
         spark.sql(f"DROP TABLE IF EXISTS {to}")
         spark.sql(f"DROP TABLE IF EXISTS {tl}")
+
+
+# --- J1/A5 ext: decorrelated scalar subquery (TPC-H Q17 shape) ----------
+
+_Q17_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_cents_sum,
+         count(*) AS cnt
+  FROM lineitem GROUP BY 1)
+SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE)
+         AS avg_yearly,
+       count(*) AS n_small
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.pk
+WHERE l.l_partkey % 10 = 0
+  AND 5 * CAST(round(l.l_quantity * 100, 0) AS BIGINT) * p.cnt < p.qty_cents_sum
+"""
+
+
+@register("small_quantity_revenue", oracle=_Q17_ORACLE, tags=("J1", "A5", "ext"))
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is
+    below 20% of their part's average — the correlated scalar
+    subquery, decorrelated by hand into (per-part aggregate) ⋈ (fact)
+    exactly as Catalyst rewrites it. The threshold compares in exact
+    integer arithmetic (5·qty_cents·cnt < Σqty_cents ⟺ qty < 0.2·avg)
+    because a float avg differs between engines in the last ulp and
+    would flip boundary rows. Two passes over lineitem with one
+    shuffle each on l_partkey; AQE picks broadcast for the per-part
+    side when the brand-style filter makes it small."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100, 0).cast("bigint")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(qty_cents).cast("bigint").alias("qty_cents_sum"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    joined = li.filter(F.col("l_partkey") % 10 == 0).join(
+        per_part, li.l_partkey == per_part.pk
+    )
+    small = joined.filter(
+        F.lit(5) * qty_cents * F.col("cnt") < F.col("qty_cents_sum")
+    )
+    return small.agg(
+        F.round(F.sum(dec2("l_extendedprice")) / 7.0, 2)
+        .cast("double")
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small"),
+    )

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
 from gostream_spark.io import load_table
+from gostream_spark.queries.llm_similarity import _duck_cosine
 from gostream_spark.operators import keep_first, topk_ranked
 from gostream_spark.registry import register
 
@@ -550,3 +551,91 @@ def cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("n_tokens"),
         )
     )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion ---------------------------
+
+_RRF_K = 60
+
+_RRF_ORACLE = f"""
+WITH lex AS (
+  SELECT doc_id, count(*) AS hits
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+  WHERE tk IN ('data', 'merge', 'stream')
+  GROUP BY doc_id),
+lexr AS (
+  SELECT doc_id, rn AS r_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY hits DESC, doc_id) AS rn FROM lex)
+  WHERE rn <= 20),
+vecr AS (
+  SELECT vec_id AS doc_id, rn AS r_vec FROM (
+    SELECT e.vec_id,
+           row_number() OVER (
+             ORDER BY round({_duck_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id) AS rn
+    FROM embeddings e, (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0)
+  WHERE rn <= 20),
+fused AS (
+  SELECT coalesce(l.doc_id, v.doc_id) AS doc_id,
+         coalesce(l.r_lex, -1) AS r_lex,
+         coalesce(v.r_vec, -1) AS r_vec,
+         round(coalesce(1.0 / ({_RRF_K} + l.r_lex), 0)
+               + coalesce(1.0 / ({_RRF_K} + v.r_vec), 0), 6) AS rrf
+  FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id)
+SELECT doc_id, r_lex, r_vec, rrf, rn FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM fused)
+WHERE rn <= 10
+"""
+
+
+@register("hybrid_rrf_topk", oracle=_RRF_ORACLE, tags=("L3", "J2", "ext"))
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion: the lexical top-20
+    (query-term hit count) and the vector top-20 (cosine vs the
+    vec-0 query) merge by RRF score 1/(60+rank) — the
+    score-scale-free fusion every production RAG stack runs, with -1
+    sentinels marking single-channel hits. Both channels end in a
+    TakeOrdered top-k, so the fusion join touches 40 rows regardless
+    of corpus size; ranks (not raw scores) cross the join, which is
+    what makes the method robust to BM25-vs-cosine scale mismatch.
+    doc_id and vec_id share the fixture keyspace (parallel tables) —
+    the id join IS the doc-to-embedding link."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
+        .filter(F.col("tk").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    lexr = topk_ranked(lex, 20, F.col("hits").desc(), F.col("doc_id")).select(
+        "doc_id", F.col("rn").alias("r_lex")
+    )
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+    )
+    vecr = topk_ranked(scored, 20, F.col("cos").desc(), F.col("doc_id")).select(
+        "doc_id", F.col("rn").alias("r_vec")
+    )
+    fused = (
+        lexr.join(vecr, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.coalesce("r_lex", F.lit(-1)).alias("r_lex"),
+            F.coalesce("r_vec", F.lit(-1)).alias("r_vec"),
+            F.round(
+                F.coalesce(1.0 / (_RRF_K + F.col("r_lex")), F.lit(0))
+                + F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0)),
+                6,
+            ).alias("rrf"),
+        )
+    )
+    return topk_ranked(fused, 10, F.col("rrf").desc(), F.col("doc_id"))
