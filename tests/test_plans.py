@@ -283,3 +283,20 @@ def test_ewma_single_user_shuffle(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     # pushdown of the user_id sampling filter into the scan
     assert "PushedFilters" in plan
+
+
+def test_chunk_manifest_is_shuffle_free(spark, sf_dir):
+    """The manifest explode must stay row-local — shuffling blobs (or
+    even their manifests) before the explode would defeat the point."""
+    plan = _plan(spark, sf_dir, "multimodal_chunk_manifest")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_q17_no_nested_loop_and_grouped_build(spark, sf_dir):
+    """Decorrelated Q17: the per-part aggregate joins back by key —
+    never a nested-loop, and the build side is the aggregate."""
+    plan = _plan(spark, sf_dir, "small_quantity_revenue")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
