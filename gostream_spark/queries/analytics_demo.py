@@ -232,3 +232,53 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("quality_bp").cast("double") / F.count(F.lit(1)), 2
         ).alias("avg_quality_bp"),
     )
+
+
+# --- W2/A1 ext: event-transition matrix ---------------------------------
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events),
+pairs AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2)
+SELECT prev_type, next_type, n,
+       CAST(10000 * n // sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+         AS share_bp
+FROM pairs
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE, tags=("W2", "A1", "ext"))
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of user behavior: lag() pairs each
+    event with its predecessor per user, one aggregate counts the
+    (prev → next) edges, and a window over prev_type yields the
+    per-state transition share in exact basis points (integer
+    division — no float ratios near hash boundaries). Two shuffles
+    (user_id for the lag, pair key for the count) over an input that
+    collapses to |types|² rows at the aggregate — the funnel/journey
+    building block at any scale."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("CAST(10000 * n div sum(n) OVER (PARTITION BY prev_type) AS BIGINT)")
+        .alias("share_bp"),
+    )

@@ -199,3 +199,57 @@ def partitioned_sink_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars"),
         )
     )
+
+
+# --- S5 ext: Z-order clustering key -------------------------------------
+
+_ZORDER_BITS = 8
+
+_ZORDER_ORACLE = f"""
+WITH dims AS (
+  SELECT event_id,
+         user_id % 256 AS x,
+         CAST(date_part('day', ts) AS BIGINT) AS y
+  FROM events),
+z AS (
+  SELECT event_id, x, y,
+         {' + '.join(f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})" for i in range(8))}
+           AS zkey
+  FROM dims)
+SELECT event_id, CAST(x AS BIGINT) AS x, y, CAST(zkey AS BIGINT) AS zkey,
+       CAST(zkey % 16 AS BIGINT) AS file_group
+FROM z
+"""
+
+
+@register("zorder_cluster_key", oracle=_ZORDER_ORACLE, tags=("S5", "F7", "ext"))
+def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user_id, day) — the
+    bit-interleaved sort key behind Delta/Iceberg Z-ORDER layout:
+    writing files sorted by zkey co-locates rows close in BOTH
+    dimensions, so min/max file stats prune scans filtered on either
+    one. Pure row-local integer bit math (identical semantics in both
+    engines); file_group is the write-time bucket a compaction job
+    would range-assign. The engine's partitioned sink
+    (`partitioned_sink_pruned_read`) covers coarse pruning; this is
+    the fine-grained multi-dimensional complement."""
+    from gostream_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).alias("x")
+    y = F.dayofmonth("ts").cast("long").alias("y")
+    dims = ev.select("event_id", x, y)
+    zkey = None
+    for i in range(_ZORDER_BITS):
+        xbit = F.shiftleft(F.shiftright("x", i).bitwiseAND(F.lit(1)), 2 * i)
+        ybit = F.shiftleft(F.shiftright("y", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        zkey = xbit + ybit if zkey is None else zkey + xbit + ybit
+    z = dims.select(
+        "event_id",
+        F.col("x").cast("long").alias("x"),
+        "y",
+        zkey.cast("long").alias("zkey"),
+    )
+    return z.select(
+        "event_id", "x", "y", "zkey", (F.col("zkey") % 16).cast("long").alias("file_group")
+    )

@@ -445,3 +445,39 @@ def streaming_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select(ts_str("w.start").alias("win_start"), "event_type", "event_cnt", "rn")
     )
+
+
+# --- T6 numeric-recurrence state: streaming EWMA ------------------------
+
+_EWMA_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_events,
+       round(list_reduce(vals, (acc, x) -> 0.5 * acc + 0.5 * x), 6) AS ewma
+FROM (SELECT user_id, count(*) AS n,
+             list(value ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY user_id)
+"""
+
+
+@register(
+    "streaming_ewma_stateful",
+    oracle=_EWMA_STATEFUL_ORACLE,
+    tags=("S2", "T6", "T8"),
+)
+def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T6 with ORDER-SENSITIVE numeric state: per-user EWMA
+    folded in event-time order inside the state store, update-mode
+    sink, latest update per user (max_by on the monotonic event
+    count). The DuckDB oracle replays the identical left fold with
+    list_reduce over the time-ordered value list — every step is an
+    exact IEEE halving, so streaming state and SQL recurrence agree
+    bit for bit (round-6 is belt and braces)."""
+    from gostream_spark.streaming import ewma_stateful
+
+    ev = file_stream(spark, sf_dir, "events")
+    updates = ewma_stateful(ev)
+    result = run_available_now(updates, output_mode="update")
+    return result.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max_by("ewma", "n_events"), 6).alias("ewma"),
+    )

@@ -20,6 +20,7 @@ from gostream_spark.streaming.ops import (
     dedup_stream,
     enrich_stream,
     distinct_types_stateful,
+    ewma_stateful,
     running_count_stateful,
     windowed_counts,
 )
@@ -33,5 +34,6 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "distinct_types_stateful",
+    "ewma_stateful",
     "running_count_stateful",
 ]

@@ -17,7 +17,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from gostream_spark.operators import tumbling_windowed
 
@@ -127,6 +133,51 @@ def distinct_types_stateful(events: DataFrame) -> DataFrame:
         _distinct_types_fn,
         outputStructType=_SET_OUT_SCHEMA,
         stateStructType=_SET_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_EWMA_STATE_SCHEMA = StructType(
+    [StructField("ewma", DoubleType()), StructField("n", LongType())]
+)
+_EWMA_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def _ewma_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    ewma, n = state.get if state.exists else (0.0, 0)
+    for pdf in pdfs:
+        # Event-time order within the batch; across batches arrival
+        # order is the stream's order (the standard stateful-stream
+        # assumption).
+        for v in pdf.sort_values(["ts", "event_id"])["value"].tolist():
+            ewma = v if n == 0 else 0.5 * v + 0.5 * ewma
+            n += 1
+    state.update((ewma, n))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "ewma": [ewma]})
+
+
+def ewma_stateful(events: DataFrame) -> DataFrame:
+    """T6 third shape: NUMERIC recurrence state — a per-user running
+    EWMA (half-decay) folded event by event inside
+    ``applyInPandasWithState``. Unlike the count/set states, the value
+    depends on fold ORDER, so the update sorts each Arrow batch by
+    event time; every operation is an exact IEEE scaling (x0.5), so
+    the result is bit-reproducible against any engine running the
+    same fold. Same protobuf-gated ``transformWithStateInPandas``
+    upgrade path as the other stateful ops."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _ewma_fn,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
