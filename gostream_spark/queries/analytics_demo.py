@@ -282,3 +282,164 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(10000 * n div sum(n) OVER (PARTITION BY prev_type) AS BIGINT)")
         .alias("share_bp"),
     )
+
+
+# --- A1/F3 ext: population-stability-index drift monitor ----------------
+
+_PSI_ORACLE = """
+WITH halves AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 0 ELSE 1 END AS half,
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 11
+              ELSE CAST(floor(value / 50) + 1 AS BIGINT) END AS bucket
+  FROM events WHERE value IS NOT NULL),
+grid AS (
+  SELECT t.event_type, b.bucket
+  FROM (SELECT DISTINCT event_type FROM halves) t,
+       (SELECT unnest(range(0, 12)) AS bucket) b),
+cnt AS (
+  SELECT event_type, bucket,
+         count(*) FILTER (half = 0) AS na,
+         count(*) FILTER (half = 1) AS nb
+  FROM halves GROUP BY 1, 2),
+full_grid AS (
+  SELECT g.event_type, g.bucket,
+         coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb
+  FROM grid g LEFT JOIN cnt c
+    ON g.event_type = c.event_type AND g.bucket = c.bucket),
+tot AS (
+  SELECT event_type, sum(na) AS ta, sum(nb) AS tb
+  FROM full_grid GROUP BY 1)
+SELECT f.event_type,
+       round(sum(
+         ((f.na + 1.0) / (t.ta + 12) - (f.nb + 1.0) / (t.tb + 12))
+         * ln(((f.na + 1.0) / (t.ta + 12)) / ((f.nb + 1.0) / (t.tb + 12)))
+       ), 4) AS psi,
+       CAST(max(t.ta) AS BIGINT) AS n_first_half,
+       CAST(max(t.tb) AS BIGINT) AS n_second_half
+FROM full_grid f JOIN tot t USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("value_drift_psi", oracle=_PSI_ORACLE, tags=("A1", "F3", "ext"))
+def value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: population stability index of the
+    value histogram between the first and second half of the month,
+    per event type — the standard feature/label drift gate in a
+    training pipeline (PSI > 0.2 ⇒ investigate). Laplace-smoothed
+    (+1 per bucket) so empty buckets stay defined; bucket counts are
+    exact integers and the only floats are the final smoothed ratios.
+    Shape: one scan → one (type, half, bucket) aggregate (map-side
+    partial) → broadcast-size grid join; output is |types| rows at
+    any input scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    halves = ev.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10))
+        .cast("long")
+        .alias("bucket"),
+    )
+    cnt = halves.groupBy("event_type", "bucket").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("na"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("nb"),
+    )
+    grid = (
+        halves.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(12).select(F.col("id").cast("long").alias("bucket"))
+            )
+        )
+    )
+    full_grid = (
+        grid.join(cnt, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+    )
+    tot = full_grid.groupBy("event_type").agg(
+        F.sum("na").alias("ta"), F.sum("nb").alias("tb")
+    )
+    p = (F.col("na") + 1.0) / (F.col("ta") + 12)
+    q = (F.col("nb") + 1.0) / (F.col("tb") + 12)
+    return (
+        full_grid.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.sum((p - q) * F.log(p / q)), 4).alias("psi"),
+            F.max("ta").cast("long").alias("n_first_half"),
+            F.max("tb").cast("long").alias("n_second_half"),
+        )
+    )
+
+
+# --- W2/L6 ext: user-path trigram mining --------------------------------
+
+_PATH_TRIGRAMS_ORACLE = """
+WITH paths AS (
+  SELECT user_id, list(event_type ORDER BY ts, event_id) AS path FROM events
+  GROUP BY user_id),
+tri AS (
+  SELECT user_id,
+         unnest(list_transform(range(1, len(path) - 1),
+                i -> path[i] || ' > ' || path[i+1] || ' > ' || path[i+2]))
+           AS trigram
+  FROM paths WHERE len(path) >= 3)
+SELECT trigram, n, rn FROM (
+  SELECT trigram, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, trigram) AS rn
+  FROM tri GROUP BY trigram)
+WHERE rn <= 20
+"""
+
+
+@register("event_path_trigrams", oracle=_PATH_TRIGRAMS_ORACLE, tags=("W2", "L6", "ext"))
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the 20 most common 3-step behavior
+    paths across users. Per-user event sequences assemble with ONE
+    shuffle (groupBy user, order restored by sorting (ts, event_id)
+    structs inside the array — collect_list order is
+    partition-arrival, never trust it); trigram expansion is then
+    row-local, and the count collapses to |types|³ keys. The same
+    assemble-sort-expand shape mines arbitrary k-grams; per-user
+    sequence length is the only memory bound (cap with a slice for
+    power users at 100 TB)."""
+    from pyspark.sql import Window  # noqa: F401  (parallel to siblings)
+
+    ev = load_table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda s: s["event_type"],
+            ).alias("path")
+        )
+        .filter(F.size("path") >= 3)
+    )
+    tri = paths.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("path") - 2),
+                lambda i: F.concat_ws(
+                    " > ",
+                    F.element_at(F.col("path"), i),
+                    F.element_at(F.col("path"), i + 1),
+                    F.element_at(F.col("path"), i + 2),
+                ),
+            )
+        ).alias("trigram")
+    )
+    counts = tri.groupBy("trigram").agg(F.count(F.lit(1)).alias("n"))
+    from gostream_spark.operators import topk_ranked
+
+    return topk_ranked(counts, 20, F.col("n").desc(), F.col("trigram"))
