@@ -455,7 +455,7 @@ def _winnow_selected(docs: DataFrame) -> DataFrame:
     return base.select("doc_id", "m", "hs", sel.alias("fps"))
 
 
-@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("L2", "F7", "ext"))
+@register("winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("L2", "F7", "ext"), bench=True)
 def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme): hash every
     k-word shingle, slide a w-hash window, keep each window's minimum

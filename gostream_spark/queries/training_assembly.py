@@ -588,7 +588,7 @@ WHERE rn <= 10
 """
 
 
-@register("hybrid_rrf_topk", oracle=_RRF_ORACLE, tags=("L3", "J2", "ext"))
+@register("hybrid_rrf_topk", oracle=_RRF_ORACLE, tags=("L3", "J2", "ext"), bench=True)
 def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval by reciprocal-rank fusion: the lexical top-20
     (query-term hit count) and the vector top-20 (cosine vs the
