@@ -443,3 +443,92 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gostream_spark.operators import topk_ranked
 
     return topk_ranked(counts, 20, F.col("n").desc(), F.col("trigram"))
+
+
+# --- data-quality audit (constraint checking) ---------------------------
+
+_AUDIT_ORACLE = """
+SELECT 'orders_null_priority' AS metric,
+       CAST((SELECT count(*) FROM orders WHERE o_orderpriority IS NULL) AS BIGINT)
+         AS value
+UNION ALL
+SELECT 'lineitem_orphans',
+       CAST((SELECT count(*) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+UNION ALL
+SELECT 'events_orphan_users',
+       CAST((SELECT count(DISTINCT user_id) FROM events e
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = e.user_id)) AS BIGINT)
+UNION ALL
+SELECT 'orders_dup_keys',
+       CAST((SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1))
+            AS BIGINT)
+UNION ALL
+SELECT 'lineitem_nonpositive_qty',
+       CAST((SELECT count(*) FROM lineitem WHERE l_quantity <= 0) AS BIGINT)
+UNION ALL
+SELECT 'events_value_nulls',
+       CAST((SELECT count(*) FROM events WHERE value IS NULL) AS BIGINT)
+"""
+
+
+@register("data_quality_audit", oracle=_AUDIT_ORACLE, tags=("A2", "J3", "ext"))
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit across the warehouse — the pre-ingest health
+    report: null-rate checks, referential integrity (anti-join orphan
+    counts), key uniqueness, and domain rules, emitted as one
+    (metric, value) table. Each check is an independent aggregate or
+    anti-join the optimizer schedules in parallel; the unions carry 1
+    row each. This is the job you run BEFORE the 100 TB pipeline, so
+    every check must be a scan-bounded aggregate — none of these
+    materializes a wide intermediate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def metric(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("metric"), F.col("value").cast("long"))
+
+    checks = [
+        metric(
+            "orders_null_priority",
+            orders.filter(F.col("o_orderpriority").isNull()).agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        ),
+        metric(
+            "lineitem_orphans",
+            li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+                F.count(F.lit(1)).alias("value")
+            ),
+        ),
+        metric(
+            "events_orphan_users",
+            ev.join(cust, ev.user_id == cust.c_custkey, "left_anti").agg(
+                F.countDistinct("user_id").alias("value")
+            ),
+        ),
+        metric(
+            "orders_dup_keys",
+            orders.groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .agg(F.count(F.lit(1)).alias("value")),
+        ),
+        metric(
+            "lineitem_nonpositive_qty",
+            li.filter(F.col("l_quantity") <= 0).agg(F.count(F.lit(1)).alias("value")),
+        ),
+        metric(
+            "events_value_nulls",
+            ev.filter(F.col("value").isNull()).agg(F.count(F.lit(1)).alias("value")),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

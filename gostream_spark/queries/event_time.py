@@ -406,3 +406,127 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("zscore"),
         )
     )
+
+
+# --- SCD1 upsert merge (CDC apply) --------------------------------------
+
+_SCD1_ORACLE = """
+WITH keyed AS (
+  SELECT user_id, value, ts,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+           || lpad(CAST(event_id AS VARCHAR), 10, '0') AS ordkey
+  FROM events),
+base AS (
+  SELECT user_id, arg_max(value, ordkey) AS value,
+         max(ts) AS updated_ts, count(*) AS n_base
+  FROM keyed WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY user_id),
+updates AS (
+  SELECT user_id, arg_max(value, ordkey) AS value,
+         max(ts) AS updated_ts, count(*) AS n_upd
+  FROM keyed WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+  GROUP BY user_id)
+SELECT coalesce(b.user_id, u.user_id) AS user_id,
+       round(coalesce(u.value, b.value), 2) AS value,
+       strftime(coalesce(u.updated_ts, b.updated_ts), '%Y-%m-%d %H:%M:%S')
+         AS updated_ts,
+       CASE WHEN b.user_id IS NULL THEN 'insert'
+            WHEN u.user_id IS NULL THEN 'unchanged'
+            ELSE 'update' END AS merge_action
+FROM base b FULL OUTER JOIN updates u ON b.user_id = u.user_id
+"""
+
+
+@register("scd1_upsert_merge", oracle=_SCD1_ORACLE, tags=("J2", "A6", "ext"))
+def scd1_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-1 merge (the MERGE INTO / CDC-apply shape): the
+    pre-cutoff state table full-outer-joins the post-cutoff update
+    batch; updates win, inserts appear, untouched rows carry forward —
+    with the action labeled per key. Latest-per-key on both sides is
+    max_by with a (ts, event_id) tie-proof ordering tuple, one hash
+    aggregate each — never a row_number sort. At 100 TB the base side
+    is the storage table (Delta/Iceberg MERGE pushes the same join
+    into the table format); the update batch is the small side and
+    broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    # Fixed-width string ordering key: lexicographic == (ts, event_id)
+    # numeric order; DuckDB's arg_max has no composite-key overload.
+    ordkey = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+
+    def latest(df: DataFrame, n_name: str) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.max_by("value", ordkey).alias("value"),
+            F.max("ts").alias("updated_ts"),
+            F.count(F.lit(1)).alias(n_name),
+        )
+
+    base = latest(ev.filter(F.col("ts") < cutoff), "n_base").alias("b")
+    upd = latest(ev.filter(F.col("ts") >= cutoff), "n_upd").alias("u")
+    joined = base.join(upd, F.col("b.user_id") == F.col("u.user_id"), "full")
+    return joined.select(
+        F.coalesce("b.user_id", "u.user_id").alias("user_id"),
+        F.round(F.coalesce("u.value", "b.value"), 2).alias("value"),
+        ts_str(F.coalesce("u.updated_ts", "b.updated_ts")).alias("updated_ts"),
+        F.when(F.col("b.user_id").isNull(), "insert")
+        .when(F.col("u.user_id").isNull(), "unchanged")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
+
+
+# --- T1+A7: hierarchical time rollup ------------------------------------
+
+_TIME_ROLLUP_ORACLE = f"""
+WITH b AS (
+  SELECT date_trunc('week', ts) AS week_start, date_trunc('day', ts) AS day_start,
+         value
+  FROM events)
+SELECT CASE WHEN grouping(week_start) = 1 THEN '(all)'
+            ELSE strftime(week_start, '{TS_FMT_DUCK}') END AS week_start,
+       CASE WHEN grouping(day_start) = 1 THEN '(all)'
+            ELSE strftime(day_start, '{TS_FMT_DUCK}') END AS day_start,
+       CASE WHEN grouping(week_start) = 1 THEN 'total'
+            WHEN grouping(day_start) = 1 THEN 'week' ELSE 'day' END AS grain,
+       count(*) AS event_cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM b
+GROUP BY ROLLUP (week_start, day_start)
+"""
+
+
+@register("time_rollup_multigrain", oracle=_TIME_ROLLUP_ORACLE, tags=("T1", "A7", "ext"))
+def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup: day totals, week subtotals, and the
+    grand total from ONE pass — ROLLUP(week, day) exploits day⊂week
+    nesting (a full grouping-sets cube would double-count nothing but
+    cost an extra expand row per grain anyway). The dashboard
+    time-hierarchy query; Catalyst's Expand keeps the aggregation
+    partial→final, so input is read once at any scale. grouping()
+    bits label the grain and disambiguate subtotal NULLs, string-
+    sentineled for the NULL-free output discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_trunc("week", "ts").alias("week_start"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        "value",
+    )
+    rolled = b.rollup("week_start", "day_start").agg(
+        F.grouping("week_start").alias("gw"),
+        F.grouping("day_start").alias("gd"),
+        F.count(F.lit(1)).alias("event_cnt"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+    )
+    return rolled.select(
+        F.when(F.col("gw") == 1, "(all)").otherwise(ts_str("week_start")).alias("week_start"),
+        F.when(F.col("gd") == 1, "(all)").otherwise(ts_str("day_start")).alias("day_start"),
+        F.when(F.col("gw") == 1, "total")
+        .when(F.col("gd") == 1, "week")
+        .otherwise("day")
+        .alias("grain"),
+        "event_cnt",
+        "total_value",
+    )

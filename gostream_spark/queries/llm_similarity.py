@@ -631,3 +631,55 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_per_group(
         scored, 3, ["query_id"], [F.col("cos").desc(), F.col("vec_id")]
     )
+
+
+# --- L5/F5 ext: per-dimension min-max normalization ---------------------
+
+_MINMAX_ORACLE = """
+WITH elems AS (
+  SELECT vec_id, label, unnest(embedding) AS v,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings),
+stats AS (
+  SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+  FROM elems GROUP BY pos),
+norm AS (
+  SELECT e.vec_id, e.label,
+         (CAST(e.v AS DOUBLE) - s.mn) / (s.mx - s.mn) AS nv
+  FROM elems e JOIN stats s USING (pos))
+SELECT vec_id, label,
+       CAST(round(sum(CAST(round(nv, 6) AS DECIMAL(18,6))), 6) AS DOUBLE) AS norm_sum,
+       round(min(nv), 6) AS norm_min,
+       round(max(nv), 6) AS norm_max
+FROM norm GROUP BY vec_id, label
+"""
+
+
+@register("embedding_minmax_normalize", oracle=_MINMAX_ORACLE, tags=("L5", "F5", "ext"))
+def embedding_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature scaling for the vector column: per-DIMENSION min-max
+    over the corpus (one explode + 64-group aggregate — the stats fit
+    in a closed fist and broadcast), then a row-local rescale of every
+    vector. The output checksums (sum/min/max of the normalized
+    elements, round-6) prove the rescaled VALUES match cross-engine.
+    This is the normalize-before-index stage of an ANN build: skipping
+    it lets one high-variance dimension dominate every distance."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).select("vec_id", "label", "pos", F.col("v").cast("double").alias("v"))
+    stats = elems.groupBy("pos").agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx")
+    )
+    norm = elems.join(F.broadcast(stats), "pos").select(
+        "vec_id", "label", ((F.col("v") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("nv")
+    )
+    # Decimal-routed sum: 64 doubles would sum in partition order —
+    # round each term first so the total is order-proof cross-engine.
+    return norm.groupBy("vec_id", "label").agg(
+        F.round(F.sum(F.round("nv", 6).cast("decimal(18,6)")), 6)
+        .cast("double")
+        .alias("norm_sum"),
+        F.round(F.min("nv"), 6).alias("norm_min"),
+        F.round(F.max("nv"), 6).alias("norm_max"),
+    )
