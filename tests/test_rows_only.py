@@ -156,3 +156,50 @@ def test_winnowing_matches_python_reference(spark, sf_dir):
         assert all(g <= _WINNOW_W for g in gaps)
         if m >= _WINNOW_W:
             assert fps[0] <= _WINNOW_W - 1 and fps[-1] >= m - _WINNOW_W
+
+
+def test_zorder_key_properties(spark, sf_dir):
+    """Morton-key invariants: interleaving is a bijection on the
+    (x, y) grid (key decodes back to its dims), and the key is
+    monotone in each dimension with the other held fixed."""
+    rows = get_query("zorder_cluster_key").fn(spark, sf_dir).collect()
+
+    def decode(z):
+        x = y = 0
+        for i in range(8):
+            x |= ((z >> (2 * i)) & 1) << i
+            y |= ((z >> (2 * i + 1)) & 1) << i
+        return x, y
+
+    by_x = {}
+    for r in rows:
+        assert decode(r.zkey) == (r.x, r.y % 256), r
+        by_x.setdefault(r.y, {})[r.x] = r.zkey
+    for y, xs in list(by_x.items())[:5]:
+        ks = [xs[x] for x in sorted(xs)]
+        assert ks == sorted(ks)  # monotone in x for fixed y
+
+
+def test_ewma_stays_within_window_bounds(spark, sf_dir):
+    """EWMA is a convex combination of the frame's values — it must
+    lie within [min, max] of the trailing window for every row."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    bounds = {
+        (r.user_id, r.event_id): (r.lo, r.hi)
+        for r in ev.select(
+            "user_id",
+            "event_id",
+            F.min("value").over(w).alias("lo"),
+            F.max("value").over(w).alias("hi"),
+        ).collect()
+    }
+    for r in get_query("ewma_smoothing").fn(spark, sf_dir).collect():
+        lo, hi = bounds[(r.user_id, r.event_id)]
+        assert lo - 1e-6 <= r.ewma <= hi + 1e-6, (r, lo, hi)
