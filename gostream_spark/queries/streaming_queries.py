@@ -481,3 +481,40 @@ def streaming_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.round(F.max_by("ewma", "n_events"), 6).alias("ewma"),
     )
+
+
+# --- T6 derived-event emission: streaming transition counts -------------
+
+_STREAM_TRANS_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events)
+SELECT prev_type, event_type AS next_type, count(*) AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_transition_counts",
+    oracle=_STREAM_TRANS_ORACLE,
+    tags=("S2", "T6", "W2"),
+)
+def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `event_transition_matrix`: per-user state
+    carries the LAST event type across micro-batches and emits each
+    completed (prev → next) pair — a per-batch lag() would drop every
+    boundary-straddling transition; explicit state is the only
+    correct streaming form. The sink sums the per-batch partial
+    counts into the global matrix, which must equal the batch lag()
+    oracle."""
+    from gostream_spark.streaming import transition_counts_stateful
+
+    ev = file_stream(spark, sf_dir, "events")
+    updates = transition_counts_stateful(ev)
+    result = run_available_now(updates, output_mode="append")
+    return result.groupBy("prev_type", "next_type").agg(
+        F.sum("n").cast("long").alias("n")
+    )

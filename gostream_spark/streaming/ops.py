@@ -181,3 +181,53 @@ def ewma_stateful(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TRANS_STATE_SCHEMA = StructType([StructField("last_type", StringType())])
+_TRANS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("prev_type", StringType()),
+        StructField("next_type", StringType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _transition_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    last_type = state.get[0] if state.exists and state.get[0] else None
+    pairs: dict[tuple, int] = {}
+    for pdf in pdfs:
+        for t in pdf.sort_values(["ts", "event_id"])["event_type"].tolist():
+            if last_type is not None:
+                pairs[(last_type, t)] = pairs.get((last_type, t), 0) + 1
+            last_type = t
+    state.update((last_type if last_type is not None else "",))
+    if pairs:
+        ks = sorted(pairs)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(ks),
+                "prev_type": [p for p, _ in ks],
+                "next_type": [n for _, n in ks],
+                "n": [pairs[k] for k in ks],
+            }
+        )
+
+
+def transition_counts_stateful(events: DataFrame) -> DataFrame:
+    """T6 fourth shape: state that EMITS DERIVED EVENTS — the per-user
+    last-event-type carries across micro-batches, and each batch emits
+    the (prev → next) transition pairs it completes, including the
+    pair that straddles the batch boundary (the case per-batch lag()
+    cannot see). Downstream sums the partial counts; the batch oracle
+    is the global lag()-derived transition matrix."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
