@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
-from gostream_spark.parity import TS_FMT_DUCK, ts_str
+from gostream_spark.parity import TS_FMT_DUCK, dec2, ts_str
 from gostream_spark.registry import register
 
 # --- signup -> purchase funnel ------------------------------------------
@@ -532,3 +532,182 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+# --- cohort retention matrix --------------------------------------------
+
+_COHORT_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day FROM events
+  GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+aged AS (
+  SELECT f.cohort_day,
+         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS age_days,
+         a.user_id
+  FROM firsts f JOIN active a USING (user_id))
+SELECT strftime(cohort_day, '{TS_FMT_DUCK}') AS cohort_day,
+       age_days,
+       count(DISTINCT user_id) AS active_users
+FROM aged WHERE age_days <= 14
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention_matrix", oracle=_COHORT_ORACLE, tags=("W9", "J1", "ext"))
+def cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cohort triangle: users grouped by first-seen day, counted
+    on each subsequent active day as (cohort, age) cells — the
+    standard retention heatmap feeding growth dashboards. Two
+    aggregates and one user-keyed join (first-day table is
+    user-cardinality and co-partitions with the activity grid on the
+    same key, so the join reuses the distinct's shuffle). Output is
+    |cohorts| × age_cap cells at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    aged = firsts.join(active, "user_id").select(
+        "cohort_day",
+        F.datediff("day", "cohort_day").cast("long").alias("age_days"),
+        "user_id",
+    )
+    return (
+        aged.filter(F.col("age_days") <= 14)
+        .groupBy(ts_str("cohort_day").alias("cohort_day"), "age_days")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# --- strict-order three-step funnel -------------------------------------
+
+_FUNNEL3_ORACLE = """
+WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t2
+       FROM events e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t3
+       FROM events e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT 'signup' AS step, CAST(1 AS BIGINT) AS step_no,
+       CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+UNION ALL
+SELECT 'view_after_signup', 2, CAST((SELECT count(*) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 'purchase_after_view', 3, CAST((SELECT count(*) FROM s3) AS BIGINT)
+"""
+
+
+@register("funnel_three_step", oracle=_FUNNEL3_ORACLE, tags=("J6", "A2", "ext"))
+def funnel_three_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ORDER funnel: signup → first view strictly after it →
+    first purchase strictly after that. Each stage is min-ts per user
+    joined forward on (user, ts > prev) — the sequential-constraint
+    pattern set-intersection funnels get wrong (they count users who
+    purchased BEFORE viewing). Three user-keyed aggregates/joins that
+    all hash on user_id, so at scale the chain reuses one
+    partitioning end to end."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str) -> DataFrame:
+        e = ev.filter(F.col("event_type") == etype).select(
+            "user_id", F.col("ts").alias("ets")
+        )
+        pcol = prev.columns[-1]
+        return (
+            e.join(prev, "user_id")
+            .filter(F.col("ets") > F.col(pcol))
+            .groupBy("user_id")
+            .agg(F.min("ets").alias(tcol))
+        )
+
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1, "view", "t2")
+    s3 = first_after(s2, "purchase", "t3")
+
+    def step(name: str, no: int, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(name).alias("step"),
+            F.lit(no).cast("long").alias("step_no"),
+            F.col("users").cast("long"),
+        )
+
+    return (
+        step("signup", 1, s1)
+        .unionByName(step("view_after_signup", 2, s2))
+        .unionByName(step("purchase_after_view", 3, s3))
+    )
+
+
+# --- ABC / Pareto revenue classes ---------------------------------------
+
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT))
+              AS BIGINT) AS rev_cents
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT o_custkey, rev_cents,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents,
+         sum(rev_cents) OVER () AS total_cents
+  FROM rev),
+classed AS (
+  SELECT o_custkey, rev_cents,
+         CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'
+              WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'
+              ELSE 'C' END AS abc
+  FROM ranked)
+SELECT abc, count(*) AS n_customers,
+       CAST(sum(rev_cents) AS BIGINT) AS class_rev_cents
+FROM classed GROUP BY abc
+"""
+
+
+@register("abc_revenue_classes", oracle=_ABC_ORACLE, tags=("W3", "A1", "ext"))
+def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC classification: customers sorted by revenue, class A
+    = the prefix covering 80% of total revenue, B to 95%, C the tail —
+    all arithmetic in exact integer cents (100·cum ≤ 80·total), no
+    float shares anywhere near a class boundary. The cumulative
+    window is a GLOBAL ordered sum — legitimate here because it runs
+    over the per-customer AGGREGATE (customer-cardinality, not fact
+    rows); at extreme scale the two-pass form (histogram of revenue →
+    prefix sums per bucket → row-local classify) removes the single
+    ordered pass. Output is 3 rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(dec2("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents")
+    )
+    w_cum = Window.orderBy(F.col("rev_cents").desc(), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        "o_custkey",
+        "rev_cents",
+        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
+        F.sum("rev_cents").over(Window.partitionBy()).alias("total_cents"),
+    )
+    classed = ranked.select(
+        "rev_cents",
+        F.when(100 * F.col("cum_cents") <= 80 * F.col("total_cents"), "A")
+        .when(100 * F.col("cum_cents") <= 95 * F.col("total_cents"), "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
+    )
