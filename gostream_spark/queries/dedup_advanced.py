@@ -430,12 +430,18 @@ def _winnow_selected(docs: DataFrame) -> DataFrame:
     the winnow-selected positions (w-window minima, rightmost ties)."""
     toks = F.split("text", " ")
     m = (F.size(toks) - (_WINNOW_K - 1)).alias("m")
-    hs = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (_WINNOW_K - 1)),
-        lambda p: F.substring(
-            F.md5(F.array_join(F.slice(toks, p, _WINNOW_K), " ")), 1, 8
+    # Guard: fewer tokens than one shingle would make sequence(1, m<=0)
+    # DESCEND through 0 and crash slice — short docs get an empty hash
+    # array instead (found by the hypothesis fuzz in test_properties).
+    hs = F.when(
+        F.size(toks) >= _WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_WINNOW_K - 1)),
+            lambda p: F.substring(
+                F.md5(F.array_join(F.slice(toks, p, _WINNOW_K), " ")), 1, 8
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     base = docs.select("doc_id", m, hs.alias("hs"))
     mn = lambda i: F.array_min(F.slice(F.col("hs"), i - (_WINNOW_W - 1), _WINNOW_W))  # noqa: E731
     pick = lambda i: F.array_max(  # noqa: E731

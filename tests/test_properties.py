@@ -938,3 +938,42 @@ def test_simhash64_duplicate_and_locality_invariants(spark, seed):
     mean_lo = sum(ham(sig[(d, "orig")], sig[(d, "lo")]) for d in range(6)) / 6
     mean_hi = sum(ham(sig[(d, "orig")], sig[(d, "hi")]) for d in range(6)) / 6
     assert mean_lo < mean_hi, (mean_lo, mean_hi)
+
+
+_winnow_vocab = ["aa", "bb", "cc", "dd", "ee"]
+
+
+@given(
+    toks=st.lists(st.sampled_from(_winnow_vocab), min_size=0, max_size=24),
+    doc_id=st.integers(min_value=0, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_winnowing_selection_matches_reference(spark, toks, doc_id):
+    """Fuzz `_winnow_selected` against a pure-Python winnower on
+    random token sequences, including the degenerate sizes the
+    fixtures never produce (empty docs, fewer shingles than the
+    window)."""
+    import hashlib
+
+    from gostream_spark.queries.dedup_advanced import (
+        _WINNOW_K,
+        _WINNOW_W,
+        _winnow_selected,
+    )
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(doc_id, text)], "doc_id LONG, text STRING")
+    row = _winnow_selected(df).collect()[0]
+
+    m = len(toks) - (_WINNOW_K - 1)
+    hs = [
+        hashlib.md5(" ".join(toks[p : p + _WINNOW_K]).encode()).hexdigest()[:8]
+        for p in range(max(m, 0))
+    ]
+    sel = set()
+    for i in range(_WINNOW_W - 1, m):
+        win = hs[i - _WINNOW_W + 1 : i + 1]
+        mn = min(win)
+        sel.add(i - list(reversed(win)).index(mn))
+    # engine positions are 1-based
+    assert sorted(p - 1 for p in row.fps) == sorted(sel), (toks, row.fps)
