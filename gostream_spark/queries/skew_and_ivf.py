@@ -164,3 +164,65 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
     )
     return topk_ranked(scored, 10, F.col("cos").desc(), F.col("vec_id"))
+
+
+# --- skew diagnostics: join-key profile ---------------------------------
+
+_SKEW_PROFILE_ORACLE = """
+WITH ok AS (
+  SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1),
+lk AS (
+  SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1),
+prof AS (
+  SELECT 'orders.o_custkey' AS key_col, count(*) AS n_keys,
+         CAST(max(c) AS BIGINT) AS max_per_key,
+         CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_per_key,
+         CAST(quantile_disc(c, 0.99) AS BIGINT) AS p99_per_key,
+         CAST(10000 * max(c) // sum(c) AS BIGINT) AS top_key_share_bp
+  FROM ok
+  UNION ALL
+  SELECT 'lineitem.l_orderkey', count(*),
+         CAST(max(c) AS BIGINT),
+         CAST(quantile_disc(c, 0.5) AS BIGINT),
+         CAST(quantile_disc(c, 0.99) AS BIGINT),
+         CAST(10000 * max(c) // sum(c) AS BIGINT)
+  FROM lk)
+SELECT * FROM prof
+"""
+
+
+@register("skew_profile_keys", oracle=_SKEW_PROFILE_ORACLE, tags=("A8", "ext"))
+def skew_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler — the diagnostic you run BEFORE picking
+    a join strategy at 100 TB: per-key count distribution (median,
+    p99, max, top-key share in basis points) for each candidate key.
+    max/p50 >> 1 ⇒ salt or AQE-split that join; top_key_share_bp in
+    the thousands ⇒ isolate the hot key. One aggregate per key column
+    over only that column (pruned scan), then a discrete-percentile
+    fold over the per-key counts — key-cardinality cost, no joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def profile(df: DataFrame, col: str, label: str) -> DataFrame:
+        per_key = df.groupBy(F.col(col).alias("k")).agg(F.count(F.lit(1)).alias("c"))
+        return per_key.agg(
+            F.lit(label).alias("key_col"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").cast("long").alias("max_per_key"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY c)")
+            .cast("long")
+            .alias("p50_per_key"),
+            F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY c)")
+            .cast("long")
+            .alias("p99_per_key"),
+            F.expr("CAST(10000 * max(c) div sum(c) AS BIGINT)").alias(
+                "top_key_share_bp"
+            ),
+        ).select(
+            "key_col", "n_keys", "max_per_key", "p50_per_key", "p99_per_key",
+            "top_key_share_bp",
+        )
+
+    return profile(orders, "o_custkey", "orders.o_custkey").unionByName(
+        profile(li, "l_orderkey", "lineitem.l_orderkey")
+    )
