@@ -22,6 +22,7 @@ from gostream_spark.streaming.ops import (
     distinct_types_stateful,
     ewma_stateful,
     running_count_stateful,
+    session_timeout_stateful,
     transition_counts_stateful,
     windowed_counts,
 )
@@ -37,5 +38,6 @@ __all__ = [
     "distinct_types_stateful",
     "ewma_stateful",
     "running_count_stateful",
+    "session_timeout_stateful",
     "transition_counts_stateful",
 ]

@@ -231,3 +231,50 @@ def transition_counts_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TIMEOUT_STATE_SCHEMA = StructType([StructField("cnt", LongType())])
+_TIMEOUT_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("closed", StringType()),
+    ]
+)
+
+
+def _session_timeout_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        (cnt,) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "closed": ["timeout"]}
+        )
+        return
+    (cnt,) = state.get if state.exists else (0,)
+    for pdf in pdfs:
+        cnt += len(pdf)
+    state.update((cnt,))
+    state.setTimeoutDuration(1)  # ms — any later batch closes idle keys
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt], "closed": ["open"]})
+
+
+def session_timeout_stateful(events: DataFrame) -> DataFrame:
+    """T6 with TIMERS: per-key counts whose state is CLOSED by a
+    processing-time timeout — the idle-session eviction pattern
+    (Storm's tick-driven state expiry). A key not updated by the time
+    a later micro-batch runs gets the timed-out callback: it emits a
+    final 'timeout' record and removes its state, which is how
+    unbounded keyspaces stay bounded without watermark-eligible event
+    time. (`transformWithStateInPandas` adds per-timer registration;
+    this is the timeout form `applyInPandasWithState` supports in
+    this environment — no protobuf needed.)"""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_timeout_fn,
+        outputStructType=_TIMEOUT_OUT_SCHEMA,
+        stateStructType=_TIMEOUT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

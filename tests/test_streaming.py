@@ -265,3 +265,33 @@ def test_session_windows_merge_across_batches(spark):
     assert rows[0].start == datetime(2024, 1, 1, 10, 0, 0)
     assert rows[0].end == datetime(2024, 1, 1, 11, 10, 0)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_processing_time_timeout_closes_idle_state(spark):
+    """T6 timers: a key updated only in batch 1 is closed by the
+    ProcessingTimeTimeout callback when batch 2 runs — emits a final
+    'timeout' record and removes its state; a key active in batch 2
+    stays open."""
+    from datetime import datetime
+
+    from gostream_spark.streaming.ops import session_timeout_stateful
+
+    mk = lambda i, u, h: (i, datetime(2024, 1, 1, h, 0, 0), u, "click")
+    d = _write_event_files(
+        spark,
+        [
+            [mk(1, 1, 10), mk(2, 2, 10)],  # users 1 and 2
+            [mk(3, 2, 11)],                # only user 2 stays active
+        ],
+    )
+    out = run_available_now(
+        session_timeout_stateful(_stream_dir(spark, d)), output_mode="update"
+    ).collect()
+    closed = {r.user_id for r in out if r.closed == "timeout"}
+    opens = {r.user_id: r.n_events for r in out if r.closed == "open"}
+    assert 1 in closed          # idle key evicted by the timer
+    assert 2 not in closed      # active key survives
+    assert opens[2] == 2        # and saw both its events
+    import shutil as _sh
+
+    _sh.rmtree(d, ignore_errors=True)
