@@ -32,14 +32,14 @@ def main() -> None:
     queries_list = sorted(queries)
     # Warm each query's plan once (codegen + first-scan page cache) so
     # the timed runs measure steady-state execution, not JVM warm-up;
-    # then report the best of two timed runs (local[n] single-JVM
+    # then report the best of three timed runs (local[n] single-JVM
     # timings are GC/scheduler-noisy; the minimum is the stable
     # estimate of the plan's cost).
     for name in queries_list:
         queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     for name in queries_list:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
