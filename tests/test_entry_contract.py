@@ -81,3 +81,22 @@ def test_registry_hygiene():
                 assert re.search(
                     rf"\b{t}\b\s+AS\s*\(|\)\s*(?:AS\s+)?{t}\b|\b{t}\(", q.oracle, re.I
                 ) or t in ("unnest",), f"{name}: unknown table {t!r} in oracle"
+
+
+def test_every_query_returns_atomic_columns(spark, sf_dir):
+    """The driver's pandas canonicalizer sorts result frames by every
+    column; array/map/struct cells are unhashable there and turn a
+    passing query into an artifact error (observed round 3:
+    agg_approx_percentile). House rule: registered queries return
+    ATOMIC columns only — this builds every plan and checks the
+    schema, so the failure class cannot recur."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    mod = _load()
+    bad = []
+    for name, fn in mod.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, bad
