@@ -711,3 +711,50 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("rev_cents").cast("bigint").alias("class_rev_cents"),
     )
+
+
+# --- last-touch purchase attribution ------------------------------------
+
+_ATTRIB_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS touch
+  FROM events)
+SELECT coalesce(touch, '(none)') AS touch_type,
+       count(*) AS purchases
+FROM seq WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("purchase_attribution_last_touch", oracle=_ATTRIB_ORACLE, tags=("W2", "A1", "ext"))
+def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    PRECEDING non-purchase event of its user — an ignore-nulls
+    last_value over a frame that excludes the current row (the detail
+    naive lag(1) gets wrong when purchases are adjacent). One shuffle
+    on user_id; the credit assignment is frame-local and the output
+    collapses to |event types|. Same shape at any scale; multi-touch
+    models swap the frame expression, not the plan."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("event_type", touch.alias("touch"))
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("(none)")).alias("touch_type"))
+        .agg(F.count(F.lit(1)).alias("purchases"))
+    )
