@@ -677,12 +677,21 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC classification: customers sorted by revenue, class A
     = the prefix covering 80% of total revenue, B to 95%, C the tail —
     all arithmetic in exact integer cents (100·cum ≤ 80·total), no
-    float shares anywhere near a class boundary. The cumulative
-    window is a GLOBAL ordered sum — legitimate here because it runs
-    over the per-customer AGGREGATE (customer-cardinality, not fact
-    rows); at extreme scale the two-pass form (histogram of revenue →
-    prefix sums per bucket → row-local classify) removes the single
-    ordered pass. Output is 3 rows."""
+    float shares anywhere near a class boundary.
+
+    TWO-PASS scale-safe form (no global ordered window anywhere):
+    pass 1 sketches the revenue distribution (distributed
+    approx-percentile) into ≤256 cut points; every customer is
+    assigned a bucket row-locally (count of cuts above its revenue —
+    equal revenues always share a bucket, so cross-bucket order
+    respects the exact sort). Pass 2 turns per-bucket subtotals into
+    exclusive prefix offsets via a ≤256×256 broadcast self-join, then
+    a bucket-PARTITIONED cumulative window adds the within-bucket
+    exact prefix. cum_cents = offset + within is BIT-IDENTICAL to the
+    single global window regardless of where the sketch put the cuts,
+    so the exact oracle is unchanged. Largest single sort is N/256;
+    at extreme scale raise the bucket count, not the algorithm.
+    Output is 3 rows."""
     orders = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window
 
@@ -691,14 +700,48 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rev_cents")
     )
-    w_cum = Window.orderBy(F.col("rev_cents").desc(), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+
+    n_buckets = 256
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    dist = rev.agg(
+        F.percentile_approx("rev_cents", qs, 10_000).alias("cuts"),
+        F.sum("rev_cents").cast("bigint").alias("total_cents"),
     )
-    ranked = rev.select(
-        "o_custkey",
+    bucketed = rev.crossJoin(F.broadcast(dist)).withColumn(
+        "bucket",
+        F.size(F.filter("cuts", lambda c: c > F.col("rev_cents"))),
+    )
+
+    bstats = bucketed.groupBy("bucket").agg(
+        F.sum("rev_cents").cast("bigint").alias("bucket_cents")
+    )
+    offsets = (
+        bstats.alias("a")
+        .join(
+            F.broadcast(bstats.select(
+                F.col("bucket").alias("b_bucket"),
+                F.col("bucket_cents").alias("b_cents"),
+            )),
+            F.col("b_bucket") < F.col("bucket"),
+            "left",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("b_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("offset_cents")
+        )
+    )
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("rev_cents").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
         "rev_cents",
-        F.sum("rev_cents").over(w_cum).alias("cum_cents"),
-        F.sum("rev_cents").over(Window.partitionBy()).alias("total_cents"),
+        "total_cents",
+        (F.col("offset_cents") + F.sum("rev_cents").over(w_in)).alias("cum_cents"),
     )
     classed = ranked.select(
         "rev_cents",

@@ -291,7 +291,8 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EWMA_ORACLE = f"""
 WITH sub AS (
-  SELECT user_id, event_id, ts, value FROM events WHERE user_id % 20 = 0),
+  SELECT user_id, event_id, ts, value FROM events
+  WHERE user_id % 20 = 0 AND value IS NOT NULL),
 fr AS (
   SELECT user_id, event_id, strftime(ts, '{TS_FMT_DUCK}') AS ts_s,
          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -319,8 +320,16 @@ def ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round-6 guards the residual). One shuffle on user_id; the frame
     is O(1) per row at any scale. Horizon-limited EWMA (vs the
     unbounded recurrence) is the standard scale form: state per key is
-    8 values, not a full history."""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    8 values, not a full history.
+
+    NULL values are filtered on BOTH engine sides by construction:
+    Spark's collect_list DROPS nulls while DuckDB's list() keeps them
+    (and would weight the null positions), so nullable input would
+    silently diverge — same defensive filter as value_drift_psi."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") % 20 == 0) & F.col("value").isNotNull())
+    )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -363,7 +372,8 @@ SELECT event_id, user_id, event_type, ts_s,
        round(value, 2) AS value,
        round((value - mu) / sd, 4) AS zscore
 FROM fr
-WHERE n_frame >= 10 AND sd > 0 AND abs((value - mu) / sd) > 2
+WHERE n_frame >= 10 AND round(sd, 6) > 0
+  AND abs(round((value - mu) / sd, 4)) > 2
 """
 
 
@@ -377,7 +387,14 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape is stream-ready (the streaming twin keeps (sum, sumsq,
     count) per key instead of the frame). Skew note: event_type is
     low-cardinality — at cluster scale the same query runs per
-    (event_type, day) composite key to spread partitions."""
+    (event_type, day) composite key to spread partitions.
+
+    Boundary discipline: the |z| > 2 membership test compares the
+    ROUNDED z (4 dp) and the sd > 0 guard the ROUNDED sd (6 dp),
+    identically in both engines — each engine's windowed avg/stddev
+    can differ in the last ulp, and an unrounded comparison would let
+    a boundary row flip row membership (the repo's exact-boundary
+    rule, cf. small_quantity_revenue)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -396,7 +413,11 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     z = (F.col("value") - F.col("mu")) / F.col("sd")
     return (
-        fr.filter((F.col("n_frame") >= 10) & (F.col("sd") > 0) & (F.abs(z) > 2))
+        fr.filter(
+            (F.col("n_frame") >= 10)
+            & (F.round("sd", 6) > 0)
+            & (F.abs(F.round(z, 4)) > 2)
+        )
         .select(
             "event_id",
             "user_id",

@@ -258,9 +258,13 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")),
         6,
     )
+    # The per-doc size tables are CORPUS-CARDINALITY (one row per
+    # document) — never hint-broadcast them; at 100 TB that OOMs the
+    # driver. A plain shuffle join on doc id is one cheap exchange,
+    # and AQE may still choose broadcast when the subset is small.
     scored = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", "inter_cnt", jac.alias("jaccard"))
     )
     return topk_ranked(

@@ -198,10 +198,17 @@ def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_chunks = F.ceil(F.col("n_bytes") / 64.0).cast("int")
     m = docs.select("doc_id", F.col("n_chars").alias("n_bytes"))
+    # Degenerate-size guard: for n_bytes == 0, sequence(0, -1) would
+    # DESCEND ([0, -1], default step -1) and emit two bogus rows where
+    # the oracle's range(0, 0) emits none — empty payloads get an
+    # empty chunk list instead (same guard class as _winnow_selected).
+    chunk_ids = F.when(
+        F.col("n_bytes") > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
     c = m.select(
         "doc_id",
         "n_bytes",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        F.explode(chunk_ids).alias("chunk_idx"),
     )
     return c.select(
         "doc_id",

@@ -53,9 +53,21 @@ def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     size); the corpus is pre-scored against the query vector (vec_id
     0) and broadcast; daily windows accumulate per-type similarity
     mass. Sums route through DECIMAL(18,6) so cross-row float order
-    can't move a bit."""
+    can't move a bit.
+
+    SIZE BOUND: broadcasting the scored corpus treats it as a DIM
+    table — valid only while the reference set fits the broadcast
+    budget (~10M vectors / a few GB), the common case for a curated
+    reference set scored against a live stream. No driver-side
+    action: the corpus cardinality rides in as a 1-row broadcast dim
+    (stream-static cross join), so the plan stays fully lazy. When
+    the reference side outgrows broadcast, the scale path is the
+    `ivf_topk` shape: assign both stream rows and corpus rows a
+    coarse bucket id (nearest-centroid / LSH band) and stream-static
+    equi-join ON THE BUCKET, which shuffles the corpus once and
+    probes per-bucket instead of per-vector."""
     emb = load_table(spark, sf_dir, "embeddings")
-    corpus_n = emb.count()  # tiny dim table; count() is a metadata-scale scan
+    n_dim = emb.agg(F.count(F.lit(1)).cast("long").alias("corpus_n"))
     q = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     )
@@ -67,8 +79,10 @@ def streaming_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sim"),
         )
     )
-    ev = file_stream(spark, sf_dir, "events").withColumn(
-        "ref_vec", F.col("event_id") % corpus_n
+    ev = (
+        file_stream(spark, sf_dir, "events")
+        .join(F.broadcast(n_dim), F.lit(True), "inner")
+        .withColumn("ref_vec", F.col("event_id") % F.col("corpus_n"))
     )
     joined = enrich_stream(ev, scored, F.col("ref_vec") == F.col("vec_id"))
     windowed = tumbling_windowed(

@@ -154,10 +154,13 @@ def _ewma_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     ewma, n = state.get if state.exists else (0.0, 0)
-    for pdf in pdfs:
-        # Event-time order within the batch; across batches arrival
-        # order is the stream's order (the standard stateful-stream
-        # assumption).
+    # A group larger than arrow.maxRecordsPerBatch arrives as MULTIPLE
+    # chunks in arbitrary shuffle order; an order-sensitive fold must
+    # materialize the whole group and sort ONCE (group-at-a-time memory
+    # is already the per-key state model's assumption).
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks)
         for v in pdf.sort_values(["ts", "event_id"])["value"].tolist():
             ewma = v if n == 0 else 0.5 * v + 0.5 * ewma
             n += 1
@@ -169,8 +172,9 @@ def ewma_stateful(events: DataFrame) -> DataFrame:
     """T6 third shape: NUMERIC recurrence state — a per-user running
     EWMA (half-decay) folded event by event inside
     ``applyInPandasWithState``. Unlike the count/set states, the value
-    depends on fold ORDER, so the update sorts each Arrow batch by
-    event time; every operation is an exact IEEE scaling (x0.5), so
+    depends on fold ORDER, so the update materializes the group's
+    Arrow chunks and sorts once by event time (chunk arrival order is
+    arbitrary); every operation is an exact IEEE scaling (x0.5), so
     the result is bit-reproducible against any engine running the
     same fold. Same protobuf-gated ``transformWithStateInPandas``
     upgrade path as the other stateful ops."""
@@ -199,7 +203,12 @@ def _transition_fn(
 ) -> Iterator[pd.DataFrame]:
     last_type = state.get[0] if state.exists and state.get[0] else None
     pairs: dict[tuple, int] = {}
-    for pdf in pdfs:
+    # Materialize + sort once across ALL chunks: multi-chunk groups
+    # arrive in arbitrary order, and the prev->next pairing is
+    # order-sensitive (same discipline as _ewma_fn).
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks)
         for t in pdf.sort_values(["ts", "event_id"])["event_type"].tolist():
             if last_type is not None:
                 pairs[(last_type, t)] = pairs.get((last_type, t), 0) + 1
@@ -243,36 +252,52 @@ _TIMEOUT_OUT_SCHEMA = StructType(
 )
 
 
-def _session_timeout_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        (cnt,) = state.get
-        state.remove()
+def _make_session_timeout_fn(timeout_ms: int):
+    def _session_timeout_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            (cnt,) = state.get
+            state.remove()  # eviction: no re-arm, state is gone
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [cnt], "closed": ["timeout"]}
+            )
+            return
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        # Activity re-arms the idle timer; the key is closed only
+        # after timeout_ms of silence.
+        state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [cnt], "closed": ["timeout"]}
+            {"user_id": [key[0]], "n_events": [cnt], "closed": ["open"]}
         )
-        return
-    (cnt,) = state.get if state.exists else (0,)
-    for pdf in pdfs:
-        cnt += len(pdf)
-    state.update((cnt,))
-    state.setTimeoutDuration(1)  # ms — any later batch closes idle keys
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt], "closed": ["open"]})
+
+    return _session_timeout_fn
 
 
-def session_timeout_stateful(events: DataFrame) -> DataFrame:
+def session_timeout_stateful(events: DataFrame, timeout_ms: int = 500) -> DataFrame:
     """T6 with TIMERS: per-key counts whose state is CLOSED by a
     processing-time timeout — the idle-session eviction pattern
-    (Storm's tick-driven state expiry). A key not updated by the time
-    a later micro-batch runs gets the timed-out callback: it emits a
-    final 'timeout' record and removes its state, which is how
-    unbounded keyspaces stay bounded without watermark-eligible event
-    time. (`transformWithStateInPandas` adds per-timer registration;
-    this is the timeout form `applyInPandasWithState` supports in
-    this environment — no protobuf needed.)"""
+    (Storm's tick-driven state expiry). A key idle for ``timeout_ms``
+    of processing time gets the timed-out callback: it emits a final
+    'timeout' record and removes its state, which is how unbounded
+    keyspaces stay bounded without watermark-eligible event time.
+    (`transformWithStateInPandas` adds per-timer registration; this is
+    the timeout form `applyInPandasWithState` supports in this
+    environment — no protobuf needed.)
+
+    MUST be driven by a processing-time trigger
+    (``runner.run_until``), NOT ``availableNow``: under
+    ProcessingTimeTimeout, FlatMapGroupsWithStateExec reports
+    ``shouldRunAnotherBatch=True`` unconditionally (it cannot prove no
+    timer will fire), so an availableNow run never reaches its stop
+    condition and livelocks on no-data micro-batches. Timer-evicted
+    pipelines are open-ended by construction; bound them by observed
+    output, not input exhaustion."""
     return events.groupBy("user_id").applyInPandasWithState(
-        _session_timeout_fn,
+        _make_session_timeout_fn(timeout_ms),
         outputStructType=_TIMEOUT_OUT_SCHEMA,
         stateStructType=_TIMEOUT_STATE_SCHEMA,
         outputMode="update",

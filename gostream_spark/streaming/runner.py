@@ -95,6 +95,64 @@ def run_available_now(
     return result
 
 
+def run_until(
+    sdf: DataFrame,
+    predicate,
+    output_mode: str = "update",
+    timeout_sec: int = 120,
+    poll_sec: float = 0.25,
+    trigger_ms: int = 100,
+) -> DataFrame:
+    """Drive a streaming DataFrame with a continuous processing-time
+    trigger until ``predicate(sink_df) -> bool`` holds, then stop and
+    return the sink contents.
+
+    Exists because ``availableNow`` CANNOT terminate a
+    ``ProcessingTimeTimeout`` stateful query: Spark's
+    FlatMapGroupsWithStateExec reports ``shouldRunAnotherBatch=True``
+    unconditionally under that timeout conf (it cannot prove no timer
+    will fire), so the availableNow stop condition is never reached
+    and the query livelocks on no-data micro-batches. Timer-driven
+    pipelines are open-ended by nature; this harness bounds them by
+    OBSERVED OUTPUT instead of input exhaustion — the same way a
+    production deploy bounds them by monitoring, not termination.
+    Raises TimeoutError if the predicate is not satisfied within
+    ``timeout_sec``.
+    """
+    import time
+
+    name = f"gs_mem_{next(_counter)}_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch("ckpt")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    spark = sdf.sparkSession
+    try:
+        deadline = time.time() + timeout_sec
+        while True:
+            if predicate(spark.table(name)):
+                break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"streaming query {name!r}: predicate not satisfied "
+                    f"after {timeout_sec}s"
+                )
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(poll_sec)
+    finally:
+        q.stop()
+    result = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
 def run_foreach_batch_parquet(
     sdf: DataFrame, out_dir: str | None = None, timeout_sec: int = 300
 ) -> tuple[SparkSession, str]:

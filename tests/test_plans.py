@@ -293,6 +293,21 @@ def test_chunk_manifest_is_shuffle_free(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_abc_two_pass_has_no_global_window(spark, sf_dir):
+    """abc_revenue_classes: the cumulative-revenue window must be
+    PARTITIONED (by the distribution-sketch bucket) — the registry's
+    last global ordered window was removed in round 5. A global
+    window node renders with an empty partition list (one `], [`
+    bracket group instead of two)."""
+    plan = _plan(spark, sf_dir, "abc_revenue_classes")
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert win_lines, "expected a windowed cumulative sum in the plan"
+    for line in win_lines:
+        assert line.count("], [") == 2, f"unpartitioned window: {line.strip()[:160]}"
+    # and the bucket assignment itself must not sort globally
+    assert "windowspecdefinition(bucket" in plan
+
+
 def test_q17_no_nested_loop_and_grouped_build(spark, sf_dir):
     """Decorrelated Q17: the per-part aggregate joins back by key —
     never a nested-loop, and the build side is the aggregate."""

@@ -268,13 +268,16 @@ def test_session_windows_merge_across_batches(spark):
 
 
 def test_processing_time_timeout_closes_idle_state(spark):
-    """T6 timers: a key updated only in batch 1 is closed by the
-    ProcessingTimeTimeout callback when batch 2 runs — emits a final
-    'timeout' record and removes its state; a key active in batch 2
-    stays open."""
+    """T6 timers: a key idle past the processing-time timeout is
+    closed by the timed-out callback — emits a final 'timeout' record
+    with its full count and removes its state. availableNow cannot
+    terminate a ProcessingTimeTimeout query (shouldRunAnotherBatch is
+    unconditionally true), so the run is bounded by OBSERVED OUTPUT
+    via run_until: stop once user 1's eviction record lands."""
     from datetime import datetime
 
     from gostream_spark.streaming.ops import session_timeout_stateful
+    from gostream_spark.streaming.runner import run_until
 
     mk = lambda i, u, h: (i, datetime(2024, 1, 1, h, 0, 0), u, "click")
     d = _write_event_files(
@@ -284,14 +287,30 @@ def test_processing_time_timeout_closes_idle_state(spark):
             [mk(3, 2, 11)],                # only user 2 stays active
         ],
     )
-    out = run_available_now(
-        session_timeout_stateful(_stream_dir(spark, d)), output_mode="update"
+
+    def _user1_closed(sink_df):
+        return (
+            sink_df.filter(
+                (F.col("user_id") == 1) & (F.col("closed") == "timeout")
+            ).count()
+            > 0
+        )
+
+    out = run_until(
+        session_timeout_stateful(_stream_dir(spark, d), timeout_ms=500),
+        _user1_closed,
+        output_mode="update",
+        timeout_sec=120,
     ).collect()
-    closed = {r.user_id for r in out if r.closed == "timeout"}
+    closes = {r.user_id: r.n_events for r in out if r.closed == "timeout"}
     opens = {r.user_id: r.n_events for r in out if r.closed == "open"}
-    assert 1 in closed          # idle key evicted by the timer
-    assert 2 not in closed      # active key survives
-    assert opens[2] == 2        # and saw both its events
+    assert closes[1] == 1       # idle key evicted with its final count
+    assert opens[2] == 2        # active key saw both events while open
+    # Activity DEFERS eviction: if user 2's timer also fired by the
+    # time we stopped, its close must carry the full post-activity
+    # count — proving the batch-2 update re-armed the timer rather
+    # than closing at the batch-1 count.
+    assert closes.get(2, 2) == 2
     import shutil as _sh
 
     _sh.rmtree(d, ignore_errors=True)
