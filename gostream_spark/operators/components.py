@@ -42,6 +42,11 @@ def connected_components(
     a, b = edges.columns
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Materialize the edge list ONCE: its lineage is the whole
+    # candidate-generation pipeline (shingle -> minhash -> bands), and
+    # the iteration joins against it every round — without this each
+    # BSP round would re-run candidate generation from the scan.
+    sym = sym.localCheckpoint(eager=True)
     id_col = nodes.columns[0]
     labels = nodes.select(F.col(id_col).alias("id")).withColumn("lbl", F.col("id"))
     for _ in range(max_iter):

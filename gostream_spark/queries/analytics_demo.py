@@ -693,56 +693,17 @@ def abc_revenue_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     at extreme scale raise the bucket count, not the algorithm.
     Output is 3 rows."""
     orders = load_table(spark, sf_dir, "orders")
-    from pyspark.sql import Window
+    from gostream_spark.operators.pareto import bucketed_prefix_sum
 
     rev = orders.groupBy("o_custkey").agg(
         F.sum(F.round(dec2("o_totalprice") * 100, 0).cast("bigint"))
         .cast("bigint")
         .alias("rev_cents")
     )
-
-    n_buckets = 256
-    qs = [i / n_buckets for i in range(1, n_buckets)]
-    dist = rev.agg(
-        F.percentile_approx("rev_cents", qs, 10_000).alias("cuts"),
-        F.sum("rev_cents").cast("bigint").alias("total_cents"),
-    )
-    bucketed = rev.crossJoin(F.broadcast(dist)).withColumn(
-        "bucket",
-        F.size(F.filter("cuts", lambda c: c > F.col("rev_cents"))),
-    )
-
-    bstats = bucketed.groupBy("bucket").agg(
-        F.sum("rev_cents").cast("bigint").alias("bucket_cents")
-    )
-    offsets = (
-        bstats.alias("a")
-        .join(
-            F.broadcast(bstats.select(
-                F.col("bucket").alias("b_bucket"),
-                F.col("bucket_cents").alias("b_cents"),
-            )),
-            F.col("b_bucket") < F.col("bucket"),
-            "left",
-        )
-        .groupBy("bucket")
-        .agg(
-            F.coalesce(F.sum("b_cents"), F.lit(0))
-            .cast("bigint")
-            .alias("offset_cents")
-        )
-    )
-
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy(F.col("rev_cents").desc(), "o_custkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = bucketed.join(F.broadcast(offsets), "bucket").select(
-        "rev_cents",
-        "total_cents",
-        (F.col("offset_cents") + F.sum("rev_cents").over(w_in)).alias("cum_cents"),
-    )
+    total = rev.agg(F.sum("rev_cents").cast("bigint").alias("total_cents"))
+    ranked = bucketed_prefix_sum(
+        rev, "rev_cents", ["o_custkey"], out_col="cum_cents"
+    ).crossJoin(F.broadcast(total))
     classed = ranked.select(
         "rev_cents",
         F.when(100 * F.col("cum_cents") <= 80 * F.col("total_cents"), "A")

@@ -218,7 +218,7 @@ FROM reach GROUP BY a
 """
 
 
-@register("neardup_cluster_components", oracle=_COMPONENTS_ORACLE, tags=("L2", "ext"))
+@register("neardup_cluster_components", oracle=_COMPONENTS_ORACLE, tags=("L2", "ext"), bench=True)
 def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 completion: candidate pairs → duplicate CLUSTERS. Band
     collisions only assert pairwise similarity; dedup needs the
@@ -514,7 +514,7 @@ HAVING count(*) >= 3
 """
 
 
-@register("winnowing_candidate_pairs", oracle=_WINNOW_PAIRS_ORACLE, tags=("L2", "L4", "ext"))
+@register("winnowing_candidate_pairs", oracle=_WINNOW_PAIRS_ORACLE, tags=("L2", "L4", "ext"), bench=True)
 def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The winnowing dedup's join stage: explode each document's
     distinct selected fingerprints into an inverted index and

@@ -242,7 +242,7 @@ FROM cum
 """
 
 
-@register("sequence_packing", oracle=_PACK_ORACLE, tags=("L8", "W3", "ext"))
+@register("sequence_packing", oracle=_PACK_ORACLE, tags=("L8", "W3", "ext"), bench=True)
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-pack sequence addressing — the GPT-style training
     batch layout: per source, documents concatenate in doc_id order
@@ -400,7 +400,7 @@ SELECT doc_id, bm25, rn FROM (
 """
 
 
-@register("bm25_topk", oracle=_BM25_ORACLE, tags=("L3", "L7", "ext"))
+@register("bm25_topk", oracle=_BM25_ORACLE, tags=("L3", "L7", "ext"), bench=True)
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 lexical retrieval (k1=1.2, b=0.75) — the text-side
     counterpart of `similarity_topk`: top-20 docs for a fixed 3-term

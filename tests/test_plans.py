@@ -304,8 +304,8 @@ def test_abc_two_pass_has_no_global_window(spark, sf_dir):
     assert win_lines, "expected a windowed cumulative sum in the plan"
     for line in win_lines:
         assert line.count("], [") == 2, f"unpartitioned window: {line.strip()[:160]}"
-    # and the bucket assignment itself must not sort globally
-    assert "windowspecdefinition(bucket" in plan
+    # and the cumulative window must be keyed by the sketch bucket
+    assert "windowspecdefinition(_bucket" in plan
 
 
 def test_q17_no_nested_loop_and_grouped_build(spark, sf_dir):

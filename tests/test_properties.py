@@ -12,6 +12,7 @@ from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from gostream_spark.operators import keep_first, tumbling_windowed
+from gostream_spark.operators.pareto import bucketed_prefix_sum
 from gostream_spark.operators.ranking import topk_per_group
 
 _SETTINGS = dict(
@@ -977,3 +978,33 @@ def test_winnowing_selection_matches_reference(spark, toks, doc_id):
         sel.add(i - list(reversed(win)).index(mn))
     # engine positions are 1-based
     assert sorted(p - 1 for p in row.fps) == sorted(sel), (toks, row.fps)
+
+
+# Values with heavy ties and skew: the two-pass prefix sum must equal
+# the global ordered cumsum REGARDLESS of where the distribution
+# sketch places its bucket cuts (ties always share a bucket).
+pareto_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # id (tiebreak)
+        st.integers(min_value=0, max_value=8),       # value — few distincts => many ties
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(rows=pareto_rows, n_buckets=st.sampled_from([1, 2, 4, 256]))
+@settings(**_SETTINGS)
+def test_bucketed_prefix_sum_matches_global_cumsum(spark, rows, n_buckets):
+    df = spark.createDataFrame(rows, "id LONG, v LONG")
+    out = bucketed_prefix_sum(
+        df, "v", ["id"], out_col="cum", n_buckets=n_buckets
+    ).collect()
+    got = {r.id: r.cum for r in out}
+
+    want, acc = {}, 0
+    for rid, v in sorted(rows, key=lambda t: (-t[1], t[0])):
+        acc += v
+        want[rid] = acc
+    assert got == want
