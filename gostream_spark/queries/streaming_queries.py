@@ -518,3 +518,52 @@ def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.groupBy("prev_type", "next_type").agg(
         F.sum("n").cast("long").alias("n")
     )
+
+
+# --- T6 timers: processing-time eviction, driver-checkable ---------------
+
+_TIMEOUT_ORACLE = """
+SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+"""
+
+
+@register("streaming_session_timeout", oracle=_TIMEOUT_ORACLE, tags=("S2", "T6", "T8"))
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 with TIMERS, oracle-checked: per-user counts whose state is
+    CLOSED by a ProcessingTimeTimeout — each idle key's timed-out
+    callback emits one final 'timeout' record with its full count and
+    removes the state. The fixture is a single parquet file, so ALL
+    events land in micro-batch 1 (full counts armed together) and the
+    subsequent no-data batches fire every eviction exactly once —
+    which makes the timeout rows deterministic: exactly the batch
+    per-user counts, asserted by the exact oracle.
+
+    Driven by ``run_until`` (processing-time trigger, bounded by
+    observed output), because availableNow can never terminate a
+    ProcessingTimeTimeout query — see ``session_timeout_stateful``.
+    The predicate's expected-user count is one metadata-scale batch
+    aggregate; like the memory-sink harness itself it is
+    driver-side TEST SCAFFOLDING, not part of the streaming plan."""
+    from gostream_spark.streaming.ops import session_timeout_stateful
+    from gostream_spark.streaming.runner import run_until
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    ev = file_stream(spark, sf_dir, "events")
+    closed = session_timeout_stateful(ev, timeout_ms=300)
+
+    def _all_closed(sink_df: DataFrame) -> bool:
+        return (
+            sink_df.filter(F.col("closed") == "timeout")
+            .select("user_id")
+            .distinct()
+            .count()
+            >= n_users
+        )
+
+    result = run_until(
+        closed, _all_closed, output_mode="update", timeout_sec=120, poll_sec=0.15
+    )
+    return (
+        result.filter(F.col("closed") == "timeout")
+        .select("user_id", "n_events")
+    )
