@@ -314,3 +314,120 @@ def test_processing_time_timeout_closes_idle_state(spark):
     import shutil as _sh
 
     _sh.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_counts_survive_query_restart(spark):
+    """Checkpoint recovery: per-key state must survive a full query
+    STOP + RESTART from the same checkpoint — the property that makes
+    a production deploy upgradeable. Run 1 counts file 1; the query is
+    stopped; run 2 (same checkpoint) ingests file 2 and must emit
+    counts CONTINUED from the recovered state, not fresh ones."""
+    from datetime import datetime
+
+    from gostream_spark.streaming.ops import running_count_stateful
+
+    mk = lambda i, u: (i, datetime(2024, 1, 1, 10, 0, 0), u, "click")
+    d = _write_event_files(spark, [[mk(1, 1), mk(2, 1), mk(3, 2)]])
+    ckpt = os.path.join(TMP, f"ckpt-restart-{uuid.uuid4().hex[:8]}")
+    out = os.path.join(TMP, f"sink-restart-{uuid.uuid4().hex[:8]}")
+
+    # The memory sink refuses checkpoint recovery (not fault-tolerant);
+    # a restartable deploy uses a durable sink — foreachBatch->parquet.
+    def run_once():
+        def write_batch(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            running_count_stateful(_stream_dir(spark, d))
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "restart run did not finish"
+        q.stop()
+        rows = spark.read.parquet(out).collect()
+        latest: dict[int, int] = {}
+        for r in rows:
+            latest[r.user_id] = max(latest.get(r.user_id, 0), r.n_events)
+        return latest
+
+    first = run_once()
+    assert first == {1: 2, 2: 1}
+
+    # New data arrives while the query is DOWN; restart must resume
+    # from the checkpointed offsets + state.
+    df = spark.createDataFrame(
+        [(4, datetime(2024, 1, 1, 11, 0, 0), 1, "click"),
+         (5, datetime(2024, 1, 1, 11, 0, 0), 3, "click")],
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING",
+    )
+    sub = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+    df.coalesce(1).write.mode("overwrite").parquet(sub)
+    part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(sub, part), os.path.join(d, "file9.parquet"))
+    shutil.rmtree(sub, ignore_errors=True)
+
+    second = run_once()
+    # user 1: 2 (recovered state) + 1 new = 3 — state, not just
+    # offsets, survived the restart; user 3 is fresh; user 2 keeps
+    # its run-1 value (no new events -> no re-emission).
+    assert second == {1: 3, 2: 1, 3: 1}
+    for p in (d, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_stateful_counts_on_rocksdb_state_store(spark):
+    """The 100 TB state backend: the same stateful query runs
+    unchanged on the RocksDB state store provider (executor-local,
+    spillable — the config SCALE.md names for beyond-heap state).
+    Asserts the provider is actually engaged via the query's state
+    operator metrics, not just that the conf was set."""
+    import json as _json
+    from datetime import datetime
+
+    from gostream_spark.streaming.ops import running_count_stateful
+
+    mk = lambda i, u: (i, datetime(2024, 1, 1, 10, 0, 0), u, "click")
+    d = _write_event_files(spark, [[mk(1, 1), mk(2, 1), mk(3, 2)]])
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        name = f"gs_rocks_{uuid.uuid4().hex[:8]}"
+        q = (
+            running_count_stateful(_stream_dir(spark, d))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option(
+                "checkpointLocation",
+                os.path.join(TMP, f"ckpt-rocks-{uuid.uuid4().hex[:8]}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "rocksdb run did not finish"
+        progress = [_json.loads(p.json) for p in q.recentProgress]
+        q.stop()
+        got = {r.user_id: r.n_events for r in spark.table(name).collect()}
+        spark.catalog.dropTempView(name)
+        assert got == {1: 2, 2: 1}
+        mem = [
+            s["customMetrics"]
+            for p in progress
+            for s in p.get("stateOperators", [])
+        ]
+        assert any("rocksdbSstFileSize" in m for m in mem), (
+            "state operator metrics show no RocksDB engagement"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    shutil.rmtree(d, ignore_errors=True)
