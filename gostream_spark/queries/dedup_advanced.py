@@ -419,8 +419,10 @@ w AS (
 SELECT doc_id,
        CAST(m AS BIGINT) AS n_shingles,
        CAST(len(fps) AS BIGINT) AS n_fps,
-       md5(array_to_string(list_transform(fps, p -> hs[p]), '|')) AS fp_digest,
-       CAST(10000 * len(fps) // m AS BIGINT) AS density_bp
+       md5(coalesce(array_to_string(list_transform(fps, p -> hs[p]), '|'), ''))
+         AS fp_digest,
+       CAST(CASE WHEN m > 0 THEN 10000 * len(fps) // m ELSE 0 END AS BIGINT)
+         AS density_bp
 FROM w
 """
 
@@ -483,7 +485,13 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform("fps", lambda p: F.element_at(F.col("hs"), p)), "|"
             )
         ).alias("fp_digest"),
-        F.expr("CAST(10000 * size(fps) div m AS BIGINT)").alias("density_bp"),
+        # m <= 0 (sub-shingle doc): density 0 on BOTH engine sides —
+        # ANSI Spark would throw DIVIDE_BY_ZERO, DuckDB yields NULL;
+        # neither is the hashable engine convention (NULL-free outputs).
+        F.expr(
+            "CAST(CASE WHEN m > 0 THEN 10000 * size(fps) div m ELSE 0 END"
+            " AS BIGINT)"
+        ).alias("density_bp"),
     )
 
 

@@ -517,11 +517,20 @@ def minhash_bottomk_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select(
         "doc_id",
         *[
-            F.md5(
-                F.concat(
-                    F.try_element_at("m", F.lit(2 * b + 1)),
-                    F.try_element_at("m", F.lit(2 * b + 2)),
-                )
+            # The m[8] IS NOT NULL term makes a SHORT sketch (< 8
+            # shingles) null out EVERY band, not just the bands past
+            # its end — without it a 3-shingle doc still lands in band
+            # 0 while the oracle's HAVING count(*) >= 8 excludes the
+            # whole doc (degenerate-input parity). Still a projection
+            # over m, so nothing new is pushable below the exchange.
+            F.when(
+                F.try_element_at("m", F.lit(8)).isNotNull(),
+                F.md5(
+                    F.concat(
+                        F.try_element_at("m", F.lit(2 * b + 1)),
+                        F.try_element_at("m", F.lit(2 * b + 2)),
+                    )
+                ),
             ).alias(f"band{b}")
             for b in range(4)
         ],

@@ -441,10 +441,17 @@ def rolling_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule. Row-local; no shuffle."""
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     n = F.length("text")
-    bnds = F.filter(
-        F.sequence(F.lit(1), n - 7),
-        lambda p: F.substring(F.md5(F.col("text").substr(p, F.lit(8))), 1, 2) == "00",
-    )
+    # Degenerate-size guard: under 8 chars, sequence(1, n-7) would
+    # DESCEND ([1, 0]) and probe bogus positions where the oracle's
+    # range(1, n-6) is empty — short texts get no boundaries.
+    bnds = F.when(
+        n >= 8,
+        F.filter(
+            F.sequence(F.lit(1), n - 7),
+            lambda p: F.substring(F.md5(F.col("text").substr(p, F.lit(8))), 1, 2)
+            == "00",
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     nb = F.size(bnds)
     return docs.select(
         "doc_id",

@@ -103,9 +103,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = docs.select(
         "doc_id",
         (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
-        F.slice(F.sequence(F.lit(0).cast("long"), n_frames - 1, step), 1, 8).alias(
-            "frames"
-        ),
+        # Degenerate-size guard (same class as the chunk manifest):
+        # n_frames == 0 would make sequence(0, -1, +step) THROW on a
+        # positive step against a descending range — zero-length clips
+        # plan zero frames, matching the oracle's empty range(0, 0).
+        F.when(
+            n_frames > 0,
+            F.slice(F.sequence(F.lit(0).cast("long"), n_frames - 1, step), 1, 8),
+        )
+        .otherwise(F.array().cast("array<bigint>"))
+        .alias("frames"),
     )
     return v.select(
         "doc_id",

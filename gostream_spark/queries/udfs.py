@@ -141,13 +141,17 @@ def _doc_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: per-batch feature extraction with exact
     integer features."""
     for pdf in batches:
+        lens = pdf["text"].str.len().astype("int64")
+        # Empty text: ratio is DEFINED as 0 (both engine sides) — a
+        # bare floordiv would divide by zero in the Python worker.
+        safe_lens = lens.where(lens > 0, 1)
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_words": pdf["text"].str.count(" ").astype("int64") + 1,
-                "n_chars": pdf["text"].str.len().astype("int64"),
+                "n_chars": lens,
                 "caps_ratio_pct": (
-                    pdf["text"].str.count(r"[A-Z]") * 100 // pdf["text"].str.len()
+                    pdf["text"].str.count(r"[A-Z]") * 100 // safe_lens
                 ).astype("int64"),
             }
         )
@@ -157,8 +161,10 @@ _U1B_ORACLE = """
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_words,
        length(text) AS n_chars,
-       CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 100 / length(text) AS BIGINT)
-         AS caps_ratio_pct
+       CAST(CASE WHEN length(text) > 0
+                 THEN floor(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                            * 100 / length(text))
+                 ELSE 0 END AS BIGINT) AS caps_ratio_pct
 FROM documents
 """
 
