@@ -39,7 +39,15 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    """Cosine of two float arrays; NULL when either norm is zero.
+
+    The zero-norm guard is load-bearing twice over: under ANSI mode
+    (Spark 4 default) a bare division would THROW DIVIDE_BY_ZERO —
+    one degenerate embedding killing a 100 TB job — and DuckDB's
+    float division by zero yields NULL, so NULL is also the
+    cross-engine-agreeing value. try_divide is the non-throwing
+    division with exactly that semantic."""
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def array_sum(a: Column) -> Column:

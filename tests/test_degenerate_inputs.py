@@ -81,3 +81,97 @@ def test_degenerate_docs_match_oracle(spark, degenerate_dir, name):
     )
     want = sorted(tuple(r) for r in con.execute(q.oracle).fetchall())
     assert got == want, f"{name}: {got[:5]} != {want[:5]}"
+
+
+_DEGENERATE_EVENTS = [
+    # (event_id, ts, user_id, event_type, value, props)
+    (1, "2024-01-05 12:00:00", 100, "click", 1.5, '{"k":1}'),     # lone event
+    (2, "2024-01-05 12:00:00", 101, "click", 2.0, '{"k":2}'),     # tied ts...
+    (3, "2024-01-05 12:00:00", 101, "view", 3.0, '{"k":3}'),      # ...same user
+    (4, "2024-01-05 12:00:00", 101, "purchase", 4.0, "{}"),
+    (5, "2024-01-06 12:00:00", 102, "click", None, None),          # NULL value
+    (6, "2024-01-06 13:00:00", 102, "view", 5.0, '{"k":4}'),
+    (7, "2024-01-07 12:00:00", 103, "click", 0.0, "{}"),
+    (8, "2024-01-07 12:00:01", 103, "click", -1.0, "{}"),
+    (9, "2024-01-07 12:00:02", 103, "click", -1.0, "{}"),
+]
+
+_DEGENERATE_EMBEDDINGS = [
+    (0, [1.0, 0.0, 0.0, 0.0], 0),       # the conventional query vector
+    (10, [0.0, 0.0, 0.0, 0.0], 1),      # ZERO vector (norm 0)
+    (20, [1.0, 0.0, 0.0, 0.0], 2),      # identical to the query
+    (30, [-1.0, 0.0, 0.0, 0.0], 0),     # antipodal
+    (40, [0.5, 0.5, 0.5, 0.5], 1),
+    (50, [1e-30, 0.0, 0.0, 0.0], 2),    # tiny norm
+]
+
+EVENT_QUERIES = [
+    "session_window", "tumbling_window", "sliding_window",
+    "ewma_smoothing", "zscore_outliers", "event_transition_matrix",
+    "events_dedup_first", "events_scd2_intervals", "join_asof",
+    "purchase_attribution_last_touch",
+]
+EMB_QUERIES = [
+    # every cosine query must survive a zero-norm vector (ANSI mode
+    # would throw DIVIDE_BY_ZERO without the try_divide guard) and
+    # agree with DuckDB's float-div-by-zero -> NULL semantics
+    "similarity_topk", "similarity_pairs", "knn_join",
+    "nearest_centroid", "embedding_dedup", "ivf_topk",
+    "quantized_topk_rescore",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_events_dir(spark):
+    from datetime import datetime
+
+    d = os.path.join(TMP, f"degen-ev-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    rows = [
+        (i, datetime.strptime(t, "%Y-%m-%d %H:%M:%S"), u, et, v, p)
+        for i, t, u, et, v, p in _DEGENERATE_EVENTS
+    ]
+    edf = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    embdf = spark.createDataFrame(
+        _DEGENERATE_EMBEDDINGS, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    for name, df in [("events", edf), ("embeddings", embdf)]:
+        sub = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(sub, part), os.path.join(d, f"{name}.parquet"))
+        shutil.rmtree(sub, ignore_errors=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _check(spark, d, name, tables):
+    q = get_query(name)
+    got = [tuple(map(str, r)) for r in q.fn(spark, d).collect()]
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    want = [tuple(map(str, r)) for r in con.execute(q.oracle).fetchall()]
+    assert sorted(got) == sorted(want), f"{name}: {sorted(got)[:4]} != {sorted(want)[:4]}"
+
+
+@pytest.mark.parametrize("name", EVENT_QUERIES)
+def test_degenerate_events_match_oracle(spark, degenerate_events_dir, name):
+    """Tied timestamps, NULL values, lone-event users, negative and
+    repeated values — the shapes real event streams contain that the
+    generated fixtures don't."""
+    _check(spark, degenerate_events_dir, name, ["events"])
+
+
+@pytest.mark.parametrize("name", EMB_QUERIES)
+def test_degenerate_embeddings_match_oracle(spark, degenerate_events_dir, name):
+    """Zero-norm, antipodal, identical and denormal vectors through
+    every cosine query — parity depends on try_divide matching
+    DuckDB's division-by-zero -> NULL."""
+    _check(spark, degenerate_events_dir, name, ["embeddings"])
