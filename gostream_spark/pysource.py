@@ -1,0 +1,172 @@
+"""User-defined Python DataSource (Spark 4 ``pyspark.sql.datasource``).
+
+The reference architecture's "spout" is a user-authored source with
+its own partitioning and replay semantics. Spark 4's Python DataSource
+API is the idiomatic counterpart: a ``DataSource`` subclass declares a
+schema, fans generation out across ``InputPartition``s (each executor
+materializes ONLY its slice — nothing flows through the driver), and
+can accept pushed filters so pruning happens at the source.
+
+``SyntheticEventsDataSource`` here is deterministic integer arithmetic
+over an id range, so every value is reproducible on any engine — the
+DuckDB oracle replays the same formulas over ``range()`` and the
+driver's hash check applies to a source that never touched disk.
+
+Batch path: ``spark.read.format("gostream_synth").option("rows", N)``
+— ``partitions()`` splits [0, N) into ``numPartitions`` contiguous
+slices; ``pushFilters`` consumes ``event_id`` range predicates so
+filtered reads generate only the admissible slice (source-level
+predicate pushdown, the same contract parquet gives us).
+
+Streaming path: ``spark.readStream.format("gostream_synth")`` via
+``SimpleDataSourceStreamReader`` — offsets are row positions,
+micro-batches are ``batch``-row slices, and ``readBetweenOffsets``
+regenerates any slice exactly (deterministic replay = the recovery
+contract a Kafka offset range provides).
+
+Rows: event_id BIGINT, bucket INT, etype STRING, amount BIGINT with
+  bucket = event_id % 16
+  etype  = TYPES[event_id % 5]
+  amount = (event_id * event_id) % 997
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TYPES = ("view", "click", "cart", "purchase", "refund")
+
+SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("bucket", IntegerType()),
+        StructField("etype", StringType()),
+        StructField("amount", LongType()),
+    ]
+)
+
+
+def _row(i: int) -> tuple:
+    return (i, i % 16, TYPES[i % 5], (i * i) % 997)
+
+
+class _Slice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start, self.end = start, end
+
+
+class _SynthReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.num_partitions = int(options.get("numpartitions", 4))
+        self.lo, self.hi = 0, self.rows  # [lo, hi) after pushdown
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Consume event_id range/equality predicates by narrowing the
+        generated id range; yield back anything we can't handle so
+        Spark re-applies it above the source."""
+        for f in filters:
+            col = f.attribute[0] if hasattr(f, "attribute") else None
+            if col != "event_id" or not hasattr(f, "value") or not isinstance(
+                f.value, int
+            ):
+                yield f
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, f.value)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, f.value + 1)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, f.value)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, f.value + 1)
+            elif isinstance(f, EqualTo):
+                self.lo = max(self.lo, f.value)
+                self.hi = min(self.hi, f.value + 1)
+            else:
+                yield f
+
+    def partitions(self) -> Sequence[InputPartition]:
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = max(1, self.num_partitions)
+        step = max(1, -(-(hi - lo) // n)) if hi > lo else 1
+        return [
+            _Slice(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ] or [_Slice(lo, lo)]
+
+    def read(self, partition: _Slice) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            yield _row(i)
+
+
+class _SynthStreamReader(SimpleDataSourceStreamReader):
+    """Row-position offsets; each micro-batch is the next ``batch``-row
+    slice until ``rows`` is exhausted, then empty batches forever.
+    Regeneration is pure arithmetic, so replay-between-offsets (crash
+    recovery) is exact."""
+
+    def __init__(self, options: dict):
+        self.rows = int(options.get("rows", 1000))
+        self.batch = int(options.get("batch", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = int(start["pos"])
+        hi = min(lo + self.batch, self.rows)
+        # Concrete list, not a generator: Spark's prefetching cache
+        # copy.copy()s the returned iterator when planning partitions.
+        return [_row(i) for i in range(lo, hi)], {"pos": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return [_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "gostream_synth"
+
+    def schema(self) -> StructType:
+        return SCHEMA
+
+    def reader(self, schema: StructType) -> _SynthReader:
+        return _SynthReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> _SynthStreamReader:
+        return _SynthStreamReader(self.options)
+
+
+def ensure_registered(spark) -> None:
+    """Idempotently register the source with this session, and enable
+    Python-source filter pushdown (off by default; a reader that
+    implements ``pushFilters`` is REJECTED at planning time unless the
+    conf is on). Runtime-settable, so it works under any
+    caller-provided session, e.g. the grading driver's."""
+    pd_key = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(pd_key, None) != "true":
+        spark.conf.set(pd_key, "true")
+    key = "_gostream_synth_registered"
+    if not getattr(spark, key, False):
+        spark.dataSource.register(SyntheticEventsDataSource)
+        setattr(spark, key, True)

@@ -1,0 +1,172 @@
+"""Corpus-level duplication and fluency signals (L2/L8 extensions).
+
+Two curation signals that need CORPUS-level statistics (unlike the
+row-local quality scores in ``llm_text.py``):
+
+- ``dup_ngram_fraction``: per-document fraction of its distinct word
+  5-grams that occur in more than one document — the cheap detector
+  for boilerplate/templated text popularized by "Deduplicating
+  Training Data Makes Language Models Better" (Lee et al., 2021).
+- ``unigram_logprob_quality``: per-document average negative log
+  probability under the corpus's own unigram model — the classic
+  perplexity-proxy filter (high = gibberish/rare-token soup, very
+  low = degenerate repetition).
+
+Cross-engine determinism: every corpus-derived float is quantized to
+integer micro-units (``floor(1e6 * ln(cnt))``) BEFORE the
+order-dependent aggregation, so the shuffled Spark partial sums and
+DuckDB's sequential scan add exact integers and agree bit-for-bit
+(same discipline as ``text_quality_score``'s basis points).
+
+Scale shape (100 TB documents): both queries are two hash shuffles —
+one to build the gram/token frequency table, one to join it back and
+re-aggregate per document. Frequency tables are corpus-derived and
+therefore NEVER broadcast (VERDICT r4 #3); the join shuffles on the
+gram/token hash where Zipf skew is absorbed by AQE skew-join splitting
+(pinned for the same shape in tests/test_skew_aqe.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+_NGRAM = 5
+
+_DUP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 3),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS gram
+  FROM t WHERE len(toks) >= 5
+), gdf AS (
+  SELECT gram, count(*) AS n_docs_with FROM g GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN gdf.n_docs_with >= 2 THEN 1 ELSE 0 END) AS dup_grams
+  FROM g JOIN gdf USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.dup_grams, 0) AS BIGINT) AS dup_grams,
+       CASE WHEN p.n_grams > 0
+            THEN CAST(floor(10000.0 * p.dup_grams / p.n_grams) AS BIGINT)
+            END AS dup_bp
+FROM t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@register("dup_ngram_fraction", oracle=_DUP_ORACLE, tags=("L2", "L8", "ext"))
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-5-gram fraction per document, in basis points.
+
+    A document whose word 5-grams mostly also appear in OTHER
+    documents is boilerplate (licence headers, templated pages) even
+    when no single document is its exact duplicate — the signal exact
+    dedup (L1) and MinHash (L2) both miss. Distinct grams per doc, so
+    a doc repeating its own phrase is not self-penalized.
+
+    Plan: explode distinct grams (map-side), one shuffle to count
+    documents per gram, one shuffle to join the count back and
+    re-aggregate per doc_id, left join onto the doc spine to keep
+    sub-5-token documents with n_grams = 0. ``floor`` of a single
+    exact-dividend IEEE division keeps the ratio integer-deterministic
+    across engines."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n = F.size("toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), n - _NGRAM),
+            lambda i: F.concat_ws(" ", F.slice("toks", i + 1, _NGRAM)),
+        )
+    )
+    g = (
+        docs.filter(n >= _NGRAM)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    per_doc = (
+        g.join(gdf, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("dup_grams"),
+        )
+    )
+    spine = docs.select("doc_id")
+    return spine.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.floor(10000.0 * F.col("dup_grams") / F.col("n_grams")).cast("bigint"),
+        ).alias("dup_bp"),
+    )
+
+
+_NLL_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+), tot AS (
+  SELECT count(*) AS total FROM tok
+), per AS (
+  SELECT tok.doc_id, CAST(floor(1e6 * ln(freq.cnt)) AS BIGINT) AS lp_micro
+  FROM tok JOIN freq USING (token)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(ln((SELECT total FROM tot))
+             - CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6, 4) AS avg_nll
+FROM per GROUP BY doc_id
+"""
+
+
+@register("unigram_logprob_quality", oracle=_NLL_ORACLE, tags=("L7", "L8", "ext"))
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average negative log-likelihood per document under the
+    corpus-estimated unigram model: avg_nll = ln(N) - mean(ln cnt(t)).
+
+    The standard perplexity-proxy quality gate when no external LM is
+    available: rare-token soup scores high, degenerate repetition
+    scores near ln(N/cnt_max). Two hash shuffles (frequency build,
+    join-back + per-doc agg); the frequency table is corpus-derived so
+    it shuffles rather than broadcasts. Each token's ln(cnt) is
+    floored to integer micro-nats BEFORE the per-doc sum, so the sum
+    is exact-integer and immune to partial-aggregation order; only the
+    final two-term expression is float, rounded at 4 decimals."""
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    )
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tok.agg(F.count(F.lit(1)).alias("total"))  # 1-row dim: broadcast-safe
+    per = tok.join(freq, "token").select(
+        "doc_id", F.floor(1e6 * F.log(F.col("cnt"))).cast("bigint").alias("lp_micro")
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp_micro").alias("s_micro"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log(F.col("total").cast("double"))
+                - F.col("s_micro").cast("double") / F.col("n_tokens") / 1e6,
+                4,
+            ).alias("avg_nll"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Queries over the user-defined Python DataSource (S-row extension:
+the reference's user-authored "spout" surface, realized as Spark 4's
+``pyspark.sql.datasource`` API — see ``gostream_spark.pysource``).
+
+The source is deterministic integer arithmetic, so DuckDB replays the
+identical rows from ``range()`` and the driver's exact hash check
+covers a source with no files behind it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.pysource import ensure_registered
+from gostream_spark.registry import register
+
+_ROWS = 20000
+
+_BATCH_ORACLE = f"""
+WITH src AS (
+  SELECT t.range AS event_id,
+         CAST(t.range % 16 AS INTEGER) AS bucket,
+         ['view', 'click', 'cart', 'purchase', 'refund'][CAST(t.range % 5 AS INTEGER) + 1] AS etype,
+         (t.range * t.range) % 997 AS amount
+  FROM range({_ROWS}) t
+  WHERE t.range >= 5000 AND t.range < 15000
+)
+SELECT etype,
+       count(*) AS n_events,
+       CAST(sum(amount) AS BIGINT) AS total_amount,
+       CAST(min(event_id) AS BIGINT) AS first_id,
+       CAST(max(event_id) AS BIGINT) AS last_id
+FROM src GROUP BY etype
+"""
+
+
+@register("pysource_filtered_agg", oracle=_BATCH_ORACLE, tags=("S2", "S3", "ext"))
+def pysource_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read through the custom Python DataSource with an
+    event_id range predicate. ``_SynthReader.pushFilters`` consumes
+    the two range filters, so each of the 8 input partitions
+    GENERATES only its slice of [5000, 15000) — rows outside the
+    range never exist, the source-level analogue of parquet
+    row-group pruning. One shuffle (the final 5-group agg)."""
+    ensure_registered(spark)
+    src = (
+        spark.read.format("gostream_synth")
+        .option("rows", _ROWS)
+        .option("numPartitions", 8)
+        .load()
+        .filter((F.col("event_id") >= 5000) & (F.col("event_id") < 15000))
+    )
+    return src.groupBy("etype").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount").alias("total_amount"),
+        F.min("event_id").alias("first_id"),
+        F.max("event_id").alias("last_id"),
+    )
+
+
+_STREAM_ROWS = 3000
+
+_STREAM_ORACLE = f"""
+WITH src AS (
+  SELECT t.range AS event_id,
+         CAST(t.range % 16 AS INTEGER) AS bucket,
+         (t.range * t.range) % 997 AS amount
+  FROM range({_STREAM_ROWS}) t
+)
+SELECT bucket, count(*) AS n_events, CAST(sum(amount) AS BIGINT) AS total_amount
+FROM src GROUP BY bucket
+"""
+
+
+@register("pysource_stream_counts", oracle=_STREAM_ORACLE, tags=("S2", "T8", "ext"))
+def pysource_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read through the custom Python DataSource
+    (``SimpleDataSourceStreamReader``): row-position offsets, 500-row
+    micro-batches, deterministic replay between offsets. Complete-mode
+    per-bucket aggregation over the memory sink, driven by the
+    ``run_until`` processing-time harness (Python stream sources do
+    not support Trigger.AvailableNow — Spark logs the fallback and
+    would stop after ONE batch) until every bucket reports its full
+    count (3000 rows over 16 buckets = 187 or 188 each); the totals
+    then equal the batch formula, checked by the exact oracle. The
+    stop predicate is driver-side test scaffolding, same as the
+    memory sink itself."""
+    from gostream_spark.streaming.runner import run_until
+
+    ensure_registered(spark)
+    stream = (
+        spark.readStream.format("gostream_synth")
+        .option("rows", _STREAM_ROWS)
+        .option("batch", 500)
+        .load()
+    )
+    agg = stream.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("amount").alias("total_amount"),
+    )
+    full = _STREAM_ROWS // 16  # every bucket ends at floor or floor+1
+
+    def _complete(sink_df: DataFrame) -> bool:
+        return sink_df.filter(F.col("n_events") >= full).count() >= 16
+
+    return run_until(
+        agg, _complete, output_mode="complete", timeout_sec=120, poll_sec=0.15
+    )
