@@ -1,0 +1,139 @@
+"""Modern Spark 4 SQL surfaces (E2/F4/A-row extensions): recursive
+CTEs, VARIANT-typed semi-structured extraction, and relational
+unpivot. Each is the idiomatic Spark-4 form of a capability users
+otherwise emulate (driver-side loops, JSON string functions, UNION
+ALL boilerplate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+# --- Recursive CTE: calendar spine + gap-filled monthly series ----------
+
+_SPINE_ORACLE = """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM orders
+), spine(mo) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT mo + INTERVAL 1 MONTH FROM spine WHERE mo < (SELECT hi FROM bounds)
+), monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT strftime(s.mo, '%Y-%m') AS month,
+       coalesce(m.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.mo = m.mo
+"""
+
+
+@register("recursive_month_spine", oracle=_SPINE_ORACLE, tags=("E2", "T1", "ext"))
+def recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly order counts over a RECURSIVE-CTE calendar
+    spine (Spark 4 `WITH RECURSIVE`): the spine grows one month per
+    iteration from min to max order month, so missing months surface
+    as explicit zero rows. Recursion depth is bounded by the CALENDAR
+    (~80 iterations for 7 years), never by data volume — each
+    iteration is a 1-row union step while the heavy side stays one
+    hash aggregate; at 100 TB the plan is unchanged."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_ms_orders")
+    return spark.sql(
+        """
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+         date_trunc('month', max(o_orderdate)) AS hi
+  FROM _ms_orders
+), spine(mo) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT mo + INTERVAL '1' MONTH FROM spine WHERE mo < (SELECT hi FROM bounds)
+), monthly AS (
+  SELECT date_trunc('month', o_orderdate) AS mo, count(*) AS n_orders
+  FROM _ms_orders GROUP BY 1
+)
+SELECT date_format(s.mo, 'yyyy-MM') AS month,
+       coalesce(m.n_orders, 0) AS n_orders
+FROM spine s LEFT JOIN monthly m ON s.mo = m.mo
+"""
+    )
+
+
+# --- VARIANT: typed extraction from semi-structured JSON ----------------
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(min(k) AS BIGINT) AS min_k,
+       CAST(max(k) AS BIGINT) AS max_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+@register("variant_props_stats", oracle=_VARIANT_ORACLE, tags=("F4", "ext"))
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type:
+    ``parse_json`` once into a binary variant, then typed
+    ``variant_get`` paths — the shredded-JSON fast path (no repeated
+    string re-parsing per field, unlike get_json_object chains).
+    Integer aggregates, so parity with DuckDB's json_extract is
+    exact. Row-local parse + one 5-group shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+# --- UNPIVOT: wide metrics -> long (metric, value) rows -----------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         count(DISTINCT source) AS n_sources
+  FROM documents GROUP BY lang
+)
+SELECT lang, 'n_docs' AS metric, n_docs AS value FROM wide
+UNION ALL
+SELECT lang, 'total_chars' AS metric, total_chars AS value FROM wide
+UNION ALL
+SELECT lang, 'n_sources' AS metric, n_sources AS value FROM wide
+"""
+
+
+@register("unpivot_lang_metrics", oracle=_UNPIVOT_ORACLE, tags=("A1", "P1", "ext"))
+def unpivot_lang_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape via the relational ``unpivot`` operator
+    (the inverse of agg_pivot): per-language corpus metrics melt into
+    (lang, metric, value) rows — the shape metric stores and plotting
+    layers want. One aggregate shuffle; the unpivot itself is a
+    row-local generate (×3 row expansion, no exchange)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wide = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    return wide.unpivot(
+        "lang", ["n_docs", "total_chars", "n_sources"], "metric", "value"
+    )
