@@ -315,3 +315,37 @@ def test_q17_no_nested_loop_and_grouped_build(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_dup_ngram_scans_prune_to_id_and_text(spark, sf_dir):
+    """dup_ngram_fraction reads a 5-column documents table but needs
+    only (doc_id, text) — every parquet scan in the plan must be
+    column-pruned to those (lang/source/n_chars in a scan means a
+    projection leak that quintuples scan bytes at 100 TB)."""
+    plan = _plan(spark, sf_dir, "dup_ngram_fraction")
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans
+    for line in scans:
+        for col in ("lang", "source", "n_chars"):
+            assert col not in line, f"unpruned column {col}: {line.strip()[:160]}"
+    assert "CartesianProduct" not in plan
+
+
+def test_variant_stats_single_scan_single_exchange(spark, sf_dir):
+    """variant_props_stats: one pruned scan (event_type, props), one
+    partial->final aggregate exchange, VARIANT parse stays row-local."""
+    plan = _plan(spark, sf_dir, "variant_props_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1
+    assert "user_id:" not in scans[0] and "value:" not in scans[0]
+
+
+def test_recursive_spine_is_union_loop(spark, sf_dir):
+    """recursive_month_spine must plan the Spark 4 recursive-CTE
+    UnionLoop node (calendar-bounded iteration), with the heavy side
+    a single aggregate exchange — no sort-merge join, no cartesian."""
+    plan = _plan(spark, sf_dir, "recursive_month_spine")
+    assert "UnionLoop" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
