@@ -32,11 +32,18 @@ Rows: event_id BIGINT, bucket INT, etype STRING, amount BIGINT with
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+import shutil
+import uuid
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -45,6 +52,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -142,6 +150,113 @@ class _SynthStreamReader(SimpleDataSourceStreamReader):
         return [_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
 
 
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged shard path + row count.
+    Must be picklable (travels executor -> driver)."""
+
+    def __init__(self, staged: str, rows: int):
+        self.staged, self.rows = staged, rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Two-phase-commit JSONL sink: each task streams its partition to
+    a staged shard (``_staging/``), returns the path as its commit
+    message, and ONLY the driver-side ``commit`` — which runs iff
+    every task succeeded — moves shards into the sink root. A failed
+    job leaves the sink untouched (``abort`` sweeps the staging dir).
+    This is the same visibility protocol a FileOutputCommitter gives
+    parquet writes. Local-filesystem paths here; on a cluster the
+    staging/rename pair maps onto an object-store multipart commit."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.staging = os.path.join(self.path, "_staging")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"shard-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str, sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(staged, n)
+
+    def commit(self, messages) -> None:
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "*.jsonl")):
+                os.remove(old)
+        for m in messages:
+            if m is not None:
+                os.replace(
+                    m.staged, os.path.join(self.path, os.path.basename(m.staged))
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class _JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: per-micro-batch two-phase commit. Shards are
+    published under a ``batch-<id>-`` prefix and each committed batch
+    drops a ``_batch-<id>.manifest`` marker; a batch REPLAYED after
+    checkpoint recovery sees its marker and discards the duplicate
+    staged shards — the idempotence that turns at-least-once replay
+    into exactly-once sink contents."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.staging = os.path.join(self.path, "_staging")
+
+    def write(self, iterator) -> _FileCommit:
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"shard-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str, sort_keys=True) + "\n")
+                n += 1
+        return _FileCommit(staged, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        marker = os.path.join(self.path, f"_batch-{batchId}.manifest")
+        if os.path.exists(marker):  # replayed batch: drop duplicates
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+            return
+        names = []
+        for m in messages:
+            if m is not None:
+                name = f"batch-{batchId}-{os.path.basename(m.staged)}"
+                os.replace(m.staged, os.path.join(self.path, name))
+                names.append(name)
+        with open(marker, "w") as f:
+            f.write("\n".join(names))
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class JsonlSinkDataSource(DataSource):
+    """Writer-only source: ``df.write.format("gostream_jsonl")`` /
+    ``sdf.writeStream.format("gostream_jsonl")``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "gostream_jsonl"
+
+    def writer(self, schema: StructType, overwrite: bool) -> _JsonlWriter:
+        return _JsonlWriter(self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> _JsonlStreamWriter:
+        return _JsonlStreamWriter(self.options)
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -169,4 +284,5 @@ def ensure_registered(spark) -> None:
     key = "_gostream_synth_registered"
     if not getattr(spark, key, False):
         spark.dataSource.register(SyntheticEventsDataSource)
+        spark.dataSource.register(JsonlSinkDataSource)
         setattr(spark, key, True)

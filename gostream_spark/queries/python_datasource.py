@@ -107,3 +107,137 @@ def pysource_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_until(
         agg, _complete, output_mode="complete", timeout_sec=120, poll_sec=0.15
     )
+
+
+# --- Custom Python sink (DataSourceWriter / DataSourceStreamWriter) -----
+
+_SINK_BATCH_ORACLE = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def _sink_dir(sf_dir: str, tag: str) -> str:
+    import hashlib
+    import os
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+    )
+    return os.path.join(root, f"pysink-{tag}-{h}")
+
+
+@register("pysink_batch_roundtrip", oracle=_SINK_BATCH_ORACLE, tags=("S5", "ext"))
+def pysink_batch_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch write through the custom Python DataSourceWriter
+    (two-phase commit: staged shards -> driver-side publish), then
+    re-read the committed JSONL and aggregate. What lands after commit
+    is exactly the input — checked by running the aggregate on the
+    ROUNDTRIPPED rows against the oracle's direct scan of events."""
+    import os
+
+    from gostream_spark.io import load_table
+
+    ensure_registered(spark)
+    out = _sink_dir(sf_dir, "batch")
+    os.makedirs(out, exist_ok=True)
+    (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .write.format("gostream_jsonl")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    back = spark.read.schema("event_id BIGINT, user_id BIGINT, event_type STRING").json(
+        os.path.join(out, "*.jsonl")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_SINK_STREAM_ORACLE = f"""
+WITH src AS (
+  SELECT t.range AS event_id, CAST(t.range % 16 AS INTEGER) AS bucket,
+         (t.range * t.range) % 997 AS amount
+  FROM range({_STREAM_ROWS}) t
+)
+SELECT bucket, count(*) AS n_rows, CAST(sum(amount) AS BIGINT) AS total_amount
+FROM src GROUP BY bucket
+"""
+
+
+@register("pysink_stream_roundtrip", oracle=_SINK_STREAM_ORACLE, tags=("S6", "T7", "ext"))
+def pysink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source INTO custom sink: the synthetic stream reader
+    feeds the DataSourceStreamWriter, whose per-micro-batch two-phase
+    commit publishes `batch-<id>-` shards with manifest markers
+    (replayed batches discard duplicates — exactly-once contents).
+    The committed JSONL re-read and aggregated must equal the batch
+    formula. Driven by run_until (Python stream sources lack
+    availableNow) until all rows are committed."""
+    import glob as _glob
+    import os
+
+    from gostream_spark.streaming.runner import _scratch
+
+    ensure_registered(spark)
+    out = _sink_dir(sf_dir, "stream")
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ckpt = _scratch("ckpt")
+    stream = (
+        spark.readStream.format("gostream_synth")
+        .option("rows", _STREAM_ROWS)
+        .option("batch", 500)
+        .load()
+        .select("event_id", "bucket", "amount")
+    )
+    q = (
+        stream.writeStream.format("gostream_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    import time
+
+    deadline = time.time() + 120
+    try:
+        while time.time() < deadline:
+            committed = sum(
+                1
+                for _ in open_shards(out)
+            )
+            if committed >= _STREAM_ROWS:
+                break
+            time.sleep(0.15)
+        else:
+            raise TimeoutError(f"custom stream sink incomplete in {out}")
+    finally:
+        q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    back = spark.read.schema("event_id BIGINT, bucket INT, amount BIGINT").json(
+        os.path.join(out, "*.jsonl")
+    )
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("amount").alias("total_amount"),
+    )
+
+
+def open_shards(out: str):
+    """Iterate committed rows (scaffolding for the stream-sink stop
+    condition: counts lines of published shards, never staged ones)."""
+    import glob as _glob
+    import os
+
+    for path in _glob.glob(os.path.join(out, "batch-*.jsonl")):
+        with open(path) as f:
+            yield from f

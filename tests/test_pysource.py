@@ -82,3 +82,65 @@ def test_batch_read_end_to_end(spark):
     assert df.count() == 500
     row = df.filter(F.col("event_id") == 13).first()
     assert (row.bucket, row.etype, row.amount) == (13, TYPES[3], (13 * 13) % 997)
+
+
+def _fake_rows(n, base=0):
+    from pyspark.sql import Row
+
+    return [Row(event_id=base + i, v=i % 3) for i in range(n)]
+
+
+def test_batch_writer_two_phase_commit(tmp_path):
+    import glob
+    import os
+
+    from gostream_spark.pysource import _JsonlWriter
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    w = _JsonlWriter({"path": out}, overwrite=True)
+    m1 = w.write(iter(_fake_rows(5)))
+    m2 = w.write(iter(_fake_rows(3, base=100)))
+    # staged only — nothing visible in the sink root yet
+    assert glob.glob(os.path.join(out, "*.jsonl")) == []
+    w.commit([m1, m2])
+    files = glob.glob(os.path.join(out, "*.jsonl"))
+    assert len(files) == 2
+    assert sum(1 for p in files for _ in open(p)) == 8
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_batch_writer_abort_leaves_sink_untouched(tmp_path):
+    import glob
+    import os
+
+    from gostream_spark.pysource import _JsonlWriter
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    w = _JsonlWriter({"path": out}, overwrite=False)
+    m = w.write(iter(_fake_rows(4)))
+    w.abort([m, None])
+    assert glob.glob(os.path.join(out, "*.jsonl")) == []
+    assert not os.path.exists(os.path.join(out, "_staging"))
+
+
+def test_stream_writer_replayed_batch_is_idempotent(tmp_path):
+    import glob
+    import os
+
+    from gostream_spark.pysource import _JsonlStreamWriter
+
+    out = str(tmp_path / "sink")
+    os.makedirs(out)
+    w = _JsonlStreamWriter({"path": out})
+    m = w.write(iter(_fake_rows(5)))
+    w.commit([m], batchId=7)
+    first = sorted(glob.glob(os.path.join(out, "batch-7-*.jsonl")))
+    assert len(first) == 1
+    # checkpoint-recovery replay of the same batch: new staged shard,
+    # same batchId — the manifest marker must swallow the duplicate
+    m2 = w.write(iter(_fake_rows(5)))
+    w.commit([m2], batchId=7)
+    assert sorted(glob.glob(os.path.join(out, "batch-7-*.jsonl"))) == first
+    assert glob.glob(os.path.join(out, "_staging", "*")) == []
