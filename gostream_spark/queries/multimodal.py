@@ -8,7 +8,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table, spread_for_compute
-from gostream_spark.operators.multimodal import decode_features, pack_payload
+from gostream_spark.operators.multimodal import (
+    decode_features,
+    decode_features_arrow,
+    pack_payload,
+)
 from gostream_spark.registry import register
 
 _L9_DECODE_ORACLE = """
@@ -38,6 +42,23 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mm"),
     ).select("doc_id", F.col("mm.payload").alias("payload"))
     return decode_features(packed)
+
+
+@register("multimodal_decode_arrow", oracle=_L9_DECODE_ORACLE, tags=("L9", "U1"))
+def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 Arrow-native twin of multimodal_decode_features: identical
+    decode contract via ``mapInArrow`` — payload bytes stay in Arrow
+    buffers through the worker (head checksum is a numpy reduceat over
+    the raw data buffer), where the pandas path would materialize
+    every blob as a Python bytes object. Same exact oracle."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    packed = docs.select(
+        "doc_id",
+        pack_payload(
+            F.col("text"), F.col("lang"), F.col("source"), F.col("n_chars")
+        ).alias("mm"),
+    ).select("doc_id", F.col("mm.payload").alias("payload"))
+    return decode_features_arrow(packed)
 
 
 _L9_META_ORACLE = """

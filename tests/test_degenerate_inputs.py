@@ -50,6 +50,12 @@ QUERIES = [
     "udtf_tokenize",
     "token_count",
     "text_token_stats",
+    # Arrow-buffer path — empty payload slices must checksum to 0
+    "multimodal_decode_features",
+    "multimodal_decode_arrow",
+    # corpus-statistic joins — sub-5-token docs keep zero-gram rows
+    "dup_ngram_fraction",
+    "unigram_logprob_quality",
 ]
 
 
