@@ -64,7 +64,7 @@ FROM t LEFT JOIN per_doc p USING (doc_id)
 """
 
 
-@register("dup_ngram_fraction", oracle=_DUP_ORACLE, tags=("L2", "L8", "ext"))
+@register("dup_ngram_fraction", oracle=_DUP_ORACLE, tags=("L2", "L8", "ext"), bench=True)
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-5-gram fraction per document, in basis points.
 

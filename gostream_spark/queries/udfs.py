@@ -251,3 +251,45 @@ def udaf_regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("o_orderpriority").applyInPandas(
         _slope_fn, schema="o_orderpriority string, n bigint, slope double"
     )
+
+
+def _priority_stats_arrow(table: "object") -> "object":
+    """Arrow-native grouped aggregation: the group arrives as a
+    pyarrow Table; cent-integer math over Arrow buffers, one output
+    row. Same exact contract as the pandas twin."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    cents = pc.cast(pc.round(pc.multiply(table.column("o_totalprice"), 100)), pa.int64())
+    n = table.num_rows
+    total_cents = pc.sum(cents).as_py()
+    return pa.table(
+        {
+            "o_orderpriority": [table.column("o_orderpriority")[0].as_py()],
+            "order_cnt": pa.array([n], pa.int64()),
+            "total_spend": pa.array([round(total_cents / 100.0, 2)], pa.float64()),
+            "avg_spend": pa.array([round(total_cents / 100.0 / n, 2)], pa.float64()),
+        }
+    )
+
+
+@register("udaf_priority_stats_arrow", oracle=_U2_ORACLE, tags=("U2", "ext"))
+def udaf_priority_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 Arrow-native twin of udaf_priority_stats via
+    ``applyInArrow`` (Spark 4 grouped-map Arrow API): the group stays
+    a pyarrow Table end to end — no pandas block consolidation on the
+    worker, the cheaper path when the custom aggregate is expressible
+    in Arrow compute kernels. Bounded groups (5 priorities), same
+    cent-exact oracle."""
+    from gostream_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    return orders.groupBy("o_orderpriority").applyInArrow(
+        _priority_stats_arrow,
+        schema=(
+            "o_orderpriority string, order_cnt bigint, "
+            "total_spend double, avg_spend double"
+        ),
+    )
