@@ -153,3 +153,38 @@ def unpivot_lang_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         "lang", ["n_docs", "total_chars", "n_sources"], "metric", "value"
     )
+
+
+# --- LATERAL join: correlated top-N subquery per outer row --------------
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM nation n, LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+
+
+@register("lateral_topn_per_nation", oracle=_LATERAL_ORACLE, tags=("J1", "W5", "E2", "ext"))
+def lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (`JOIN LATERAL` subquery): the two
+    richest customers per nation, written the way a SQL user ports a
+    per-row dependent subquery. Catalyst DECORRELATES it — the
+    executed plan is the same rank-filter-over-partitioned-window
+    shape as `topk_per_group` (one shuffle on the correlation key),
+    not N independent subquery executions; total order inside each
+    group is pinned by the (acctbal DESC, name) tiebreak."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+SELECT n.n_name, t.c_name, round(t.c_acctbal, 2) AS acctbal
+FROM _lat_nation n JOIN LATERAL (
+  SELECT c_name, c_acctbal FROM _lat_customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 2
+) t
+"""
+    )

@@ -349,3 +349,14 @@ def test_recursive_spine_is_union_loop(spark, sf_dir):
     assert "UnionLoop" in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_lateral_join_decorrelates_to_window_topk(spark, sf_dir):
+    """lateral_topn_per_nation: the correlated LATERAL subquery must
+    decorrelate to the partitioned WindowGroupLimit top-k shape — a
+    per-outer-row re-execution (nested loop / cartesian) would be
+    O(nations x customers) at scale."""
+    plan = _plan(spark, sf_dir, "lateral_topn_per_nation")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
