@@ -567,3 +567,107 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         result.filter(F.col("closed") == "timeout")
         .select("user_id", "n_events")
     )
+
+
+# --- J10 outer flavor: watermarked LEFT OUTER stream-stream join --------
+
+_SS_OUTER_ORACLE = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+           WHERE event_type = 'click'),
+     wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                         (SELECT max(c_ts) FROM c)) - INTERVAL 1 HOUR AS w)
+SELECT p.purchase_id, coalesce(c.click_id, -1) AS click_id, p.user_id
+FROM p LEFT JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+ AND c.c_ts <= p.p_ts
+WHERE c.click_id IS NOT NULL OR p.p_ts <= (SELECT w FROM wm)
+"""
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    oracle=_SS_OUTER_ORACLE,
+    tags=("S2", "J10", "T4", "T8"),
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 LEFT OUTER stream-stream join — the semantically hard
+    flavor: an unmatched purchase can only emit its null-padded row
+    once the CLICK watermark proves no matching click can still
+    arrive, so correctness depends on state eviction, not just
+    matching. Spark's trailing no-data micro-batch advances the
+    watermark after the last input batch and flushes those rows;
+    without it the unmatched side would be silently missing under
+    availableNow. Purchases still INSIDE the final watermark
+    (p_ts > min(max_p_ts, max_c_ts) - 1h) stay open and correctly do
+    NOT emit — the oracle encodes exactly that streaming semantic
+    (verified row-exact against the engine's eviction boundary).
+    Null click_id is surfaced as the -1 sentinel (engine
+    hashed-output convention)."""
+    p = (
+        file_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        file_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "purchase_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.col("p_user").alias("user_id"),
+    )
+    return run_available_now(joined, output_mode="append")
+
+
+# --- T5 within-watermark dedup (bounded state, unlike dropDuplicates) ---
+
+_DEDUP_WW_ORACLE = """
+SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events
+"""
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle=_DEDUP_WW_ORACLE,
+    tags=("S2", "T4", "T5"),
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 via ``dropDuplicatesWithinWatermark``: unlike plain
+    streaming dropDuplicates (whose key state grows forever), each
+    key's state is dropped once the watermark passes its event time +
+    delay — the ONLY dedup form whose state is bounded on an
+    unbounded keyspace, i.e. the one you actually run at 100 TB/day.
+    The self-unioned stream (every event twice, duplicates arriving
+    within the 1h delay) must collapse back to the original event
+    set."""
+    ev = file_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    doubled = ev.union(
+        file_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    )
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    result = run_available_now(deduped, output_mode="append")
+    return result.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
