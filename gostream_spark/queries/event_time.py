@@ -551,3 +551,94 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_cnt",
         "total_value",
     )
+
+
+# --- T3 extension: DYNAMIC-gap session windows --------------------------
+
+_T3_DYN_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'error' THEN INTERVAL 10 MINUTE
+              ELSE INTERVAL 30 MINUTE END AS gap
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id, gap,
+         max(ts + gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max_end
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, gap,
+         sum(CASE WHEN prev_max_end IS NULL OR ts >= prev_max_end
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+       strftime(max(ts + gap), '{TS_FMT_DUCK}') AS session_end,
+       count(*) AS event_cnt
+FROM numbered
+GROUP BY user_id, session_no
+"""
+
+
+@register("session_window_dynamic_gap", oracle=_T3_DYN_ORACLE, tags=("T3", "ext"))
+def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 with a PER-EVENT gap expression: error events keep the
+    session alive only 10 minutes, everything else 30 — the
+    engagement-dependent sessionization fixed-gap windows can't
+    express. Each event contributes [ts, ts + its gap); Spark merges
+    overlapping intervals, so session_end is the max contributed end,
+    which the oracle replays with a running-max-of-ends lag
+    construction. Same single user-keyed shuffle as the fixed-gap
+    twin."""
+    ev = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("event_cnt"))
+        .select(
+            "user_id",
+            ts_str("w.start").alias("session_start"),
+            ts_str("w.end").alias("session_end"),
+            "event_cnt",
+        )
+    )
+
+
+# --- A4 extension: mergeable datasketches HLL rollup --------------------
+
+
+@register("hll_mergeable_rollup", oracle=None, tags=("A4", "A7", "ext"))
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 via Apache DataSketches HLL (Spark 3.5+ `hll_sketch_agg`):
+    per-event-type sketches of the user set, then `hll_union_agg`
+    MERGES the serialized sketches into the all-types estimate —
+    the two-level rollup pattern that makes distinct counting
+    mergeable across partitions/days without re-scanning raw data
+    (approx_count_distinct gives one number; sketches compose).
+    Rows-only by design (sketch internals are Spark-specific); the
+    estimate-vs-exact tolerance and the union upper bound are pinned
+    in tests/test_rows_only.py."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rolled = per.agg(
+        F.hll_union_agg("sk").alias("sk"),
+        F.lit("(all)").alias("event_type"),
+    ).select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        F.lit(-1).cast("bigint").alias("exact_users"),
+    )
+    return per.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+        "exact_users",
+    ).unionByName(rolled)

@@ -203,3 +203,25 @@ def test_ewma_stays_within_window_bounds(spark, sf_dir):
     for r in get_query("ewma_smoothing").fn(spark, sf_dir).collect():
         lo, hi = bounds[(r.user_id, r.event_id)]
         assert lo - 1e-6 <= r.ewma <= hi + 1e-6, (r, lo, hi)
+
+
+def test_hll_mergeable_rollup_estimates_and_union_bound(spark, sf_dir):
+    """A4 sketch rollup: per-type estimates within 5% of the exact
+    distinct count carried in the same row, and the merged (all)
+    estimate within 5% of the true all-types distinct user count —
+    the union must summarize the SAME population, not re-count it."""
+    rows = get_query("hll_mergeable_rollup").fn(spark, sf_dir).collect()
+    per = {r.event_type: r for r in rows if r.event_type != "(all)"}
+    assert per, "expected per-type sketch rows"
+    for k, r in per.items():
+        assert abs(r.approx_users - r.exact_users) <= max(1, 0.05 * r.exact_users), k
+    all_row = next(r for r in rows if r.event_type == "(all)")
+    exact_all = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert abs(all_row.approx_users - exact_all) <= max(1, 0.05 * exact_all)
+    # merged estimate can never exceed the sum of the parts' estimates
+    assert all_row.approx_users <= sum(r.approx_users for r in per.values())
