@@ -188,3 +188,66 @@ FROM _lat_nation n JOIN LATERAL (
 ) t
 """
     )
+
+
+# --- XML ingest: from_xml (Spark 4) -------------------------------------
+
+_XML_ORACLE = """
+SELECT event_type,
+       count(*) AS n_rows,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("xml_props_ingest", oracle=_XML_ORACLE, tags=("F4", "ext"))
+def xml_props_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest surface (Spark 4 ``from_xml``): render each event's
+    props as an XML fragment, then parse it back with an explicit
+    schema and aggregate the extracted field. Round-tripping our own
+    JSON through XML is deliberate — the fixtures carry no XML, but
+    feed formats do, and this pins the parse path (explicit schema,
+    row-local, no inference pass) with an exact oracle on the
+    underlying values."""
+    ev = load_table(spark, sf_dir, "events")
+    xml = F.format_string(
+        "<e><k>%s</k></e>", F.get_json_object("props", "$.k")
+    )
+    parsed = ev.select(
+        "event_type", F.from_xml(xml, "k BIGINT").alias("x")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("x.k").alias("sum_k"),
+    )
+
+
+# --- Exact median (interpolating) per group -----------------------------
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       round(median(value), 4) AS median_value,
+       count(*) AS n_events
+FROM events
+WHERE value IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@register("agg_median_by_type", oracle=_MEDIAN_ORACLE, tags=("A8", "ext"))
+def agg_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating median per group (`median`, Spark 3.4+) —
+    the A8 percentile family's exact midpoint: both engines sort the
+    group and average the middle two on even counts, one double
+    operation, rounded at 4. NULL values filtered on both sides
+    (engine nullable-column discipline). Median requires the full
+    group (not decomposable) — at 100 TB prefer approx_percentile
+    unless the per-group cardinality is bounded, which event_type
+    grouping is not; documented trade-off, exact twin of
+    agg_approx_percentile."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
