@@ -251,3 +251,78 @@ def agg_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("value"), 4).alias("median_value"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# --- Exact mergeable distinct counts via bitmap aggregation -------------
+
+_BITMAP_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+GROUP BY event_type
+UNION ALL
+SELECT '(all)' AS event_type, count(DISTINCT user_id) AS n_users FROM events
+"""
+
+
+@register("bitmap_distinct_rollup", oracle=_BITMAP_ORACLE, tags=("A3", "A4", "ext"))
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counts via bitmap aggregation (Spark
+    3.5 bitmap functions): user_id maps to (bucket, bit position);
+    per-(type, bucket) bitmaps OR-merge like sketches but count
+    exactly. The global row re-merges the per-type bitmaps with
+    ``bitmap_or_agg`` — no rescan of raw data, the pattern that makes
+    COUNT DISTINCT re-aggregable across partitions/days where plain
+    countDistinct must see every row again and HLL only
+    approximates. Dense-int keyspaces only (bitmap is 4 KB per
+    bucket of 32k ids); user_id qualifies."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    per_bucket = ev.groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    per_type = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_users")
+    )
+    global_row = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_users"))
+        .select(F.lit("(all)").alias("event_type"), "n_users")
+    )
+    return per_type.unionByName(global_row)
+
+
+# --- Collation-aware grouping (Spark 4 collations) ----------------------
+
+_COLLATE_ORACLE = """
+WITH mixed AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END AS src
+  FROM documents
+)
+SELECT min(src) AS source_label, count(*) AS n_docs
+FROM mixed GROUP BY lower(src)
+"""
+
+
+@register("collated_source_counts", oracle=_COLLATE_ORACLE, tags=("F1", "A1", "ext"))
+def collated_source_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS
+    (``collate(col, 'UNICODE_CI')``): half the source labels are
+    upper-cased, and the collation-aware groupBy folds them back
+    together — WITHOUT rewriting the data through lower() (at scale,
+    collation pushes into the comparator; a lower() wrapper blocks
+    dictionary-encoded comparisons). Output label is the binary min
+    of the group (deterministic); oracle groups by lower()."""
+    docs = load_table(spark, sf_dir, "documents")
+    mixed = docs.select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper("source"))
+        .otherwise(F.col("source"))
+        .alias("src")
+    )
+    return (
+        mixed.groupBy(F.collate("src", "UNICODE_CI").alias("k"))
+        .agg(F.min("src").alias("source_label"), F.count(F.lit(1)).alias("n_docs"))
+        .select("source_label", "n_docs")
+    )
