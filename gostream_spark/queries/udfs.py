@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.udtf import AnalyzeResult
 
 from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.registry import register
@@ -292,4 +293,62 @@ def udaf_priority_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority string, order_cnt bigint, "
             "total_spend double, avg_spend double"
         ),
+    )
+
+
+# --- U3 polymorphic UDTF: analyze()-derived output schema ---------------
+
+
+class _LeadTokensTF:
+    """Polymorphic UDTF (Spark 4): the output schema is COMPUTED by
+    ``analyze`` from the constant column-spec argument — one UDTF
+    serves any width, the schema stays a plan-time constant (no
+    runtime surprises, full column pruning above it)."""
+
+    @staticmethod
+    def analyze(text, spec):
+        from pyspark.sql.types import StringType, StructType
+
+        names = [s.strip() for s in spec.value.split(",")]
+        schema = StructType()
+        for name in names:
+            schema = schema.add(name, StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, text, spec):
+        names = [s.strip() for s in spec.split(",")]
+        toks = (text or "").split(" ")
+        yield tuple(
+            toks[i] if i < len(toks) and toks[i] != "" else "(none)"
+            for i in range(len(names))
+        )
+
+
+_U3_POLY_ORACLE = """
+SELECT doc_id,
+       coalesce(nullif(toks[1], ''), '(none)') AS first_tok,
+       coalesce(nullif(toks[2], ''), '(none)') AS second_tok,
+       coalesce(nullif(toks[3], ''), '(none)') AS third_tok
+FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+@register("udtf_lead_tokens", oracle=_U3_POLY_ORACLE, tags=("U3", "ext"))
+def udtf_lead_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3 polymorphic flavor: the UDTF's ``analyze`` static method
+    derives a 3-string-column schema from the literal spec argument
+    ('first_tok,second_tok,third_tok') at PLAN time — the Spark 4
+    API for table functions whose shape depends on their arguments
+    (the batch twin of a dynamic parser bolt). Missing positions
+    surface as the '(none)' sentinel (hashed-output convention)."""
+    from pyspark.sql.functions import lit
+
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_poly_docs")
+    spark.udtf.register("gs_lead_tokens", udtf(_LeadTokensTF))
+    return spark.sql(
+        """
+SELECT d.doc_id, t.first_tok, t.second_tok, t.third_tok
+FROM _poly_docs d,
+     LATERAL gs_lead_tokens(d.text, 'first_tok,second_tok,third_tok') t
+"""
     )
