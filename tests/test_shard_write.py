@@ -52,3 +52,47 @@ def test_shard_write_produces_sorted_shard_files(spark, sf_dir):
         assert total == n_docs
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_range_partitioned_write_is_globally_ordered(spark, sf_dir):
+    """Time-ordered export discipline: `repartitionByRange(ts)` +
+    `sortWithinPartitions(ts)` yields globally-ordered output across
+    shard files WITHOUT a single-task global sort — each task sorts
+    its range, ranges don't overlap (equal keys never straddle a
+    boundary). The layout a downstream consumer can merge-read in
+    time order."""
+    from gostream_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_id")
+    out = os.path.join(TMP, f"rangewrite-{uuid.uuid4().hex[:8]}")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    try:
+        files = glob.glob(os.path.join(out, "part-*.parquet"))
+        assert len(files) == 8
+        con = duckdb.connect()
+        stats, total = [], 0
+        for f in files:
+            row = con.execute(
+                "SELECT min(ts), max(ts), count(*), "
+                "count(*) = 0 OR (SELECT bool_and(ok) FROM ("
+                "  SELECT ts >= lag(ts) OVER (ORDER BY rowid) AS ok"
+                f"  FROM (SELECT row_number() OVER () AS rowid, ts FROM read_parquet('{f}'))"
+                ") WHERE ok IS NOT NULL) "
+                f"FROM read_parquet('{f}')"
+            ).fetchone()
+            if row[2] == 0:
+                continue
+            assert row[3], f"rows inside {f} are not ts-sorted"
+            stats.append((row[0], row[1]))
+            total += row[2]
+        assert total == ev.count()
+        stats.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(stats, stats[1:]):
+            assert hi1 <= lo2, "shard ranges overlap — global order broken"
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
