@@ -218,21 +218,12 @@ FROM reach GROUP BY a
 """
 
 
-@register("neardup_cluster_components", oracle=_COMPONENTS_ORACLE, tags=("L2", "ext"), bench=True)
-def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 completion: candidate pairs → duplicate CLUSTERS. Band
-    collisions only assert pairwise similarity; dedup needs the
-    transitive closure (A~B, B~C ⇒ {A,B,C} one cluster) — computed
-    with `operators.components.connected_components` (iterative
-    min-label propagation, the BSP algorithm GraphX/GraphFrames use).
-    Edges are STAR edges per (band, band_hash) bucket — linear in
-    bucket size, never the quadratic all-pairs — from the bottom-k
-    MinHash bands. Output: every doc's cluster id (= min doc_id in
-    its component) and the keep/drop decision. The oracle computes
-    the identical closure with a recursive CTE — exact agreement
-    certifies the iterative fixpoint."""
+def _bottomk_band_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared candidate-graph builder: bottom-k MinHash bands -> star
+    edges per (band, band_hash) bucket (hub = min doc_id; linear in
+    bucket size, never all-pairs). Used by the cluster-closure and
+    PageRank-centrality queries."""
     from gostream_spark.functions.sketches import bottomk_sketch
-    from gostream_spark.operators.components import connected_components
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
@@ -265,12 +256,30 @@ def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)",
     )
     hub = F.min("doc_id").over(Window.partitionBy("band_id", "band_hash"))
-    edges = (
+    return (
         stacked.withColumn("hub", hub)
         .filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("src"), F.col("doc_id").alias("dst"))
         .distinct()
     )
+
+
+@register("neardup_cluster_components", oracle=_COMPONENTS_ORACLE, tags=("L2", "ext"), bench=True)
+def neardup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 completion: candidate pairs → duplicate CLUSTERS. Band
+    collisions only assert pairwise similarity; dedup needs the
+    transitive closure (A~B, B~C ⇒ {A,B,C} one cluster) — computed
+    with `operators.components.connected_components` (iterative
+    min-label propagation, the BSP algorithm GraphX/GraphFrames use).
+    Edges are STAR edges per (band, band_hash) bucket — linear in
+    bucket size, never the quadratic all-pairs — from the bottom-k
+    MinHash bands. Output: every doc's cluster id (= min doc_id in
+    its component) and the keep/drop decision. The oracle computes
+    the identical closure with a recursive CTE — exact agreement
+    certifies the iterative fixpoint."""
+    from gostream_spark.operators.components import connected_components
+
+    edges = _bottomk_band_star_edges(spark, sf_dir)
     nodes = load_table(spark, sf_dir, "documents").select("doc_id")
     comp = connected_components(nodes, edges)
     return comp.select(
@@ -554,4 +563,42 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
+    )
+
+
+# --- L2 wave 5: PageRank centrality for canonical-copy selection --------
+
+
+@register("neardup_pagerank_centrality", oracle=None, tags=("L2", "ext"))
+def neardup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the near-dup candidate graph
+    (``operators.pagerank``, 10 fixed BSP rounds): ranks the
+    documents INSIDE duplicate neighborhoods so the keep-rule can
+    select the most-central variant instead of blind min-id — the
+    canonical-copy heuristic for crawl dedup (hub pages accumulate
+    rank from their satellites). Nodes are the candidate-graph
+    endpoints only (degree >= 1, so rank mass is conserved — pinned
+    in tests/test_rows_only.py). Rows-only by design: rank values are
+    float sums over shuffled neighbor contributions (last-ulp
+    partial-sum order), surfaced rounded at 4; row count equals the
+    candidate-graph node count."""
+    from gostream_spark.operators.pagerank import pagerank
+
+    edges = _bottomk_band_star_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("src").alias("doc_id"))
+        .union(edges.select(F.col("dst").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    ranks = pagerank(nodes, edges, damping=0.85, n_iter=10)
+    return (
+        ranks.withColumnRenamed("id", "doc_id")
+        .join(deg, "doc_id")
+        .select("doc_id", F.round("rank", 4).alias("rank"), "degree")
     )

@@ -225,3 +225,21 @@ def test_hll_mergeable_rollup_estimates_and_union_bound(spark, sf_dir):
     assert abs(all_row.approx_users - exact_all) <= max(1, 0.05 * exact_all)
     # merged estimate can never exceed the sum of the parts' estimates
     assert all_row.approx_users <= sum(r.approx_users for r in per.values())
+
+
+def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
+    """L2 PageRank centrality: rank mass is conserved over the
+    candidate graph (sum == node count within float tolerance), every
+    rank is at least the teleport floor (1 - d), and the graph's hub
+    structure shows: some node with above-minimum degree outranks the
+    global average."""
+    rows = get_query("neardup_pagerank_centrality").fn(spark, sf_dir).collect()
+    assert rows, "candidate graph should be non-empty at sf0.01"
+    n = len(rows)
+    total = sum(r.rank for r in rows)
+    assert abs(total - n) <= max(1e-3, 1e-6 * n), (total, n)
+    assert all(r.rank >= 0.15 - 1e-9 for r in rows)
+    max_deg = max(r.degree for r in rows)
+    if max_deg > 1:
+        best = max(rows, key=lambda r: r.rank)
+        assert best.degree > 1, "highest rank should sit on a hub, not a leaf"
