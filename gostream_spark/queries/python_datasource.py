@@ -180,7 +180,6 @@ def pysink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The committed JSONL re-read and aggregated must equal the batch
     formula. Driven by run_until (Python stream sources lack
     availableNow) until all rows are committed."""
-    import glob as _glob
     import os
 
     from gostream_spark.streaming.runner import _scratch

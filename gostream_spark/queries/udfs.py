@@ -341,8 +341,6 @@ def udtf_lead_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     API for table functions whose shape depends on their arguments
     (the batch twin of a dynamic parser bolt). Missing positions
     surface as the '(none)' sentinel (hashed-output convention)."""
-    from pyspark.sql.functions import lit
-
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("_poly_docs")
     spark.udtf.register("gs_lead_tokens", udtf(_LeadTokensTF))
     return spark.sql(
