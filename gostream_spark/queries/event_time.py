@@ -642,3 +642,56 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate("sk").alias("approx_users"),
         "exact_users",
     ).unionByName(rolled)
+
+
+# --- Storm-style COUNT windows (every N tuples per key) -----------------
+
+_COUNT_WIN_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, coalesce(value, 0) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+)
+SELECT user_id,
+       rn // 5 AS win_no,
+       count(*) AS n_events,
+       strftime(min(ts), '{TS_FMT_DUCK}') AS win_start,
+       strftime(max(ts), '{TS_FMT_DUCK}') AS win_end,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS sum_value
+FROM ordered
+GROUP BY user_id, rn // 5
+HAVING count(*) = 5
+"""
+
+
+@register("count_window_stats", oracle=_COUNT_WIN_ORACLE, tags=("T1", "W3", "ext"))
+def count_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-based (tuple) windows — the Storm window flavor keyed by
+    arrival count, not time: each user's events chunk into
+    consecutive windows of 5 in (ts, event_id) order; only COMPLETE
+    windows emit (matching the streaming twin, whose remainder rides
+    in state). One user-keyed shuffle; cent-integer sums for exact
+    parity."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chunked = ev.select(
+        "user_id",
+        "ts",
+        F.coalesce("value", F.lit(0.0)).alias("value"),
+        ((F.row_number().over(w) - 1) / 5).cast("bigint").alias("win_no"),
+    )
+    return (
+        chunked.groupBy("user_id", "win_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            ts_str(F.min("ts")).alias("win_start"),
+            ts_str(F.max("ts")).alias("win_end"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("double")
+                / 100.0,
+                2,
+            ).alias("sum_value"),
+        )
+        .filter(F.col("n_events") == 5)
+    )

@@ -671,3 +671,44 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --- T6: Storm-style count windows as a real stream ---------------------
+
+_COUNT_WIN_STREAM_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, coalesce(value, 0) AS value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+)
+SELECT user_id,
+       rn // 5 AS win_no,
+       count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS win_end,
+       round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2)
+         AS sum_value
+FROM ordered
+GROUP BY user_id, rn // 5
+HAVING count(*) = 5
+"""
+
+
+@register(
+    "streaming_count_window_stateful",
+    oracle=_COUNT_WIN_STREAM_ORACLE,
+    tags=("S2", "T6", "T8"),
+)
+def streaming_count_window_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 count windows executed as a REAL stream: per-user tuple
+    windows of 5 via applyInPandasWithState (buffer + window counter
+    in state, O(N) per key). The single-file fixture arrives as one
+    micro-batch, so in-batch (ts, event_id) ordering makes every
+    window assignment deterministic and the appended output must
+    equal the batch chunking — the exact oracle asserts it. The <5
+    remainder per user stays in state and never emits, matching the
+    batch twin's HAVING n = 5."""
+    from gostream_spark.streaming.ops import count_window_stateful
+
+    ev = file_stream(spark, sf_dir, "events")
+    return run_available_now(count_window_stateful(ev), output_mode="append")

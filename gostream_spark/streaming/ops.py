@@ -303,3 +303,80 @@ def session_timeout_stateful(events: DataFrame, timeout_ms: int = 500) -> DataFr
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+_CW_N = 5
+_CW_STATE_SCHEMA = StructType(
+    [StructField("win_no", LongType()), StructField("buf", StringType())]
+)
+_CW_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("win_no", LongType()),
+        StructField("n_events", LongType()),
+        StructField("win_start", StringType()),
+        StructField("win_end", StringType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def _count_window_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # Buffer = the <N pending events, serialized "ts_micro,cents"
+    # pairs; win_no = completed windows so far. Incoming rows are
+    # materialized and sorted ONCE per group (multi-chunk groups
+    # arrive in arbitrary order — same discipline as _ewma_fn).
+    win_no, buf = (state.get if state.exists else (0, ""))
+    pending = [p for p in buf.split(";") if p]
+    pdf = pd.concat(list(pdfs))
+    pdf = pdf.sort_values(["ts", "event_id"])
+    for _, row in pdf.iterrows():
+        ts_micro = int(row["ts"].value // 1_000)
+        cents = 0 if pd.isna(row["value"]) else int(round(row["value"] * 100))
+        pending.append(f"{ts_micro},{cents}")
+    out = []
+    while len(pending) >= _CW_N:
+        window, pending = pending[:_CW_N], pending[_CW_N:]
+        ts_list = [int(p.split(",")[0]) for p in window]
+        cent_sum = sum(int(p.split(",")[1]) for p in window)
+        out.append(
+            {
+                "user_id": key[0],
+                "win_no": win_no,
+                "n_events": _CW_N,
+                "win_start": pd.Timestamp(ts_list[0] * 1_000).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "win_end": pd.Timestamp(ts_list[-1] * 1_000).strftime(
+                    "%Y-%m-%d %H:%M:%S"
+                ),
+                "sum_value": round(cent_sum / 100.0, 2),
+            }
+        )
+        win_no += 1
+    state.update((win_no, ";".join(pending)))
+    if out:
+        yield pd.DataFrame(out)
+
+
+def count_window_stateful(events: DataFrame) -> DataFrame:
+    """T6 fifth shape: COUNT-based (tuple) windows — the Storm-style
+    'every N tuples per key' window Structured Streaming has no
+    built-in for. Per-key state buffers the <N pending events and a
+    window counter; each full window of 5 emits once with its span
+    and exact cent-sum, the remainder rides in state. State is O(N)
+    per key by construction — the buffer can never exceed N-1
+    events. Emission order inside a batch is deterministic because
+    rows are sorted (ts, event_id) before folding; the batch twin
+    `count_window_stats` certifies the semantics via exact oracle."""
+    return events.select("user_id", "ts", "event_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _count_window_fn,
+        outputStructType=_CW_OUT_SCHEMA,
+        stateStructType=_CW_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
