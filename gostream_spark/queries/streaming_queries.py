@@ -712,3 +712,100 @@ def streaming_count_window_stateful(spark: SparkSession, sf_dir: str) -> DataFra
 
     ev = file_stream(spark, sf_dir, "events")
     return run_available_now(count_window_stateful(ev), output_mode="append")
+
+
+# --- L8+J9+S6: streaming benchmark decontamination ----------------------
+
+_STREAM_DECON_ORACLE = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(len(t) - 3),
+                               i -> array_to_string(t[i+1:i+4], ' '))) AS g
+  FROM toks),
+bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)
+)
+SELECT source, count(*) AS clean_docs
+FROM toks
+WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY source
+"""
+
+
+@register(
+    "streaming_decontaminate_anti",
+    oracle=_STREAM_DECON_ORACLE,
+    tags=("S2", "S6", "J9", "L8"),
+)
+def streaming_decontaminate_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus decontamination — the production ingest shape:
+    documents arrive as a stream; each micro-batch explodes its
+    4-grams, left-SEMI joins the (static, broadcastable) benchmark
+    gram set to find contaminated doc ids, LEFT ANTI joins them away,
+    and appends only the clean rows to the sink (foreachBatch gives
+    the batch API per micro-batch). The benchmark set is MBs even at
+    100 TB corpus scale, so the per-batch join is a broadcast — the
+    stream side never shuffles. Final sink contents = the batch
+    decontamination's clean set, asserted by the oracle."""
+    from gostream_spark.streaming.runner import _scratch
+
+    import shutil
+
+    bench = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source") == "src0")
+        .select(F.explode(_grams4(F.split("text", " "))).alias("g"))
+        .distinct()
+    )
+    out = _scratch("sink")
+    ckpt = _scratch("ckpt")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cand = batch_df.filter(F.col("source") != "src0")
+        grams = cand.select(
+            "doc_id", F.explode(_grams4(F.split("text", " "))).alias("g")
+        )
+        contaminated = (
+            grams.join(F.broadcast(bench), "g", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        clean = cand.join(contaminated, "doc_id", "left_anti")
+        clean.select("doc_id", "source").write.mode("append").parquet(out)
+
+    stream = file_stream(spark, sf_dir, "documents")
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(300):
+            raise TimeoutError("streaming decontamination did not finish")
+    finally:
+        q.stop()
+    result = (
+        spark.read.parquet(out)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("clean_docs"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return result
+
+
+def _grams4(toks):
+    """Word 4-grams of a token array column (empty below 4 tokens)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 4,
+        F.transform(
+            F.sequence(F.lit(0), n - 4),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
