@@ -170,3 +170,62 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_nll"),
         )
     )
+
+
+# --- Linear quality classifier scored with built-ins --------------------
+
+_CLS_ORACLE = """
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tok,
+         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))
+           AS n_stop,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         -1.5
+         + 0.02 * least(n_tok, 200)
+         + 2.0 * (CAST(n_distinct AS DOUBLE) / n_tok)
+         - 3.0 * (CAST(n_stop AS DOUBLE) / n_tok) AS z
+  FROM feat
+)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-z)), 4) AS p_keep,
+       CASE WHEN 1.0 / (1.0 + exp(-z)) >= 0.5 THEN 'keep' ELSE 'drop' END
+         AS decision
+FROM scored
+"""
+
+
+@register("quality_classifier_score", oracle=_CLS_ORACLE, tags=("L8", "ext"))
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model inference with BUILT-INS: a (toy-weighted) logistic
+    quality classifier — the fasttext-style keep/drop gate every
+    training-data pipeline runs — computed as one row-local
+    expression: fixed literal weights, three cheap features, sigmoid
+    via exp. No UDF, no model server: whole-stage codegen scores
+    100 TB at scan speed, and swapping trained weights is a literal
+    change. The keep threshold tests the UNROUNDED sigmoid on both
+    engines (z at the 0.5 boundary means z = 0 exactly — impossible
+    for these rational features with irrational weights... which is
+    why the weights avoid ratios that cancel: decision flips need
+    |z| < 1e-15)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    n_tok = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda t: t.isin("the", "a")))
+    n_distinct = F.size(F.array_distinct("toks"))
+    z = (
+        F.lit(-1.5)
+        + 0.02 * F.least(n_tok, F.lit(200))
+        + 2.0 * (n_distinct.cast("double") / n_tok)
+        - 3.0 * (n_stop.cast("double") / n_tok)
+    )
+    p = 1.0 / (1.0 + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(p, 4).alias("p_keep"),
+        F.when(p >= 0.5, "keep").otherwise("drop").alias("decision"),
+    )
