@@ -360,3 +360,21 @@ def test_lateral_join_decorrelates_to_window_topk(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_count_window_reuses_user_partitioning(spark, sf_dir):
+    """count_window_stats: the (user_id, win_no) aggregate must reuse
+    the window's user_id hash partitioning (win_no is derived within
+    user, so clustering by user_id already satisfies it) — exactly
+    ONE exchange, not two."""
+    plan = _plan(spark, sf_dir, "count_window_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quality_classifier_is_shuffle_free(spark, sf_dir):
+    """quality_classifier_score is model inference as a row-local
+    projection: any exchange or join in this plan means the scoring
+    expression stopped being embarrassingly parallel."""
+    plan = _plan(spark, sf_dir, "quality_classifier_score")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
