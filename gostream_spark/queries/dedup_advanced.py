@@ -602,3 +602,85 @@ def neardup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg, "doc_id")
         .select("doc_id", F.round("rank", 4).alias("rank"), "degree")
     )
+
+
+# --- L2 wave 6: candidate-graph topology stats (wedges/triangles) -------
+
+_GRAPH_STATS_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), mins AS (
+  SELECT doc_id,
+         list_slice(list_sort(list(substr(md5(shingle), 1, 15))), 1, 8) AS m
+  FROM sh GROUP BY doc_id HAVING count(*) >= 8
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(m[1] || m[2]) AS band_hash FROM mins
+  UNION ALL SELECT doc_id, 1, md5(m[3] || m[4]) FROM mins
+  UNION ALL SELECT doc_id, 2, md5(m[5] || m[6]) FROM mins
+  UNION ALL SELECT doc_id, 3, md5(m[7] || m[8]) FROM mins
+), starred AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band_id, band_hash) AS hub
+  FROM bands
+), edges AS (
+  SELECT DISTINCT hub AS src, doc_id AS dst FROM starred WHERE doc_id <> hub
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), canon AS (
+  SELECT src AS a, dst AS b FROM sym WHERE src < dst
+), deg AS (
+  SELECT src AS node, count(*) AS d FROM sym GROUP BY src
+), tri AS (
+  SELECT count(*) AS n_triangles
+  FROM canon e1
+  JOIN canon e2 ON e2.a = e1.b
+  JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT count(*) FROM canon) AS n_edges,
+       (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+@register("neardup_graph_stats", oracle=_GRAPH_STATS_ORACLE, tags=("L2", "J1", "ext"))
+def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topology of the near-dup candidate graph: edge count, wedge
+    count (length-2 paths — sum of deg·(deg−1)/2), and triangle count
+    via the canonical-ordering two-hop self-join (each triangle
+    a<b<c counted exactly once as e1=(a,b), e2=(b,c), e3=(a,c)).
+    Wedges vs triangles is the standard graph-health check on a dedup
+    pipeline: star edges from banding give MANY wedges and few
+    triangles; a triangle burst means overlapping bands found a dense
+    clique (one big template family) and downstream closure will
+    produce a giant cluster. Self-join chains shuffle on the join
+    keys — never an all-pairs product; the ordering predicate halves
+    the edge list before the two-hop join."""
+    edges = _bottomk_band_star_edges(spark, sf_dir)
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    canon = sym.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    n_edges = canon.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("bigint")).alias("n_wedges")
+    )
+    e1 = canon
+    e2 = canon.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = canon.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(F.broadcast(tri))
+    )
