@@ -1,0 +1,135 @@
+"""Heavy hitters: exact frequent-item detection with a sketch first
+pass (L8/A-family extension; the Storm/streaming "top talkers" op).
+
+``heavy_hitter_tokens`` finds every token whose corpus-wide count is
+at least a fixed FRACTION of all token occurrences (phi = 1/200 =
+0.5%) — the standard phi-heavy-hitter problem (Misra & Gries 1982;
+Metwally et al.'s Space-Saving is the same summary).
+
+Why not just groupBy-count-having? That shuffles ONE RECORD PER
+DISTINCT TOKEN — at 100 TB of text the distinct-token table is
+billions of rows of long-tail garbage that all gets hashed,
+exchanged, and aggregated only to be discarded by the HAVING clause.
+The classic scale shape is two linear passes instead:
+
+- **Pass 1 (candidates)**: each partition runs a Misra-Gries summary
+  of capacity k = 2/phi in a ``mapInPandas`` worker and emits only
+  its surviving candidate tokens (≤ k rows per partition, regardless
+  of partition size). MG guarantees no false negatives: a token with
+  global count ≥ phi*N has, in at least one partition, a partition
+  count > n_p/k (else its global count ≤ sum(n_p)/k = N/k < phi*N
+  since k = 2/phi), and MG never evicts an item whose count exceeds
+  n_p/k. The union of partition candidates is therefore a SUPERSET
+  of the true phi-heavy hitters, and its size is bounded by
+  k × partitions — sketch-sized, never corpus-sized.
+- **Pass 2 (exact verify)**: re-scan the tokens, inner-join on the
+  candidate set (shuffled hash join on the token; the candidate side
+  is bounded, but it is corpus-DERIVED so we do not force a
+  broadcast — AQE may choose one, per the VERDICT r4 #3 rule), count
+  exactly, and keep count ≥ ceil(phi * N). N itself is a 1-row
+  global count joined in by cross join (constant-size, broadcast-safe).
+
+False positives from pass 1 are eliminated by pass 2's exact counts,
+so the result EQUALS the naive groupBy-having oracle — an exact query
+with a sketch-shaped plan. Total cost: two linear scans + one
+bounded-cardinality shuffle, vs one unbounded distinct-token shuffle.
+
+The streaming twin is ``streaming_heavy_hitters`` in
+``streaming_queries`` style: Space-Saving per key group via
+``applyInPandasWithState`` would only be approximate; the batch
+two-pass form here is the exact contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+# phi = 1/PHI_INV: report tokens with count >= ceil(N / PHI_INV).
+_PHI_INV = 200
+# MG capacity k = 2/phi guarantees survival of every token with
+# count >= N/k = N*phi/2, comfortably below the report threshold.
+_MG_CAPACITY = 2 * _PHI_INV
+
+
+def _misra_gries_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries summary over whitespace tokens.
+
+    Streams the partition's Arrow batches through one bounded dict of
+    at most ``_MG_CAPACITY`` counters (tokenizing inside the worker so
+    only compact text rows — not one row per token — cross the Arrow
+    boundary), then emits the surviving candidate tokens. Memory is
+    O(k) however large the partition is.
+    """
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for toks in pdf["text"].str.split(" "):
+            for tok in toks:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_CAPACITY:
+                    counters[tok] = 1
+                else:
+                    # Decrement-all step; drop zeroed counters.
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+    yield pd.DataFrame({"token": list(counters.keys())})
+
+
+_HH_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+), tot AS (
+  SELECT count(*) AS n FROM toks
+), cnt AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+)
+SELECT c.token, CAST(c.cnt AS BIGINT) AS cnt
+FROM cnt c, tot
+WHERE c.cnt >= ceil(tot.n / {_PHI_INV}.0)
+"""
+
+
+@register("heavy_hitter_tokens", oracle=_HH_ORACLE, tags=("L8", "A1", "ext"), bench=True)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitter tokens (count >= 0.5% of all tokens) via
+    Misra-Gries candidates + exact verification — see module docstring
+    for the guarantee argument and the 100 TB shape.
+
+    Plan: pass 1 is a pushed-down single-column scan of ``text`` into
+    a mapInPandas stage emitting <= k rows per partition; ``distinct``
+    on that sketch-sized output is a trivial exchange. Pass 2 explodes
+    tokens JVM-side, joins the candidate set (no forced broadcast —
+    corpus-derived), counts, and compares to ceil(N/200) from a 1-row
+    global count (broadcast-safe constant size).
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    candidates = docs.mapInPandas(
+        _misra_gries_candidates, schema="token string"
+    ).distinct()
+
+    tokens = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    total = tokens.select(F.count("*").alias("n"))
+    counts = (
+        tokens.join(candidates, "token")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.col("n") / F.lit(float(_PHI_INV))))
+        .select("token", "cnt")
+    )
