@@ -133,3 +133,35 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") >= F.ceil(F.col("n") / F.lit(float(_PHI_INV))))
         .select("token", "cnt")
     )
+
+
+@register(
+    "streaming_heavy_hitters_stateful",
+    tags=("S2", "T6", "T8", "L8", "ext"),
+)
+def streaming_heavy_hitters_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin: per-SOURCE Space-Saving heavy-hitter summaries
+    held in ``applyInPandasWithState`` state (sketch-in-state — the
+    continuous top-talkers op). Rows-only by design: Space-Saving
+    estimates are arrival-order-dependent overestimates; the guarantee
+    (every true 0.5%-heavy token present, error <= N/400) is asserted
+    against exact batch counts in tests/test_rows_only.py. Update-mode
+    memory sink accumulates one emission per key per micro-batch; the
+    final emission per source (max n_tokens) is the full-stream
+    summary."""
+    from pyspark.sql import Window
+
+    from gostream_spark.streaming import (
+        file_stream,
+        run_available_now,
+        space_saving_stateful,
+    )
+
+    docs = file_stream(spark, sf_dir, "documents")
+    res = run_available_now(space_saving_stateful(docs), output_mode="update")
+    w = Window.partitionBy("source")
+    return (
+        res.withColumn("mx", F.max("n_tokens").over(w))
+        .filter(F.col("n_tokens") == F.col("mx"))
+        .select("source", "token", "est_cnt", "n_tokens")
+    )

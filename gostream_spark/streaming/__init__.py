@@ -23,6 +23,7 @@ from gostream_spark.streaming.ops import (
     ewma_stateful,
     running_count_stateful,
     session_timeout_stateful,
+    space_saving_stateful,
     transition_counts_stateful,
     windowed_counts,
 )
@@ -39,5 +40,6 @@ __all__ = [
     "ewma_stateful",
     "running_count_stateful",
     "session_timeout_stateful",
+    "space_saving_stateful",
     "transition_counts_stateful",
 ]

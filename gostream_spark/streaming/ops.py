@@ -380,3 +380,91 @@ def count_window_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- T6 sixth shape: Space-Saving heavy-hitter sketch in state ----------
+
+_SS_CAPACITY = 400  # >= 2/phi -> no false negatives at phi = 1/200
+_SS_PHI_INV = 200
+_SS_STATE_SCHEMA = StructType(
+    [StructField("n_tokens", LongType()), StructField("summary", StringType())]
+)
+_SS_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("token", StringType()),
+        StructField("est_cnt", LongType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+
+def _space_saving_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # Summary serialized as token\x1fcount pairs joined by \x1e (unit/
+    # record separators cannot occur in whitespace-split tokens).
+    n, summary = state.get if state.exists else (0, "")
+    counters: dict[str, int] = {}
+    if summary:
+        for item in summary.split("\x1e"):
+            tok, cnt = item.rsplit("\x1f", 1)
+            counters[tok] = int(cnt)
+    # No cross-chunk sort needed: Space-Saving's guarantees (no false
+    # negatives above N/m, overestimate <= min-counter <= N/m) hold
+    # for ANY arrival order — this fold is order-insensitive in its
+    # contract, unlike the EWMA/transition folds above.
+    for pdf in pdfs:
+        for toks in pdf["text"].str.split(" "):
+            for tok in toks:
+                n += 1
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _SS_CAPACITY:
+                    counters[tok] = 1
+                else:
+                    # Evict the min counter (deterministic tie-break);
+                    # the newcomer inherits its count + 1, preserving
+                    # the overestimate invariant.
+                    t_min = min(counters, key=lambda t: (counters[t], t))
+                    c_min = counters.pop(t_min)
+                    counters[tok] = c_min + 1
+    state.update(
+        (n, "\x1e".join(f"{t}\x1f{c}" for t, c in counters.items()))
+    )
+    thresh = -(-n // _SS_PHI_INV)  # ceil(n / 200)
+    hh = sorted(
+        (t, c) for t, c in counters.items() if c >= thresh
+    )
+    yield pd.DataFrame(
+        {
+            "source": [key[0]] * len(hh),
+            "token": [t for t, _ in hh],
+            "est_cnt": [c for _, c in hh],
+            "n_tokens": [n] * len(hh),
+        }
+    )
+
+
+def space_saving_stateful(docs: DataFrame) -> DataFrame:
+    """T6 sixth shape: a SKETCH held in per-key state — Space-Saving
+    (Metwally et al. 2005) heavy-hitter summaries per document source,
+    the streaming twin of the batch two-pass
+    ``queries.heavy_hitters.heavy_hitter_tokens``.
+
+    State per key is a bounded m=400-counter summary plus the running
+    token total — O(m) forever, however much text streams through,
+    which is the whole point: continuous top-talker tracking over an
+    unbounded stream with constant memory. Each micro-batch folds its
+    documents' tokens into the summary and emits the key's current
+    candidates at the phi = 0.5% threshold; with capacity m >= 2/phi
+    the summary provably contains every true phi-heavy hitter
+    (overestimates bounded by N/m), which the rows-only guarantee
+    test asserts against exact batch counts."""
+    return docs.select("source", "text").groupBy("source").applyInPandasWithState(
+        _space_saving_fn,
+        outputStructType=_SS_OUT_SCHEMA,
+        stateStructType=_SS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

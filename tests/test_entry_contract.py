@@ -30,7 +30,7 @@ def test_contract_shape(spark):
     # every oracle belongs to a registered query
     assert set(oracles) <= set(qs)
     # the vast majority must be exact-checked
-    assert len(oracles) >= len(qs) - 8
+    assert len(oracles) >= len(qs) - 9
     for name, fn in qs.items():
         assert callable(fn), name
     for name, sql in oracles.items():
@@ -65,6 +65,7 @@ def test_registry_hygiene():
         "simhash64_xxhash_buckets",
         "hll_mergeable_rollup",
         "neardup_pagerank_centrality",
+        "streaming_heavy_hitters_stateful",
     }
     table_re = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", re.I)
     known = set(TABLES)

@@ -243,3 +243,35 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
     if max_deg > 1:
         best = max(rows, key=lambda r: r.rank)
         assert best.degree > 1, "highest rank should sit on a hub, not a leaf"
+
+
+def test_space_saving_contains_all_true_heavy_hitters(spark, sf_dir):
+    """streaming_heavy_hitters_stateful: the final per-source
+    Space-Saving emission must (a) contain EVERY token whose true
+    count >= ceil(N_source/200) — the no-false-negative guarantee of
+    capacity m=400 >= 2/phi — and (b) only ever OVERestimate, by at
+    most N_source/400."""
+    out = get_query("streaming_heavy_hitters_stateful").fn(spark, sf_dir).collect()
+    emitted = {(r.source, r.token): (r.est_cnt, r.n_tokens) for r in out}
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+    )
+    exact = {
+        (r.source, r.token): r.cnt
+        for r in toks.groupBy("source", "token").agg(F.count("*").alias("cnt")).collect()
+    }
+    totals = {
+        r.source: r.n for r in toks.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+
+    # (a) no false negatives at the phi = 1/200 report threshold.
+    for (src, tok), cnt in exact.items():
+        if cnt >= -(-totals[src] // 200):
+            assert (src, tok) in emitted, (src, tok, cnt, totals[src])
+    # (b) overestimate-only, bounded by N/m.
+    for (src, tok), (est, n_tok) in emitted.items():
+        true = exact.get((src, tok), 0)
+        assert n_tok == totals[src], (src, n_tok, totals[src])
+        assert true <= est <= true + totals[src] / 400, (src, tok, est, true)
