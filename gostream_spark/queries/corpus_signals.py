@@ -77,9 +77,14 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: explode distinct grams (map-side), one shuffle to count
     documents per gram, one shuffle to join the count back and
     re-aggregate per doc_id, left join onto the doc spine to keep
-    sub-5-token documents with n_grams = 0. ``floor`` of a single
-    exact-dividend IEEE division keeps the ratio integer-deterministic
-    across engines."""
+    sub-5-token documents with n_grams = 0. Both corpus-scale
+    exchanges shuffle the 16-byte md5 DIGEST of the gram, not the
+    ~40-60-byte gram string (the ``docs_dedup_digest`` discipline:
+    the digest is computed once map-side, 128 bits keeps collisions
+    negligible even at 10^13 distinct grams, and the exchange
+    shrinks 2-3x). ``floor`` of a single exact-dividend IEEE
+    division keeps the ratio integer-deterministic across
+    engines."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("toks")
     )
@@ -92,7 +97,8 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = (
         docs.filter(n >= _NGRAM)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", F.explode(grams).alias("gram_str"))
+        .select("doc_id", F.unhex(F.md5("gram_str")).alias("gram"))
     )
     gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
     per_doc = (
