@@ -309,6 +309,67 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_J7_TOL_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+           OVER w AS click_id,
+         last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+           OVER w AS click_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id AS purchase_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS purchase_ts,
+       click_id,
+       strftime(click_ts, '{TS_FMT_DUCK}') AS click_ts
+FROM tagged
+WHERE event_type = 'purchase' AND click_id IS NOT NULL
+  AND ts - click_ts <= INTERVAL 6 HOUR
+"""
+
+
+@register("join_asof_tolerance", oracle=_J7_TOL_ORACLE, tags=("J7", "ext"))
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 with a TOLERANCE bound (pandas ``merge_asof(tolerance=...)``
+    semantics): the as-of match is kept only when the matched click is
+    within 6 hours of the purchase — stale state must not attribute.
+
+    The bound composes as a post-filter on the same O(n log n)
+    union+window as-of plan: candidate clicks at-or-before the probe
+    only get OLDER, so if the latest one is outside the tolerance all
+    are, and filtering the single matched row is equivalent to
+    bounding the search itself (the oracle proves it by bounding in
+    SQL). At 100 TB the tolerance is also the state-retention story:
+    the streaming form of this join only needs 6h of click state per
+    key, not unbounded history.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    joined = asof_join(
+        ev,
+        key="user_id",
+        ts="ts",
+        probe_filter=F.col("event_type") == "purchase",
+        build_filter=F.col("event_type") == "click",
+        carry=["event_id", "ts"],
+    )
+    return (
+        joined.filter(
+            F.col("asof_event_id").isNotNull()
+            & (F.col("asof_ts") >= F.col("ts") - F.expr("INTERVAL 6 HOURS"))
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            ts_str("ts").alias("purchase_ts"),
+            F.col("asof_event_id").alias("click_id"),
+            ts_str("asof_ts").alias("click_ts"),
+        )
+    )
+
+
 # --- J8 multi-way star join (bench query) ------------------------------
 
 _J8_ORACLE = """
