@@ -705,3 +705,77 @@ def scrub_pii_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return red.filter(F.col("n_emails") + F.col("n_phones") > 0).select(
         "doc_id", "source", "n_emails", "n_phones", F.md5("scrubbed").alias("scrubbed_md5")
     )
+
+
+# --- Weighted priority sampling (Duffield-Lund-Thorup) ------------------
+
+_PRIO_SCALE = 1 << 40  # integer-quantized priorities: w * 2^40 DIV h
+
+_WPRIO_ORACLE = f"""
+WITH base AS (
+  SELECT source, doc_id,
+         greatest(len(string_split(text, ' ')), 1) AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           + 1 AS h
+  FROM documents
+), prio AS (
+  SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+         (CAST(w AS BIGINT) * {_PRIO_SCALE}) // h AS priority
+  FROM base
+), ranked AS (
+  SELECT source, doc_id, w, priority,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY priority DESC, doc_id) AS rn
+  FROM prio
+)
+SELECT source, doc_id, w, priority, rn FROM ranked WHERE rn <= 20
+"""
+
+
+@register("sample_weighted_priority", oracle=_WPRIO_ORACLE, tags=("L8", "W5", "ext"))
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted priority sampling (Duffield, Lund & Thorup 2007): a
+    k=20-per-source sample where longer documents are proportionally
+    more likely to be drawn — the reproducible way to take a
+    token-mass-weighted subset (for eval slices, distillation pools,
+    mix experiments) without rand().
+
+    Priority q = w / u with u uniform from the doc's md5 — here
+    integer-quantized as ``(w * 2^40) DIV h`` with h the first 8 md5
+    hex digits + 1, so BOTH engines compute bit-identical BIGINT
+    priorities (no float division, no cross-engine ulp risk; ties
+    broken by doc_id). Top-k per source by priority is the sample;
+    rerunning — or running on the other engine — always redraws the
+    SAME sample, which is what makes corpus experiments diffable.
+
+    Scale: w and h are row-local projections (single text-column
+    scan); the only exchange is the per-source top-k window, and
+    source cardinality is small — the same partitioned-ranking shape
+    as ``topk_per_group``. Per-partition TopK pruning keeps the sort
+    bounded; no global sort, no driver collect.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "doc_id",
+        F.greatest(F.size(F.split("text", " ")), F.lit(1)).cast("long").alias("w"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            + 1
+        ).alias("h"),
+    )
+    prio = base.select(
+        "source",
+        "doc_id",
+        "w",
+        F.expr(f"(w * {_PRIO_SCALE}) DIV h").alias("priority"),
+    )
+    w_rank = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), "doc_id"
+    )
+    return (
+        prio.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 20)
+        .select("source", "doc_id", "w", "priority", "rn")
+    )
