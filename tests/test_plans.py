@@ -378,3 +378,32 @@ def test_quality_classifier_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_classifier_score")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_heavy_hitter_reads_text_only_with_bounded_exchanges(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "heavy_hitter_tokens")
+    # both passes prune to the text column — no full-row scan
+    assert "ReadSchema: struct<text:string>" in plan
+    # candidate distinct + exact count: two key exchanges, never a
+    # distinct-token-table sort-merge join or cartesian blowup
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_priority_sample_is_single_scan_one_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sample_weighted_priority")
+    # row-local priorities: exactly one exchange (the per-source rank)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_asof_tolerance_same_shape_as_asof(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "join_asof_tolerance")
+    # tolerance composes as a filter on the union+window as-of plan:
+    # still one shuffle on the key, no pairwise range join
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # event_type filter reaches the scan
+    assert "In(event_type" in plan or "event_type" in plan.split("PushedFilters")[1][:200]
