@@ -684,3 +684,160 @@ def neardup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n_edges.crossJoin(F.broadcast(n_wedges)).crossJoin(F.broadcast(tri))
     )
+
+
+# --- L2/L4: exact threshold similarity join via prefix filtering --------
+
+_PP_T_NUM, _PP_T_DEN = 3, 5  # Jaccard threshold t = 3/5 = 0.6
+
+_PREFIX_PAIRS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(sh) AS s FROM g
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sz AS (
+  SELECT doc_id, len(sh) AS n FROM g
+)
+SELECT doc_a, doc_b, CAST(inter_cnt AS BIGINT) AS inter_cnt,
+       round(inter_cnt * 1.0 / (sa.n + sb.n - inter_cnt), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE 8 * inter_cnt >= 3 * (sa.n + sb.n)
+"""
+
+
+@register(
+    "neardup_prefix_filter_pairs",
+    oracle=_PREFIX_PAIRS_ORACLE,
+    tags=("L2", "L4", "ext"),
+    bench=True,
+)
+def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4: EXACT Jaccard >= 0.6 similarity join via prefix
+    filtering (AllPairs/PPJoin — Bayardo et al. 2007, Xiao et al.
+    2008): every qualifying pair is found, yet candidates form only
+    through each document's RAREST shingles.
+
+    Why this beats the plain shared-shingle join at 100 TB: joining on
+    ALL shingles lets one boilerplate shingle shared by a million
+    documents contribute 10^12 candidate pairs. Under the canonical
+    global order (doc-frequency asc, shingle asc), a pair with
+    J >= t MUST share a shingle inside both docs' first
+    ``n - ceil(t*n) + 1`` shingles (the prefix-filter lemma), so the
+    join runs prefix x prefix — and prefixes are dominated by RARE
+    shingles, exactly the ones that cannot fan out. Verification then
+    computes the true intersection row-locally (array_intersect on
+    the two docs' shingle arrays — no further shuffle fan-out) and
+    keeps pairs by the INTEGER test ``8*inter >= 3*(n_a+n_b)``
+    (equivalent to J >= 3/5 with zero float-boundary risk; the
+    reported jaccard is a single rounded IEEE division, identical in
+    both engines).
+
+    Plan: shingle doc-frequency (one shuffle), per-doc canonical rank
+    (one doc_id-partitioned window), prefix x prefix equi-join on the
+    shingle, distinct candidate pairs, then two hash joins back to
+    the shingle-array table for row-local exact verification. The
+    threshold is the knob: higher t -> shorter prefixes -> fewer
+    candidates, with exactness ALWAYS preserved — unlike MinHash
+    banding (`minhash_lsh_buckets`), which trades recall for the same
+    pruning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_t = F.size(toks)
+    shingles = F.array_distinct(
+        F.zip_with(
+            F.slice(toks, 1, n_t - 2),
+            F.zip_with(
+                F.slice(toks, 2, n_t - 2),
+                F.slice(toks, 3, n_t - 2),
+                lambda x, y: F.concat(x, F.lit(" "), y),
+            ),
+            lambda x, yz: F.concat(x, F.lit(" "), yz),
+        )
+    )
+    g = docs.filter(n_t >= 3).select(
+        "doc_id", shingles.alias("sh"), F.size(shingles).cast("long").alias("n")
+    )
+    e = g.select("doc_id", "n", F.explode("sh").alias("s"))
+    dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Canonical order (df asc, shingle asc); prefix keeps positions
+    # 1 .. n - ceil(t*n) + 1, with ceil(3n/5) = (3n+4) DIV 5 exact.
+    w_pos = Window.partitionBy("doc_id").orderBy("df", "s")
+    # The self-join matches on xxhash64(shingle), not the string:
+    # EXACTNESS-SAFE here (a hash collision can only ADD a candidate,
+    # which verification kills; it can never lose one since equal
+    # shingles hash equal), and the candidate shuffle carries
+    # fixed-width longs instead of ~30-byte shingle strings.
+    prefix = (
+        e.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .filter(F.col("pos") <= F.col("n") - F.expr("(3*n + 4) DIV 5") + 1)
+        .select("doc_id", F.xxhash64("s").alias("s"), "n", "pos")
+    )
+    # PPJoin's two row-local candidate killers, applied BEFORE the
+    # distinct: the length filter (J >= 3/5 forces 3*n_b <= 5*n_a for
+    # n_a <= n_b) and the positional filter (overlap can be at most
+    # 1 + min(remaining shingles after the match position), which must
+    # reach the overlap threshold ceil(3*(n_a+n_b)/8)).
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (3 * F.col("b.n") <= 5 * F.col("a.n"))
+            & (3 * F.col("a.n") <= 5 * F.col("b.n"))
+            & (
+                8
+                * (
+                    1
+                    + F.least(
+                        F.col("a.n") - F.col("a.pos"),
+                        F.col("b.n") - F.col("b.pos"),
+                    )
+                )
+                >= 3 * (F.col("a.n") + F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
+    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter_cnt"),
+            F.col("n_a"),
+            F.col("n_b"),
+        )
+        .filter(8 * F.col("inter_cnt") >= 3 * (F.col("n_a") + F.col("n_b")))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter_cnt",
+        F.round(
+            F.col("inter_cnt")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")),
+            6,
+        ).alias("jaccard"),
+    )
