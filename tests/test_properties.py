@@ -1015,3 +1015,100 @@ def test_bucketed_prefix_sum_matches_global_cumsum(spark, rows, n_buckets):
         acc += v
         want[rid] = acc
     assert got == want
+
+
+# --- heavy-hitter sketch guarantees (pure Python, no Spark job) ---------
+
+_hh_stream = st.lists(
+    st.sampled_from([f"t{i}" for i in range(30)]),
+    min_size=1,
+    max_size=600,
+)
+
+
+@given(stream=_hh_stream, n_chunks=st.integers(min_value=1, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_candidates_are_superset_of_heavy_tokens(stream, n_chunks):
+    """The mapInPandas worker's Misra-Gries summary must retain every
+    token with count > N/k, for any chunking of the partition (the
+    no-false-negative half of heavy_hitter_tokens' exactness proof;
+    pass 2 handles false positives)."""
+    import pandas as pd
+
+    from gostream_spark.queries import heavy_hitters as hh
+
+    # One document per token keeps the worker's tokenize trivial.
+    docs = pd.DataFrame({"text": stream})
+    step = max(1, len(docs) // n_chunks)
+    batches = [docs[i : i + step] for i in range(0, len(docs), step)]
+    (out,) = list(hh._misra_gries_candidates(iter(batches)))
+    candidates = set(out["token"])
+
+    from collections import Counter
+
+    counts = Counter(stream)
+    n = len(stream)
+    for tok, cnt in counts.items():
+        if cnt > n / hh._MG_CAPACITY:
+            assert tok in candidates, (tok, cnt, n)
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark GroupState: exists/get/update."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from([f"w{i}" for i in range(25)]), min_size=1, max_size=30
+        ).map(" ".join),
+        min_size=1,
+        max_size=40,
+    ),
+    n_batches=st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=60, deadline=None)
+def test_space_saving_state_guarantees(texts, n_batches):
+    """The streaming Space-Saving fold must, after ANY micro-batch
+    split of the input: (a) emit every token with true count >= the
+    ceil(N/200) report threshold, (b) only overestimate, by at most
+    N/capacity — the invariants streaming_heavy_hitters_stateful's
+    fixture test checks once, here fuzzed across arrival orders."""
+    import pandas as pd
+
+    from gostream_spark.streaming import ops
+
+    state = _FakeGroupState()
+    step = max(1, len(texts) // n_batches)
+    out = None
+    for i in range(0, len(texts), step):
+        pdf = pd.DataFrame({"text": texts[i : i + step]})
+        (out,) = list(ops._space_saving_fn(("src",), iter([pdf]), state))
+
+    from collections import Counter
+
+    all_tokens = [t for txt in texts for t in txt.split(" ")]
+    counts = Counter(all_tokens)
+    n = len(all_tokens)
+    emitted = dict(zip(out["token"], out["est_cnt"]))
+    thresh = -(-n // ops._SS_PHI_INV)
+    for tok, cnt in counts.items():
+        if cnt >= thresh:
+            assert tok in emitted, (tok, cnt, thresh)
+    for tok, est in emitted.items():
+        true = counts.get(tok, 0)
+        assert true <= est <= true + n / ops._SS_CAPACITY, (tok, est, true, n)
