@@ -756,12 +756,18 @@ def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n_t = F.size(toks)
+    # Clamp the slice length: the n_t >= 3 row filter does not stop
+    # Catalyst evaluating this projection for shorter rows inside the
+    # same codegen stage, and slice(.., -1) THROWS on sub-shingle
+    # docs (the degenerate-input class tests/test_degenerate_inputs.py
+    # pins).
+    n_sh = F.greatest(n_t - 2, F.lit(0))
     shingles = F.array_distinct(
         F.zip_with(
-            F.slice(toks, 1, n_t - 2),
+            F.slice(toks, 1, n_sh),
             F.zip_with(
-                F.slice(toks, 2, n_t - 2),
-                F.slice(toks, 3, n_t - 2),
+                F.slice(toks, 2, n_sh),
+                F.slice(toks, 3, n_sh),
                 lambda x, y: F.concat(x, F.lit(" "), y),
             ),
             lambda x, yz: F.concat(x, F.lit(" "), yz),

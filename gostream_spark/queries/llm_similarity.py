@@ -231,10 +231,16 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     toks = F.split("text", " ")
     n = F.size(toks)
+    # Clamped slice length: the n >= 3 filter does not stop Catalyst
+    # evaluating the projection for shorter rows in the same codegen
+    # stage, and slice(.., -1) throws on an empty-text doc (latent
+    # here only because the %5 subset happens to dodge it — see
+    # neardup_prefix_filter_pairs, which hit it).
+    n_sh = F.greatest(n - 2, F.lit(0))
     shingles = F.zip_with(
-        F.slice(toks, 1, n - 2),
+        F.slice(toks, 1, n_sh),
         F.zip_with(
-            F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+            F.slice(toks, 2, n_sh), F.slice(toks, 3, n_sh),
             lambda x, y: F.concat(x, F.lit(" "), y),
         ),
         lambda x, yz: F.concat(x, F.lit(" "), yz),
@@ -299,11 +305,12 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
+    n_sh = F.greatest(n - 2, F.lit(0))  # slice(.., -1) throws on empty text
     shingles = F.array_distinct(
         F.zip_with(
-            F.slice(toks, 1, n - 2),
+            F.slice(toks, 1, n_sh),
             F.zip_with(
-                F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                F.slice(toks, 2, n_sh), F.slice(toks, 3, n_sh),
                 lambda x, y: F.concat(x, F.lit(" "), y),
             ),
             lambda x, yz: F.concat(x, F.lit(" "), yz),
@@ -397,11 +404,12 @@ def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     n = F.size(toks)
+    n_sh = F.greatest(n - 2, F.lit(0))  # slice(.., -1) throws on empty text
     shingles = F.array_distinct(
         F.zip_with(
-            F.slice(toks, 1, n - 2),
+            F.slice(toks, 1, n_sh),
             F.zip_with(
-                F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                F.slice(toks, 2, n_sh), F.slice(toks, 3, n_sh),
                 lambda x, y: F.concat(x, F.lit(" "), y),
             ),
             lambda x, yz: F.concat(x, F.lit(" "), yz),
@@ -483,11 +491,12 @@ def minhash_bottomk_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     n = F.size(toks)
+    n_sh = F.greatest(n - 2, F.lit(0))  # slice(.., -1) throws on empty text
     shingles = F.array_distinct(
         F.zip_with(
-            F.slice(toks, 1, n - 2),
+            F.slice(toks, 1, n_sh),
             F.zip_with(
-                F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2),
+                F.slice(toks, 2, n_sh), F.slice(toks, 3, n_sh),
                 lambda x, y: F.concat(x, F.lit(" "), y),
             ),
             lambda x, yz: F.concat(x, F.lit(" "), yz),

@@ -56,6 +56,12 @@ QUERIES = [
     # corpus-statistic joins — sub-5-token docs keep zero-gram rows
     "dup_ngram_fraction",
     "unigram_logprob_quality",
+    # two-pass sketch + verify — empty-text token ('' from split) must
+    # count identically on both engines; sub-shingle docs must drop on
+    # both sides of the prefix-filter join
+    "heavy_hitter_tokens",
+    "sample_weighted_priority",
+    "neardup_prefix_filter_pairs",
 ]
 
 
