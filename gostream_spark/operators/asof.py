@@ -22,20 +22,27 @@ def asof_join(
     probe_filter,
     build_filter,
     carry: list[str],
+    direction: str = "backward",
 ) -> DataFrame:
     """Self as-of join over one event stream: for each row matching
-    ``probe_filter``, attach the latest earlier-or-equal row matching
-    ``build_filter`` (same key). ``carry`` columns are taken from the
-    build row as ``asof_<col>``. Rows are ordered by (ts, then all
-    carry columns) to keep ties deterministic."""
+    ``probe_filter``, attach the latest earlier-or-equal (``direction
+    = "backward"``) or earliest later-or-equal (``"forward"``) row
+    matching ``build_filter`` (same key). ``carry`` columns are taken
+    from the build row as ``asof_<col>``. Rows are ordered by (ts,
+    then all carry columns) to keep ties deterministic; both
+    directions are the same one-shuffle window plan, mirrored."""
     tagged = events.filter(probe_filter | build_filter)
-    w = (
-        Window.partitionBy(key)
-        .orderBy(ts, *carry)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    order = Window.partitionBy(key).orderBy(ts, *carry)
+    if direction == "backward":
+        w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = F.last
+    elif direction == "forward":
+        w = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = F.first
+    else:
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carried = [
-        F.last(F.when(build_filter, F.col(c)), ignorenulls=True)
+        pick(F.when(build_filter, F.col(c)), ignorenulls=True)
         .over(w)
         .alias(f"asof_{c}")
         for c in carry

@@ -331,6 +331,55 @@ WHERE event_type = 'purchase' AND click_id IS NOT NULL
 """
 
 
+_J7_FWD_ORACLE = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+           OVER w AS purchase_id,
+         first_value(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+           OVER w AS purchase_ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_id AS click_id, user_id,
+       strftime(ts, '{TS_FMT_DUCK}') AS click_ts,
+       purchase_id,
+       strftime(purchase_ts, '{TS_FMT_DUCK}') AS purchase_ts
+FROM tagged
+WHERE event_type = 'click' AND purchase_id IS NOT NULL
+"""
+
+
+@register("join_asof_forward", oracle=_J7_FWD_ORACLE, tags=("J7", "ext"))
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 forward direction: for each click, the EARLIEST purchase by
+    the same user at or after the click — the conversion-attribution
+    mirror of `join_asof` (pandas ``merge_asof(direction='forward')``).
+    Same one-shuffle union+window plan, with the frame flipped to
+    (current row, unbounded following) and ``first(ignorenulls)``
+    instead of ``last``; the oracle mirrors the window form so tie
+    ordering is pinned identically on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    joined = asof_join(
+        ev,
+        key="user_id",
+        ts="ts",
+        probe_filter=F.col("event_type") == "click",
+        build_filter=F.col("event_type") == "purchase",
+        carry=["event_id", "ts"],
+        direction="forward",
+    )
+    return joined.filter(F.col("asof_event_id").isNotNull()).select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        ts_str("ts").alias("click_ts"),
+        F.col("asof_event_id").alias("purchase_id"),
+        ts_str("asof_ts").alias("purchase_ts"),
+    )
+
+
 @register("join_asof_tolerance", oracle=_J7_TOL_ORACLE, tags=("J7", "ext"))
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7 with a TOLERANCE bound (pandas ``merge_asof(tolerance=...)``
