@@ -407,3 +407,10 @@ def test_asof_tolerance_same_shape_as_asof(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # event_type filter reaches the scan
     assert "In(event_type" in plan or "event_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_prefix_filter_pairs_no_cartesian_no_corpus_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "neardup_prefix_filter_pairs")
+    # candidates form through the prefix equi-join, never a cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
