@@ -165,3 +165,57 @@ def streaming_heavy_hitters_stateful(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("n_tokens") == F.col("mx"))
         .select("source", "token", "est_cnt", "n_tokens")
     )
+
+
+# --- Built-in JVM-side sketch twin (Spark 4 approx_top_k) ---------------
+
+_HH_SKETCH_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), tot AS (
+  SELECT source, count(*) AS n FROM toks GROUP BY source
+), cnt AS (
+  SELECT source, token, count(*) AS cnt FROM toks GROUP BY source, token
+)
+SELECT c.source, c.token, CAST(c.cnt AS BIGINT) AS cnt
+FROM cnt c JOIN tot t ON c.source = t.source
+WHERE c.cnt >= ceil(t.n / {_PHI_INV}.0)
+"""
+
+
+@register(
+    "heavy_hitter_sketch_builtin",
+    oracle=_HH_SKETCH_ORACLE,
+    tags=("A4", "L8", "ext"),
+)
+def heavy_hitter_sketch_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source heavy hitters via Spark 4's BUILT-IN ``approx_top_k``
+    (an Apache DataSketches frequent-items sketch aggregated JVM-side,
+    partials merged map-side like any other agg) — the zero-Python
+    sibling of ``heavy_hitter_tokens``'s mapInPandas Misra-Gries pass.
+
+    The sketch tracks 10^4 slots; the fixture vocabulary (31 tokens)
+    never evicts, so every returned count is exact and the
+    threshold-filtered output (count >= ceil(N_source/200)) matches
+    the exact oracle — set semantics, so sketch-internal tie order
+    cannot leak into the result. At a 100 TB vocabulary the sketch
+    overcounts evicted items by a bounded epsilon (same guarantee
+    family as Space-Saving); when exactness is required at that
+    scale, ``heavy_hitter_tokens``'s candidates+verify two-pass is
+    the path — this query is the one-pass, one-shuffle estimate.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    sketched = docs.groupBy("source").agg(
+        F.expr("approx_top_k(token, 64, 10000)").alias("items"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        sketched.select(
+            "source", "n", F.explode("items").alias("it")
+        )
+        .select("source", "n", F.col("it.item").alias("token"), F.col("it.count").alias("cnt"))
+        .filter(F.col("cnt") >= F.ceil(F.col("n") / F.lit(float(_PHI_INV))))
+        .select("source", "token", "cnt")
+    )

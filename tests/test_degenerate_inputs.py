@@ -60,6 +60,7 @@ QUERIES = [
     # count identically on both engines; sub-shingle docs must drop on
     # both sides of the prefix-filter join
     "heavy_hitter_tokens",
+    "heavy_hitter_sketch_builtin",
     "sample_weighted_priority",
     "neardup_prefix_filter_pairs",
 ]
