@@ -85,3 +85,32 @@ def sql_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer aggregates only; no float, no dialect functions."""
     register_views(spark, sf_dir, "documents")
     return spark.sql(_PROFILE_SQL)
+
+
+# --- E2: TPC-H-Q12-shaped conditional aggregation over a join -----------
+
+_SQL_Q12_TEXT = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_priority_line_counts", oracle=_SQL_Q12_TEXT, tags=("E2", "A5", "J1"))
+def sql_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the TPC-H-Q12 shape (conditional CASE counts over a
+    fact-fact join, dimensioned here by l_returnflag — the fixture
+    carries no shipmode) executed from the IDENTICAL SQL string on
+    both engines: the Spark text IS the oracle text, the strongest
+    form of the ANSI-portability claim. The l_shipdate range predicate
+    pushes into the lineitem scan; the join keys orders by orderkey
+    with AQE free to pick the build side."""
+    register_views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(_SQL_Q12_TEXT)
