@@ -809,3 +809,64 @@ def _grams4(toks):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 4)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# --- S2+T4+T6: EventTimeTimeout watermark-closed sessions ---------------
+
+_ET_SESSION_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_no
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_no,
+         strftime(min(ts), '{TS_FMT_DUCK}') AS session_start,
+         strftime(max(ts) + INTERVAL 30 MINUTE, '{TS_FMT_DUCK}') AS session_end,
+         count(*) AS event_cnt,
+         max(ts) AS last_ts,
+         max(session_no) OVER (PARTITION BY user_id) AS last_session_no
+  FROM numbered
+  GROUP BY user_id, session_no
+)
+SELECT user_id, session_start, session_end, event_cnt
+FROM sess
+WHERE session_no < last_session_no
+   OR last_ts + INTERVAL 30 MINUTE < (SELECT max(ts) FROM events)
+"""
+
+
+@register(
+    "streaming_session_eventtime_timeout",
+    oracle=_ET_SESSION_ORACLE,
+    tags=("S2", "T3", "T4", "T6", "T8", "ext"),
+)
+def streaming_session_eventtime_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 with EVENT-TIME timers: per-user sessions closed by the
+    WATERMARK (``GroupStateTimeout.EventTimeTimeout``), completing the
+    timeout matrix next to the NoTimeout and ProcessingTimeTimeout
+    shapes. Gap closes inside a batch emit in-line; idle sessions
+    close when the advancing watermark strictly passes their
+    ``last + 30min`` horizon (Spark fires event-time timers on
+    ``timeout < watermark`` — pinned by the boundary case in the
+    oracle). The exact emitted set is therefore: every non-final
+    session per user (its successor event proves the gap) plus final
+    sessions whose horizon lies strictly before the stream's max
+    event time — which the oracle states in SQL, making a
+    timer-driven stateful operator exact-checkable."""
+    from gostream_spark.streaming import event_session_stateful
+
+    ev = file_stream(spark, sf_dir, "events")
+    return run_available_now(
+        event_session_stateful(ev), output_mode="append"
+    )

@@ -20,6 +20,7 @@ from gostream_spark.streaming.ops import (
     dedup_stream,
     enrich_stream,
     distinct_types_stateful,
+    event_session_stateful,
     ewma_stateful,
     running_count_stateful,
     session_timeout_stateful,
@@ -37,6 +38,7 @@ __all__ = [
     "dedup_stream",
     "enrich_stream",
     "distinct_types_stateful",
+    "event_session_stateful",
     "ewma_stateful",
     "running_count_stateful",
     "session_timeout_stateful",

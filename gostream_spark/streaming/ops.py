@@ -468,3 +468,101 @@ def space_saving_stateful(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- T6 seventh shape: EVENT-time (watermark-driven) session close ------
+
+_ET_GAP_MS = 30 * 60 * 1000
+_ET_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_ET_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("session_end", StringType()),
+        StructField("event_cnt", LongType()),
+    ]
+)
+
+
+def _fmt_ms(ms: int) -> str:
+    import datetime as _dt
+
+    return _dt.datetime.fromtimestamp(ms / 1000.0, tz=_dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+
+
+def _event_session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    def row(st: int, last: int, cnt: int) -> dict:
+        return {
+            "user_id": key[0],
+            "session_start": _fmt_ms(st),
+            "session_end": _fmt_ms(last + _ET_GAP_MS),
+            "event_cnt": cnt,
+        }
+
+    if state.hasTimedOut:
+        st, last, cnt = state.get
+        state.remove()  # watermark passed last+gap: the session closes
+        yield pd.DataFrame([row(st, last, cnt)])
+        return
+
+    chunks = list(pdfs)
+    pdf = pd.concat(chunks)
+    # Order-sensitive fold: materialize + sort ONCE per group (the
+    # multi-chunk lesson pinned for the EWMA/transition folds).
+    ts_ms = (
+        pdf.sort_values(["ts", "event_id"])["ts"].astype("int64") // 1_000_000
+    ).tolist()
+    st_last_cnt = state.get if state.exists else None
+    st, last, cnt = st_last_cnt if st_last_cnt else (None, None, 0)
+    out = []
+    for t in ts_ms:
+        if st is None:
+            st, last, cnt = t, t, 1
+        elif t - last >= _ET_GAP_MS:
+            out.append(row(st, last, cnt))  # in-batch gap close
+            st, last, cnt = t, t, 1
+        else:
+            last, cnt = t, cnt + 1
+    state.update((st, last, cnt))
+    # Arm the event-time timer: fire when the WATERMARK (not wall
+    # clock) passes the session's inactivity horizon.
+    state.setTimeoutTimestamp(last + _ET_GAP_MS)
+    if out:
+        yield pd.DataFrame(out)
+
+
+def event_session_stateful(events: DataFrame, watermark: str = "0 seconds") -> DataFrame:
+    """T6 seventh shape: EventTimeTimeout — sessions closed by the
+    WATERMARK, completing the GroupStateTimeout matrix (NoTimeout /
+    ProcessingTimeTimeout / EventTimeTimeout). Per-user state holds
+    the open session (start, last, count); a gap inside a batch
+    closes in-line, and the armed ``setTimeoutTimestamp(last + gap)``
+    timer closes idle sessions when the watermark passes that
+    horizon — deterministic replay-stable closure, unlike the
+    wall-clock ProcessingTime variant. Under availableNow the final
+    no-data micro-batch (watermark advanced to max event time) fires
+    all timers whose horizon the watermark passed, so the emitted set
+    equals the batch sessionization minus each user's still-open tail
+    session — an exact, SQL-expressible contract."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _event_session_fn,
+            outputStructType=_ET_OUT_SCHEMA,
+            stateStructType=_ET_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
