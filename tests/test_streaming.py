@@ -431,3 +431,30 @@ def test_stateful_counts_on_rocksdb_state_store(spark):
         else:
             spark.conf.set(key, prev)
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_eventtime_timeout_boundary_is_strict(spark, tmp_path):
+    """Event-time timers fire only when the watermark STRICTLY passes
+    the timeout timestamp: a session whose horizon (last + 30min)
+    equals the final watermark must stay open, one strictly before it
+    must close — the boundary streaming_session_eventtime_timeout's
+    oracle encodes."""
+    from gostream_spark.streaming import event_session_stateful
+
+    d = str(tmp_path / "ev")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 100),  # horizon 00:30 == max ts -> open
+            (2, "2024-01-01 00:29:00", 200),  # horizon 00:59 > max ts -> open
+            (3, "2024-01-01 00:30:00", 300),  # the watermark carrier
+            (0, "2023-12-31 20:00:00", 400),  # horizon 20:30 < max ts -> CLOSED
+        ],
+        "event_id LONG, ts_s STRING, user_id LONG",
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "user_id")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    res = run_available_now(
+        event_session_stateful(sdf), output_mode="append"
+    )
+    got = {(r.user_id, r.event_cnt) for r in res.collect()}
+    assert got == {(400, 1)}, got
