@@ -34,10 +34,12 @@ so the result EQUALS the naive groupBy-having oracle — an exact query
 with a sketch-shaped plan. Total cost: two linear scans + one
 bounded-cardinality shuffle, vs one unbounded distinct-token shuffle.
 
-The streaming twin is ``streaming_heavy_hitters`` in
-``streaming_queries`` style: Space-Saving per key group via
-``applyInPandasWithState`` would only be approximate; the batch
-two-pass form here is the exact contract.
+Siblings in this module: ``streaming_heavy_hitters_stateful`` keeps
+the same summary as per-key state (Space-Saving — approximate, with
+guarantee tests), and ``heavy_hitter_sketch_builtin`` /
+``streaming_heavy_hitters_builtin`` run Spark 4's built-in
+``approx_top_k`` DataSketches aggregate batch- and stream-side; the
+batch two-pass form here is the exact-at-any-scale contract.
 """
 
 from __future__ import annotations
@@ -216,6 +218,43 @@ def heavy_hitter_sketch_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", "n", F.explode("items").alias("it")
         )
         .select("source", "n", F.col("it.item").alias("token"), F.col("it.count").alias("cnt"))
+        .filter(F.col("cnt") >= F.ceil(F.col("n") / F.lit(float(_PHI_INV))))
+        .select("source", "token", "cnt")
+    )
+
+
+@register(
+    "streaming_heavy_hitters_builtin",
+    oracle=_HH_SKETCH_ORACLE,
+    tags=("S2", "T8", "A4", "L8", "ext"),
+)
+def streaming_heavy_hitters_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in-sketch heavy hitters as a STREAM job: because the
+    DataSketches frequent-items aggregate is MERGEABLE, it runs as an
+    ordinary complete-mode streaming aggregation — each micro-batch's
+    partial sketches merge into the state-store sketch exactly like a
+    partial count. Same threshold-filter set semantics (and the same
+    exact oracle) as the batch twin ``heavy_hitter_sketch_builtin``;
+    state per source is one bounded sketch, not a token table."""
+    from gostream_spark.streaming import file_stream, run_available_now
+
+    docs = file_stream(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    agg = toks.groupBy("source").agg(
+        F.expr("approx_top_k(token, 64, 10000)").alias("items"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    res = run_available_now(agg, output_mode="complete")
+    return (
+        res.select("source", "n", F.explode("items").alias("it"))
+        .select(
+            "source",
+            "n",
+            F.col("it.item").alias("token"),
+            F.col("it.count").alias("cnt"),
+        )
         .filter(F.col("cnt") >= F.ceil(F.col("n") / F.lit(float(_PHI_INV))))
         .select("source", "token", "cnt")
     )
