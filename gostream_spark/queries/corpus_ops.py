@@ -779,3 +779,58 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("source", "doc_id", "w", "priority", "rn")
     )
+
+
+# --- Corpus health report: redundancy + diversity per source ------------
+
+_HEALTH_ORACLE = """
+WITH per_doc AS (
+  SELECT source, doc_id, md5(text) AS digest, lang,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT digest) AS BIGINT) AS n_distinct_texts,
+       CAST(count(*) - count(DISTINCT digest) AS BIGINT) AS redundant_docs,
+       CAST(floor(10000.0 * (count(*) - count(DISTINCT digest)) / count(*))
+            AS BIGINT) AS redundancy_bp,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(floor(sum(n_tokens) * 1.0 / count(*)) AS BIGINT) AS avg_tokens
+FROM per_doc
+GROUP BY source
+"""
+
+
+@register("corpus_dedup_report", oracle=_HEALTH_ORACLE, tags=("L1", "L8", "ext"))
+def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L8 composition: the per-source corpus health report a
+    curation team reads before a training run — document count, exact
+    text redundancy (via md5 digest distinct, the same 16-byte-digest
+    discipline as docs_dedup_digest: the shuffle never carries text),
+    redundancy in basis points (floor of one exact-dividend division),
+    language diversity, and token mass.
+
+    One scan, one shuffle on source: count(distinct digest) expands
+    per group but source cardinality is tiny, and every metric is a
+    single-pass aggregate — the whole report costs one pass over the
+    corpus at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "source",
+        F.md5("text").alias("digest"),
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("digest")
+    return per_doc.groupBy("source").agg(
+        n.alias("n_docs"),
+        nd.alias("n_distinct_texts"),
+        (n - nd).alias("redundant_docs"),
+        F.floor(10000.0 * (n - nd) / n).cast("bigint").alias("redundancy_bp"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.floor(F.sum("n_tokens") * 1.0 / n).cast("bigint").alias("avg_tokens"),
+    )
