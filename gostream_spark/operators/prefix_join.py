@@ -1,0 +1,117 @@
+"""Exact set-similarity threshold join via prefix filtering
+(AllPairs — Bayardo et al. 2007; PPJoin positional/length filters —
+Xiao et al. 2008).
+
+Given per-document element ARRAYS (shingles, tokens, any set
+representation), returns every (doc_a < doc_b) pair whose Jaccard
+similarity is >= t — EXACTLY, but without joining on all shared
+elements: candidates form only through each document's prefix under a
+global canonical order (element doc-frequency ascending), which is
+dominated by RARE elements that cannot fan out. See
+``queries/dedup_advanced.neardup_prefix_filter_pairs`` for the scale
+narrative; this module is the reusable core (also property-tested on
+random inputs in tests/test_properties.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prefix_filtered_jaccard_pairs(
+    g: DataFrame, t_num: int, t_den: int
+) -> DataFrame:
+    """Exact Jaccard >= t_num/t_den pairs over ``g(doc_id, sh, n)``
+    where ``sh`` is the doc's DISTINCT element array and ``n`` its
+    length (>= 1). Output: doc_a, doc_b, inter_cnt, jaccard
+    (rounded 6 — a single IEEE division of exact integers).
+
+    Correctness: under a global total order on elements, a pair with
+    overlap >= alpha must share an element within each side's first
+    ``n - alpha + 1`` positions; J >= t implies overlap >=
+    ceil(t*n) per side, giving the per-doc prefix length
+    ``n - ceil(t*n) + 1``. Candidates are then pruned by the PPJoin
+    length filter (t <= n_a/n_b <= 1/t) and positional upper bound
+    (1 + min(remaining) must reach the pair overlap threshold
+    ceil(t*(n_a+n_b)/(1+t))), and verified row-locally with
+    ``array_intersect`` using the all-integer test
+    ``(t_den + t_num) * inter >= t_num * (n_a + n_b)`` — zero
+    float-boundary risk. All thresholds use integer ceil division.
+    """
+    e = g.select("doc_id", "n", F.explode("sh").alias("s"))
+    dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # Canonical order (df asc, element asc); prefix keeps positions
+    # 1 .. n - ceil(t*n) + 1 with ceil(t*n) = (t_num*n + t_den - 1) DIV t_den.
+    w_pos = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = (
+        e.join(dfreq, "s")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .filter(
+            F.col("pos")
+            <= F.col("n")
+            - F.expr(f"({t_num}*n + {t_den - 1}) DIV {t_den}")
+            + 1
+        )
+        # Candidate matching on xxhash64 keys is exactness-safe: a
+        # collision can only ADD a candidate (killed in verification),
+        # never lose one; the shuffle carries fixed-width longs.
+        .select("doc_id", F.xxhash64("s").alias("s"), "n", "pos")
+    )
+    # Pair-overlap threshold ceil(t*(n_a+n_b)/(1+t)).
+    ub_num, ub_den = t_num, t_num + t_den
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (t_num * F.col("b.n") <= t_den * F.col("a.n"))
+            & (t_num * F.col("a.n") <= t_den * F.col("b.n"))
+            & (
+                ub_den
+                * (
+                    1
+                    + F.least(
+                        F.col("a.n") - F.col("a.pos"),
+                        F.col("b.n") - F.col("b.pos"),
+                    )
+                )
+                >= ub_num * (F.col("a.n") + F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_a"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    verified = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter_cnt"), "n_a", "n_b")
+        .filter(
+            (t_den + t_num) * F.col("inter_cnt")
+            >= t_num * (F.col("n_a") + F.col("n_b"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter_cnt",
+        F.round(
+            F.col("inter_cnt")
+            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")),
+            6,
+        ).alias("jaccard"),
+    )

@@ -19,6 +19,7 @@ from gostream_spark.functions import cosine_similarity
 from gostream_spark.functions.sketches import simhash_from_md5s
 from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.operators import topk_ranked
+from gostream_spark.operators.prefix_join import prefix_filtered_jaccard_pairs
 from gostream_spark.queries.llm_similarity import _duck_cosine
 from gostream_spark.registry import register
 
@@ -776,74 +777,4 @@ def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = docs.filter(n_t >= 3).select(
         "doc_id", shingles.alias("sh"), F.size(shingles).cast("long").alias("n")
     )
-    e = g.select("doc_id", "n", F.explode("sh").alias("s"))
-    dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    # Canonical order (df asc, shingle asc); prefix keeps positions
-    # 1 .. n - ceil(t*n) + 1, with ceil(3n/5) = (3n+4) DIV 5 exact.
-    w_pos = Window.partitionBy("doc_id").orderBy("df", "s")
-    # The self-join matches on xxhash64(shingle), not the string:
-    # EXACTNESS-SAFE here (a hash collision can only ADD a candidate,
-    # which verification kills; it can never lose one since equal
-    # shingles hash equal), and the candidate shuffle carries
-    # fixed-width longs instead of ~30-byte shingle strings.
-    prefix = (
-        e.join(dfreq, "s")
-        .withColumn("pos", F.row_number().over(w_pos))
-        .filter(F.col("pos") <= F.col("n") - F.expr("(3*n + 4) DIV 5") + 1)
-        .select("doc_id", F.xxhash64("s").alias("s"), "n", "pos")
-    )
-    # PPJoin's two row-local candidate killers, applied BEFORE the
-    # distinct: the length filter (J >= 3/5 forces 3*n_b <= 5*n_a for
-    # n_a <= n_b) and the positional filter (overlap can be at most
-    # 1 + min(remaining shingles after the match position), which must
-    # reach the overlap threshold ceil(3*(n_a+n_b)/8)).
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (3 * F.col("b.n") <= 5 * F.col("a.n"))
-            & (3 * F.col("a.n") <= 5 * F.col("b.n"))
-            & (
-                8
-                * (
-                    1
-                    + F.least(
-                        F.col("a.n") - F.col("a.pos"),
-                        F.col("b.n") - F.col("b.pos"),
-                    )
-                )
-                >= 3 * (F.col("a.n") + F.col("b.n"))
-            ),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
-    ga = g.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
-    gb = g.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    verified = (
-        cand.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("inter_cnt"),
-            F.col("n_a"),
-            F.col("n_b"),
-        )
-        .filter(8 * F.col("inter_cnt") >= 3 * (F.col("n_a") + F.col("n_b")))
-    )
-    return verified.select(
-        "doc_a",
-        "doc_b",
-        "inter_cnt",
-        F.round(
-            F.col("inter_cnt")
-            / (F.col("n_a") + F.col("n_b") - F.col("inter_cnt")),
-            6,
-        ).alias("jaccard"),
-    )
+    return prefix_filtered_jaccard_pairs(g, _PP_T_NUM, _PP_T_DEN)

@@ -1112,3 +1112,39 @@ def test_space_saving_state_guarantees(texts, n_batches):
     for tok, est in emitted.items():
         true = counts.get(tok, 0)
         assert true <= est <= true + n / ops._SS_CAPACITY, (tok, est, true, n)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from([f"e{i}" for i in range(12)]),
+            min_size=1,
+            max_size=10,
+            unique=True,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    seed=st.integers(min_value=0, max_value=10),
+)
+@settings(**_SETTINGS)
+def test_prefix_filtered_join_equals_bruteforce(spark, docs, seed):
+    """The AllPairs/PPJoin operator must return EXACTLY the pairs with
+    Jaccard >= 3/5 that a brute-force all-pairs scan finds — on random
+    element sets, where the prefix/length/positional filters all get
+    exercised (the fixture corpus only covers one shape)."""
+    from gostream_spark.operators.prefix_join import prefix_filtered_jaccard_pairs
+
+    rows = [(i, sorted(set(d)), len(set(d))) for i, d in enumerate(docs)]
+    g = spark.createDataFrame(rows, "doc_id long, sh array<string>, n long")
+    got = {
+        (r.doc_a, r.doc_b, r.inter_cnt)
+        for r in prefix_filtered_jaccard_pairs(g, 3, 5).collect()
+    }
+    want = set()
+    for i, (ida, sa, na) in enumerate(rows):
+        for idb, sb, nb in rows[i + 1 :]:
+            inter = len(set(sa) & set(sb))
+            if 8 * inter >= 3 * (na + nb):
+                want.add((ida, idb, inter))
+    assert got == want, (got, want)
