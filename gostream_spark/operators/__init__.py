@@ -17,6 +17,7 @@ from gostream_spark.operators.event_windows import (
 )
 from gostream_spark.operators.ranking import topk, topk_per_group, topk_ranked
 from gostream_spark.operators.asof import asof_join
+from gostream_spark.operators.prefix_join import prefix_filtered_jaccard_pairs
 
 __all__ = [
     "keep_first",
@@ -27,4 +28,5 @@ __all__ = [
     "topk_per_group",
     "topk_ranked",
     "asof_join",
+    "prefix_filtered_jaccard_pairs",
 ]
