@@ -247,3 +247,73 @@ def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk_len"),
         (F.col("chunk_idx") == n_chunks - 1).alias("is_last"),
     )
+
+
+# --- L9+L1: payload-level multimodal dedup ------------------------------
+
+_MM_DEDUP_ORACLE = """
+WITH packed AS (
+  SELECT doc_id, lang AS media_kind, md5(text) AS digest,
+         length(text) AS n_bytes
+  FROM documents
+), buckets AS (
+  SELECT media_kind, digest,
+         count(*) AS copies,
+         min(doc_id) AS keeper_id,
+         CAST(max(n_bytes) AS BIGINT) AS n_bytes
+  FROM packed
+  GROUP BY media_kind, digest
+)
+SELECT media_kind,
+       count(*) AS n_assets,
+       CAST(sum(copies) AS BIGINT) AS n_files,
+       CAST(sum(copies) - count(*) AS BIGINT) AS redundant_files,
+       CAST(sum(CASE WHEN copies > 1 THEN (copies - 1) * n_bytes
+                     ELSE 0 END) AS BIGINT) AS reclaimable_bytes
+FROM buckets
+GROUP BY media_kind
+"""
+
+
+@register("multimodal_payload_dedup", oracle=_MM_DEDUP_ORACLE, tags=("L9", "L1", "F7", "ext"))
+def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9+L1: exact dedup of OPAQUE binary payloads — the first stage
+    of any multimodal corpus build (identical images/clips re-crawled
+    under different URLs dedupe on content digest, no decode needed).
+    Per media kind: distinct assets, total files, redundant copies,
+    and reclaimable bytes.
+
+    Plan shape at 100 TB of blobs: the md5 digest is computed in the
+    SAME projection that reads the payload (one pass over the bytes),
+    and every exchange from then on carries (kind, 16-byte digest,
+    byte count) — the blobs themselves never shuffle. The fixture
+    packs text as the payload (codec-free sandbox), so the oracle is
+    md5 over the same bytes; `lang` stands in for the media-kind
+    metadata column."""
+    docs = load_table(spark, sf_dir, "documents")
+    packed = docs.select(
+        "doc_id",
+        F.col("lang").alias("media_kind"),
+        pack_payload(
+            F.col("text"), F.col("lang"), F.col("source"), F.col("n_chars")
+        ).alias("mm"),
+    ).select(
+        "doc_id",
+        "media_kind",
+        F.md5(F.col("mm.payload").cast("string")).alias("digest"),
+        F.length(F.col("mm.payload")).cast("long").alias("n_bytes"),
+    )
+    buckets = packed.groupBy("media_kind", "digest").agg(
+        F.count(F.lit(1)).alias("copies"),
+        F.min("doc_id").alias("keeper_id"),
+        F.max("n_bytes").alias("n_bytes"),
+    )
+    return buckets.groupBy("media_kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum("copies").alias("n_files"),
+        (F.sum("copies") - F.count(F.lit(1))).alias("redundant_files"),
+        F.sum(
+            F.when(F.col("copies") > 1, (F.col("copies") - 1) * F.col("n_bytes"))
+            .otherwise(F.lit(0))
+        ).alias("reclaimable_bytes"),
+    )
