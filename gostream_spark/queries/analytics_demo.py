@@ -762,3 +762,85 @@ def purchase_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
         .groupBy(F.coalesce("touch", F.lit("(none)")).alias("touch_type"))
         .agg(F.count(F.lit(1)).alias("purchases"))
     )
+
+
+# --- RFM customer segmentation ------------------------------------------
+
+_RFM_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate), (SELECT max(o_orderdate) FROM orders))
+           AS recency_days,
+         count(*) AS frequency,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), classed AS (
+  SELECT CASE WHEN recency_days <= 180 THEN 'active'
+              WHEN recency_days <= 720 THEN 'warm'
+              ELSE 'cold' END AS r_class,
+         CASE WHEN frequency >= 14 THEN 'frequent'
+              WHEN frequency >= 8 THEN 'regular'
+              ELSE 'rare' END AS f_class,
+         CASE WHEN monetary >= 3500000 THEN 'high'
+              WHEN monetary >= 1500000 THEN 'mid'
+              ELSE 'low' END AS m_class,
+         monetary
+  FROM per_cust
+)
+SELECT r_class, f_class, m_class,
+       count(*) AS n_customers,
+       CAST(round(sum(monetary), 2) AS DOUBLE) AS segment_revenue
+FROM classed
+GROUP BY r_class, f_class, m_class
+"""
+
+
+@register("rfm_segments", oracle=_RFM_ORACLE, tags=("A1", "A5", "W3", "ext"))
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-analytics cube:
+    recency (days since last order, against the dataset's own
+    horizon), frequency (order count), monetary (DECIMAL-exact spend)
+    per customer, classified by FIXED thresholds (not ntile — quantile
+    cut points tie-break differently across engines; fixed boundaries
+    on integer days/counts and DECIMAL money are bit-exact by
+    construction), then rolled up to segment counts and revenue.
+
+    Two shuffles: per-customer aggregate (customer cardinality), then
+    the tiny segment rollup (<=27 groups). The dataset horizon is a
+    1-row broadcast. Row-local classification — no windows, no
+    quantile sort at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    horizon = orders.select(F.max("o_orderdate").alias("ref_date"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec2("o_totalprice")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    classed = per_cust.select(
+        F.when(F.col("recency_days") <= 180, "active")
+        .when(F.col("recency_days") <= 720, "warm")
+        .otherwise("cold")
+        .alias("r_class"),
+        F.when(F.col("frequency") >= 14, "frequent")
+        .when(F.col("frequency") >= 8, "regular")
+        .otherwise("rare")
+        .alias("f_class"),
+        F.when(F.col("monetary") >= 3500000, "high")
+        .when(F.col("monetary") >= 1500000, "mid")
+        .otherwise("low")
+        .alias("m_class"),
+        "monetary",
+    )
+    return classed.groupBy("r_class", "f_class", "m_class").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("monetary"), 2).cast("double").alias("segment_revenue"),
+    )
