@@ -705,3 +705,64 @@ def embedding_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("nv"), 6).alias("norm_min"),
         F.round(F.max("nv"), 6).alias("norm_max"),
     )
+
+
+# --- L5 analytics: centroid-pair separation matrix ----------------------
+
+_CENTROID_SEP_ORACLE = f"""
+WITH elems AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+), cent_elems AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM elems GROUP BY label, pos
+), centroids AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent_elems GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       round({_duck_cosine('a.cv', 'b.cv')}, 6) AS centroid_cos
+FROM centroids a JOIN centroids b ON a.label < b.label
+"""
+
+
+@register("embedding_centroid_separation", oracle=_CENTROID_SEP_ORACLE, tags=("L5", "ext"))
+def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 analytics: the label-pair centroid cosine matrix — the
+    cluster-separation diagnostic read before trusting
+    nearest-centroid routing or IVF probes (two labels whose
+    centroids are near-parallel will cross-assign). Centroids follow
+    the DECIMAL-sum discipline of `nearest_centroid`; the pair join
+    runs over the label-cardinality centroid table (tiny at any
+    corpus size — the corpus itself contributes only one aggregation
+    pass), so the quadratic term is labels^2, never vectors^2."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent_elems = elems.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(18,7)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    centroids = cent_elems.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    )
+    a = centroids.select(F.col("label").alias("label_a"), F.col("cv").alias("cv_a"))
+    b = centroids.select(F.col("label").alias("label_b"), F.col("cv").alias("cv_b"))
+    return (
+        a.join(b, F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine_similarity(F.col("cv_a"), F.col("cv_b")), 6).alias(
+                "centroid_cos"
+            ),
+        )
+    )
