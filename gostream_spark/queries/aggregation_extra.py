@@ -297,3 +297,49 @@ def agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 2).alias("lo"),
         F.round(F.max("value"), 2).alias("hi"),
     )
+
+
+# --- A9/plan: multi-consumer DAG over ONE shuffle (ReusedExchange) ------
+
+_BAND_REUSE_ORACLE = """
+WITH rev AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM lineitem GROUP BY l_orderkey)
+SELECT band, CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(rev_cents) AS BIGINT) AS band_cents
+FROM (SELECT CASE WHEN rev_cents > 2000000 THEN 'high' ELSE 'low' END AS band,
+             rev_cents
+      FROM rev)
+GROUP BY band
+"""
+
+
+@register("agg_branch_reused_exchange", oracle=_BAND_REUSE_ORACLE, tags=("A9", "ext"))
+def agg_branch_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 ext: a BRANCHING consumer DAG over one aggregate — the
+    per-order revenue subplan feeds two filtered branches that union
+    back. For a single boolean band the one-pass ``when()`` form is
+    the first-choice shape (cf. part_price_bands); this query exists
+    to pin Spark's EXCHANGE REUSE for genuinely multi-consumer
+    pipelines (train/val splits, audit + export forks): the physical
+    plan materializes the orderkey shuffle ONCE and the second branch
+    reads it as ReusedExchange — the property (pinned in
+    tests/test_plans.py) that makes fork-shaped pipelines pay one
+    shuffle, not one per consumer, at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    cut = 2_000_000
+    hi = rev.filter(F.col("rev_cents") > cut).select(
+        F.lit("high").alias("band"), "rev_cents"
+    )
+    lo = rev.filter(F.col("rev_cents") <= cut).select(
+        F.lit("low").alias("band"), "rev_cents"
+    )
+    return hi.unionByName(lo).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("rev_cents").alias("band_cents"),
+    )

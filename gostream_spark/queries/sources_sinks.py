@@ -253,3 +253,51 @@ def zorder_cluster_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.select(
         "event_id", "x", "y", "zkey", (F.col("zkey") % 16).cast("long").alias("file_group")
     )
+
+
+# --- S1 ext: schema evolution across parquet generations ----------------
+
+_EVOLUTION_ORACLE = """
+SELECT source,
+       CASE WHEN doc_id % 2 = 1 THEN lang ELSE '_absent' END AS lang_merged,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars
+FROM documents
+GROUP BY source, CASE WHEN doc_id % 2 = 1 THEN lang ELSE '_absent' END
+"""
+
+
+@register("parquet_schema_evolution_read", oracle=_EVOLUTION_ORACLE, tags=("S1", "ext"))
+def parquet_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 ext: SCHEMA EVOLUTION — a corpus written in two generations
+    (v1 lacks the ``lang`` column; v2 carries it) read back as ONE
+    dataset via ``mergeSchema``: Spark unions the footers' schemas and
+    null-fills the column missing from v1 files. This is the exact
+    shape of a multi-year crawl store where later shards gained
+    columns; the alternative (rewriting 100 TB of old shards to add a
+    null column) is precisely what mergeSchema exists to avoid.
+    Null-filled rows are tagged '_absent' so the output is NULL-free
+    for the hash compare (engine convention). The oracle replays the
+    generation split (doc_id parity) with a CASE on the source table.
+    mergeSchema costs one footer read per file at plan time — at scale
+    pin the merged schema explicitly after the first read instead of
+    re-merging every query."""
+    from gostream_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _roundtrip_dir(sf_dir, "evolve")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "source", "n_chars")
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source", "n_chars", "lang"
+    )
+    v1.write.mode("overwrite").parquet(path + "/gen=1")
+    v2.write.mode("overwrite").parquet(path + "/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        path + "/gen=1", path + "/gen=2"
+    )
+    return merged.groupBy(
+        "source", F.coalesce(F.col("lang"), F.lit("_absent")).alias("lang_merged")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )

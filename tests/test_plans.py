@@ -414,3 +414,46 @@ def test_prefix_filter_pairs_no_cartesian_no_corpus_broadcast(spark, sf_dir):
     # candidates form through the prefix equi-join, never a cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_subquery_shapes_decorrelate_to_joins(spark, sf_dir):
+    # EXISTS (TPC-H-Q4 shape): a left SEMI join with the non-equi
+    # date conjunct as a residual — never a per-row nested probe
+    plan = _plan(spark, sf_dir, "sql_exists_late_ship")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # window pushed to scan
+
+    # NOT EXISTS (Q22 shape): a left ANTI join; the balance gate is
+    # pushed into the customer scan
+    plan = _plan(spark, sf_dir, "sql_not_exists_idle_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThan(c_acctbal,5000.0)" in plan
+
+    # IN: semi join again, inner-side filter pushed
+    plan = _plan(spark, sf_dir, "sql_in_subquery_suppliers")
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(l_quantity,49.0)" in plan
+
+
+def test_correlated_scalar_subquery_is_aggregate_join(spark, sf_dir):
+    # Q17 shape: the correlated scalar de-correlates into ONE
+    # aggregate of lineitem by partkey joined back on the correlation
+    # key — two scans + one equi-join, never row-at-a-time re-execution
+    plan = _plan(spark, sf_dir, "sql_correlated_small_quantity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # subquery partial->final + outer
+
+
+def test_branching_dag_reuses_one_exchange(spark, sf_dir):
+    # fork-shaped consumer DAG: the orderkey shuffle materializes once
+    # and the second branch reads it back as ReusedExchange. Under AQE
+    # the reuse node only appears in the FINAL adaptive plan, so
+    # execute before reading the plan string.
+    df = get_query("agg_branch_reused_exchange").fn(spark, sf_dir)
+    df.collect()  # a noop write would execute a CLONED QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
