@@ -392,16 +392,12 @@ def _minhash_md5_sig(sh_col: Column, i: int) -> Column:
     )
 
 
-@register("minhash_md5_bands", oracle=_MINHASH_MD5_ORACLE, tags=("L2", "L4", "F7"))
-def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2/L4 exact twin of `minhash_lsh_buckets`: MinHash(k=8) from
-    md5-derived hashes → 4 bands of 2 rows → per-band bucket stats,
-    hash-checked against a DuckDB oracle computing the identical
-    signature. Same 100 TB shape as the xxhash64 variant — candidate
-    pairs come from equal (band, band_hash) buckets via a
-    hash-partitioned groupBy, never an all-pairs join; md5 costs a
-    little more per shingle but buys cross-engine verifiability."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+def minhash_md5_band_table(docs: DataFrame) -> DataFrame:
+    """Shared md5-MinHash LSH banding: word-trigram shingles →
+    MinHash(k=8) signature → 4 bands of 2 rows, stacked to one row per
+    (doc_id, band_id, band_hash). Row-local (no shuffle); callers add
+    their own groupBy/join over the band keys. Cross-engine exact —
+    the DuckDB twins recompute the identical signature."""
     toks = F.split("text", " ")
     n = F.size(toks)
     n_sh = F.greatest(n - 2, F.lit(0))  # slice(.., -1) throws on empty text
@@ -426,9 +422,23 @@ def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ],
     )
-    stacked = bands.selectExpr(
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)"
+    return bands.selectExpr(
+        "doc_id",
+        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)",
     )
+
+
+@register("minhash_md5_bands", oracle=_MINHASH_MD5_ORACLE, tags=("L2", "L4", "F7"))
+def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L4 exact twin of `minhash_lsh_buckets`: MinHash(k=8) from
+    md5-derived hashes → 4 bands of 2 rows → per-band bucket stats,
+    hash-checked against a DuckDB oracle computing the identical
+    signature. Same 100 TB shape as the xxhash64 variant — candidate
+    pairs come from equal (band, band_hash) buckets via a
+    hash-partitioned groupBy, never an all-pairs join; md5 costs a
+    little more per shingle but buys cross-engine verifiability."""
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    stacked = minhash_md5_band_table(docs).drop("doc_id")
     buckets = stacked.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
@@ -766,3 +776,135 @@ def embedding_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# --- L3 ext: MMR diversified re-ranking ---------------------------------
+
+# Selection math is INTEGER-exact: relevance and pairwise sims quantize
+# to micro-units (round(cos*1e6) -> BIGINT), and lambda=0.7 scales
+# through as mmr_u = 7*rel_u - 3*max_sim_u — no float ever enters the
+# argmax, so the greedy selection sequence is bit-identical on both
+# engines. The oracle unrolls the 3-step greedy loop as CTE layers.
+_MMR_ORACLE = f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, e.embedding,
+         CAST(round({_duck_cosine('e.embedding', 'q.qv')} * 1000000) AS BIGINT)
+           AS rel_u
+  FROM embeddings e, q WHERE e.vec_id <> 0),
+cand AS (
+  SELECT vec_id, embedding, rel_u FROM (
+    SELECT vec_id, embedding, rel_u,
+           row_number() OVER (ORDER BY rel_u DESC, vec_id) AS rn
+    FROM scored)
+  WHERE rn <= 12),
+s1 AS (SELECT vec_id, embedding, rel_u, rel_u * 7 AS mmr_u
+       FROM cand ORDER BY rel_u DESC, vec_id LIMIT 1),
+pair2 AS (
+  SELECT c.vec_id, c.rel_u,
+         CAST(round({_duck_cosine('c.embedding', 's.embedding')} * 1000000)
+              AS BIGINT) AS sim_u
+  FROM cand c JOIN s1 s ON c.vec_id <> s.vec_id),
+p2 AS (SELECT vec_id, max(rel_u) AS rel_u,
+              7 * max(rel_u) - 3 * max(sim_u) AS mmr_u
+       FROM pair2 GROUP BY vec_id),
+s2 AS (SELECT p.vec_id, c.embedding, p.rel_u, p.mmr_u
+       FROM p2 p JOIN cand c USING (vec_id)
+       ORDER BY p.mmr_u DESC, p.vec_id LIMIT 1),
+pair3 AS (
+  SELECT c.vec_id, c.rel_u,
+         CAST(round({_duck_cosine('c.embedding', 's.embedding')} * 1000000)
+              AS BIGINT) AS sim_u
+  FROM cand c
+  JOIN (SELECT vec_id, embedding FROM s1
+        UNION ALL SELECT vec_id, embedding FROM s2) s
+    ON c.vec_id <> s.vec_id
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+    AND c.vec_id NOT IN (SELECT vec_id FROM s2)),
+p3 AS (SELECT vec_id, max(rel_u) AS rel_u,
+              7 * max(rel_u) - 3 * max(sim_u) AS mmr_u
+       FROM pair3 GROUP BY vec_id),
+s3 AS (SELECT vec_id, rel_u, mmr_u FROM p3 ORDER BY mmr_u DESC, vec_id LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS sel_rank, vec_id, rel_u, mmr_u FROM s1
+UNION ALL SELECT CAST(2 AS BIGINT), vec_id, rel_u, mmr_u FROM s2
+UNION ALL SELECT CAST(3 AS BIGINT), vec_id, rel_u, mmr_u FROM s3
+"""
+
+
+def _mmr_select(pdf):
+    """Greedy MMR over one query's candidate pool (pure-Python float64
+    folds in array order — the same sequential accumulation contract
+    as functions.dot_product / the DuckDB oracle)."""
+    import math
+
+    import pandas as pd
+
+    def dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += float(x) * float(y)
+        return s
+
+    emb = {int(r.vec_id): list(r.embedding) for r in pdf.itertuples()}
+    rel = {int(r.vec_id): int(r.rel_u) for r in pdf.itertuples()}
+    norm = {v: math.sqrt(dot(e, e)) for v, e in emb.items()}
+    remaining = sorted(emb)
+    selected: list[int] = []
+    out = []
+    for step in range(3):
+        best = None
+        for v in remaining:
+            if not selected:
+                mmr = 7 * rel[v]
+            else:
+                mx = max(
+                    int(round(dot(emb[v], emb[s]) / (norm[v] * norm[s]) * 1_000_000))
+                    for s in selected
+                )
+                mmr = 7 * rel[v] - 3 * mx
+            if best is None or mmr > best[0]:
+                best = (mmr, v)
+        mmr_u, v = best
+        selected.append(v)
+        remaining.remove(v)
+        out.append((step + 1, v, rel[v], mmr_u))
+    return pd.DataFrame(out, columns=["sel_rank", "vec_id", "rel_u", "mmr_u"])
+
+
+@register("mmr_diversified_topk", oracle=_MMR_ORACLE, tags=("L3", "U1", "ext"))
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 ext: MAXIMAL MARGINAL RELEVANCE re-ranking — the standard
+    diversification pass RAG retrieval runs after top-k: greedily pick
+    argmax of 0.7*relevance - 0.3*max_sim_to_already_picked, 3 rounds
+    over a 12-candidate pool. Two-stage Spark shape: (1) the candidate
+    pool comes from the scale-safe brute-force top-k (TakeOrdered —
+    never a global window); (2) the O(k·n) greedy loop runs inside ONE
+    applyInPandas group per query — with thousands of concurrent
+    queries each group re-ranks independently in parallel, which is
+    exactly how a rerank stage shards at serving scale. Selection
+    arithmetic is integer micro-units throughout (7*rel_u - 3*sim_u,
+    lambda=0.7 cleared of floats), so the greedy sequence — not just
+    the scores — is engine-exact; ties break on vec_id by iteration
+    order (strict > keeps the earlier, smaller id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")) * 1_000_000)
+            .cast("bigint")
+            .alias("rel_u"),
+        )
+    )
+    pool = topk_ranked(scored, 12, F.col("rel_u").desc(), F.col("vec_id")).select(
+        F.lit(0).alias("query_id"), "vec_id", "embedding", "rel_u"
+    )
+    out = pool.groupBy("query_id").applyInPandas(
+        _mmr_select, schema="sel_rank long, vec_id long, rel_u long, mmr_u long"
+    )
+    return out

@@ -301,3 +301,70 @@ def parquet_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("chars"),
     )
+
+
+# --- S5 ext: small-files compaction planner -----------------------------
+
+_COMPACTION_ORACLE = """
+WITH sized AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_chars
+  FROM documents),
+planned AS (
+  SELECT source, doc_id, n_chars,
+         CAST(floor((cum_chars - 1) / 8192.0) AS BIGINT) AS target_file
+  FROM sized WHERE n_chars > 0)
+SELECT source, target_file,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS file_chars,
+       CAST(min(doc_id) AS BIGINT) AS first_doc,
+       CAST(max(doc_id) AS BIGINT) AS last_doc
+FROM planned
+GROUP BY source, target_file
+"""
+
+
+@register("compaction_plan", oracle=_COMPACTION_ORACLE, tags=("S5", "W3", "ext"))
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 ext: SMALL-FILES COMPACTION planner — the lakehouse
+    maintenance op every 100 TB parquet store needs. Documents stand
+    in for data files (n_chars = file bytes); per source partition,
+    files are packed in stable doc_id order into ~8 KiB target files
+    by running-sum bucketing: target = floor((cumsum-1)/target_size).
+    One window + one aggregate, both partitioned by source — no
+    global sort, no driver-side file listing loop; at real scale the
+    input is the table's file manifest (millions of rows, not
+    billions), so the per-partition window is cheap. The greedy
+    cumulative packing is deterministic and engine-exact (integer
+    arithmetic); zero-byte files are dropped on both sides (they'd
+    land between buckets ambiguously and a compactor deletes them
+    anyway)."""
+    from pyspark.sql import Window
+
+    from gostream_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    planned = (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.floor((F.sum("n_chars").over(w) - 1) / 8192.0)
+            .cast("bigint")
+            .alias("target_file"),
+        )
+    )
+    return planned.groupBy("source", "target_file").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("file_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -870,3 +870,85 @@ def streaming_session_eventtime_timeout(spark: SparkSession, sf_dir: str) -> Dat
     return run_available_now(
         event_session_stateful(ev), output_mode="append"
     )
+
+
+# --- L10+L2+J9: streaming MinHash-LSH near-dup candidate detection ------
+
+_STREAM_NEARDUP_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), sig AS (
+  SELECT doc_id, source,
+         min(substr(md5(shingle || '#0'), 1, 15)) AS mh0,
+         min(substr(md5(shingle || '#1'), 1, 15)) AS mh1,
+         min(substr(md5(shingle || '#2'), 1, 15)) AS mh2,
+         min(substr(md5(shingle || '#3'), 1, 15)) AS mh3,
+         min(substr(md5(shingle || '#4'), 1, 15)) AS mh4,
+         min(substr(md5(shingle || '#5'), 1, 15)) AS mh5,
+         min(substr(md5(shingle || '#6'), 1, 15)) AS mh6,
+         min(substr(md5(shingle || '#7'), 1, 15)) AS mh7
+  FROM sh GROUP BY doc_id, source
+), bands AS (
+  SELECT doc_id, source, 0 AS band_id, md5(mh0 || mh1) AS band_hash FROM sig
+  UNION ALL SELECT doc_id, source, 1, md5(mh2 || mh3) FROM sig
+  UNION ALL SELECT doc_id, source, 2, md5(mh4 || mh5) FROM sig
+  UNION ALL SELECT doc_id, source, 3, md5(mh6 || mh7) FROM sig
+)
+SELECT n.doc_id, CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_candidates
+FROM bands n
+JOIN bands c ON n.band_id = c.band_id AND n.band_hash = c.band_hash
+WHERE n.source = 'src1' AND c.source <> 'src1'
+GROUP BY n.doc_id
+"""
+
+
+@register(
+    "streaming_neardup_candidates",
+    oracle=_STREAM_NEARDUP_ORACLE,
+    tags=("L10", "L2", "J9", "S6"),
+)
+def streaming_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10/L2: STREAMING near-dup detection — the ingest-time shape of
+    MinHash-LSH dedup: new documents (source='src1') arrive as a
+    stream; each row computes its 4 md5-MinHash band hashes ROW-LOCALLY
+    inside the streaming plan and stream-static joins the PREBUILT band
+    index of the existing corpus on (band_id, band_hash). Matched
+    candidate edges land in the sink; the post-run distinct-count per
+    new doc (exact distinct aggs are unsupported mid-stream) reports
+    how many existing docs each arrival collides with. Per-doc results
+    are INDEPENDENT of micro-batch boundaries — a doc's bands travel in
+    its own row — so any trigger chunking yields the identical answer,
+    which the batch-computed oracle asserts. At 100 TB the static index
+    is materialized once (parquet, bucketed by band_hash) instead of
+    recomputed per batch, and the join shuffles only band-key matches,
+    never all-pairs."""
+    import shutil
+
+    from gostream_spark.queries.llm_similarity import minhash_md5_band_table
+
+    static_bands = (
+        minhash_md5_band_table(
+            load_table(spark, sf_dir, "documents").filter(F.col("source") != "src1")
+        )
+        .withColumnRenamed("doc_id", "corpus_doc")
+    )
+    stream = file_stream(spark, sf_dir, "documents")
+    new_bands = minhash_md5_band_table(stream.filter(F.col("source") == "src1"))
+    joined = new_bands.join(static_bands, ["band_id", "band_hash"]).select(
+        "doc_id", "corpus_doc"
+    )
+    sess, out = run_foreach_batch_parquet(joined)
+    result = (
+        sess.read.parquet(out)
+        .groupBy("doc_id")
+        .agg(F.countDistinct("corpus_doc").alias("n_candidates"))
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    return result
