@@ -844,3 +844,98 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("monetary"), 2).cast("double").alias("segment_revenue"),
     )
+
+
+# --- Table diff / snapshot reconciliation -------------------------------
+
+_TABLE_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         o_orderstatus
+  FROM orders),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0 THEN price_cents + 100
+              ELSE price_cents END AS price_cents,
+         o_orderstatus
+  FROM a WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, price_cents, o_orderstatus
+  FROM a WHERE o_orderkey % 101 = 0),
+classed AS (
+  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN a.price_cents <> b.price_cents
+                   OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+              ELSE 'same' END AS change,
+         COALESCE(b.price_cents, 0) - COALESCE(a.price_cents, 0) AS delta_cents
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+SELECT change,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(abs(delta_cents)) AS BIGINT) AS abs_delta_cents
+FROM classed GROUP BY change
+"""
+
+
+@register("table_diff_reconcile", oracle=_TABLE_DIFF_ORACLE, tags=("J2", "F7", "ext"))
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot RECONCILIATION — diff two table versions into
+    added/removed/changed/same classes with the money delta, the audit
+    every warehouse migration and CDC pipeline ends with. Version B is
+    derived in-query from version A by deterministic rules (3% deleted,
+    ~1% price-bumped, ~1% re-keyed inserts) so the diff has known
+    ground truth on both engines. Shape: one FULL OUTER join on the
+    key + row-local classification + aggregate — two scans, one
+    shuffle each side, linear at any scale. The payload comparison
+    here is two columns inline; at 100 TB-wide rows, compare a
+    16-byte content digest instead (cf. docs_dedup_digest) so the
+    shuffle never carries the body — the classify logic is unchanged."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+        "o_orderstatus",
+    )
+    surviving = a.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("price_cents") + 100)
+        .otherwise(F.col("price_cents"))
+        .alias("price_cents"),
+        "o_orderstatus",
+    )
+    inserted = a.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "price_cents",
+        "o_orderstatus",
+    )
+    b = surviving.unionByName(inserted)
+    al = a.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("price_cents").alias("price_a"),
+        F.col("o_orderstatus").alias("status_a"),
+    )
+    bl = b.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("price_cents").alias("price_b"),
+        F.col("o_orderstatus").alias("status_b"),
+    )
+    classed = al.join(bl, "key", "full_outer").select(
+        F.when(F.col("price_b").isNull() & F.col("status_b").isNull(), "removed")
+        .when(F.col("price_a").isNull() & F.col("status_a").isNull(), "added")
+        .when(
+            (F.col("price_a") != F.col("price_b"))
+            | (F.col("status_a") != F.col("status_b")),
+            "changed",
+        )
+        .otherwise("same")
+        .alias("change"),
+        (
+            F.coalesce(F.col("price_b"), F.lit(0))
+            - F.coalesce(F.col("price_a"), F.lit(0))
+        ).alias("delta_cents"),
+    )
+    return classed.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.abs(F.col("delta_cents"))).cast("bigint").alias("abs_delta_cents"),
+    )
