@@ -114,3 +114,32 @@ def sql_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     with AQE free to pick the build side."""
     register_views(spark, sf_dir, "lineitem", "orders")
     return spark.sql(_SQL_Q12_TEXT)
+
+
+# --- E2: aggregate FILTER clause (identical text both engines) ----------
+
+_SQL_FILTER_AGG = """
+SELECT l_returnflag,
+       CAST(count(*) FILTER (WHERE l_quantity >= 25.0) AS BIGINT) AS n_heavy,
+       CAST(count(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_no_disc,
+       CAST(COALESCE(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                     FILTER (WHERE l_tax > 0.05), 0) AS BIGINT) AS taxed_cents
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("sql_filter_clause_agg", oracle=_SQL_FILTER_AGG, tags=("E2", "A5"))
+def sql_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/A5: the ANSI aggregate FILTER modifier — three differently-
+    conditioned aggregates in ONE grouped pass (the SQL-standard form
+    of the CASE-WHEN-inside-agg idiom, cf. sql_priority_line_counts).
+    Identical text on both engines. Catalyst compiles each FILTER to
+    a conditional accumulator inside the same partial->final
+    HashAggregate: one scan, one shuffle, regardless of how many
+    filtered aggregates ride along. Boundaries are exact: quantity
+    and discount are integer-valued/two-decimal doubles and the money
+    sum routes through integer cents; the empty-filter-set NULL is
+    COALESCEd to 0 on both sides (NULL-free output convention)."""
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_SQL_FILTER_AGG)
