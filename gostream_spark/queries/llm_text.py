@@ -541,3 +541,63 @@ def token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(h, 4).alias("token_entropy"),
         (h < 1.5).alias("low_entropy"),
     )
+
+
+# --- L6 ext: BPE merge statistics (tokenizer-training prep) -------------
+
+_BPE_PAIRS_ORACLE = """
+WITH words AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), wc AS (
+  SELECT w, count(*) AS c FROM words WHERE w <> '' GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(w)), i -> w[i:i+1])) AS pair, c
+  FROM wc WHERE len(w) >= 2
+), totals AS (
+  SELECT pair, CAST(sum(c) AS BIGINT) AS n_occurrences,
+         CAST(count(*) AS BIGINT) AS n_word_types
+  FROM pairs GROUP BY pair
+)
+SELECT pair, n_occurrences, n_word_types, rn FROM (
+  SELECT pair, n_occurrences, n_word_types,
+         row_number() OVER (ORDER BY n_occurrences DESC, pair) AS rn
+  FROM totals)
+WHERE rn <= 20
+"""
+
+
+@register("bpe_pair_frequencies", oracle=_BPE_PAIRS_ORACLE, tags=("L6", "ext"))
+def bpe_pair_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6 ext: the statistic BPE tokenizer training iterates on — the
+    corpus-wide frequency of each ADJACENT CHARACTER PAIR, weighted by
+    word occurrence count (iteration 1 of the merge loop; the top row
+    is the first merge rule). The 100 TB-shape trick is the word-type
+    rollup FIRST: pair counts explode from the distinct-word table
+    (bounded vocabulary, millions of rows) with the corpus frequency
+    carried as a weight — never from the corpus's raw token stream
+    (trillions of rows). Two hash aggregates + a TakeOrdered top-20;
+    the pair explode is a row-local transform over each word's
+    characters, guarded for 1-char words (an empty F.sequence range
+    would DESCEND, the degenerate-size class test_degenerate_inputs
+    pins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    wc = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    wlen = F.length("w")
+    pair_arr = F.when(
+        wlen >= 2,
+        F.transform(
+            F.sequence(F.lit(1), wlen - 1),
+            lambda i: F.col("w").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = wc.select(F.explode(pair_arr).alias("pair"), "c")
+    totals = pairs.groupBy("pair").agg(
+        F.sum("c").cast("bigint").alias("n_occurrences"),
+        F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+    )
+    return topk_ranked(
+        totals, 20, F.col("n_occurrences").desc(), F.col("pair")
+    )
