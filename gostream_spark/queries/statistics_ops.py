@@ -1,0 +1,537 @@
+"""Statistical / sequence analytics beyond the core inventory
+(SURVEY.md §2 ext): distribution windows (percent_rank / cume_dist /
+ntile), gaps-and-islands streaks, market-basket lift, robust MAD
+outliers, time-weighted averages, lag-1 autocorrelation, chi-square
+independence, and per-group Gini concentration.
+
+Cross-engine determinism (the repo's parity discipline,
+``gostream_spark.parity``): every comparison and aggregate routes
+through exact integers (cents, day ordinals, rank products) or
+DECIMAL sums; the only double operations are single correctly-rounded
+expressions (one divide / sqrt chain) evaluated identically by Spark
+and DuckDB, then rounded.
+
+Scale notes are per-query; the common shape is hash-partitioned
+windows (user_id / order key — high-cardinality keys, never a global
+window) and broadcast-size statistic tables joined back to facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from gostream_spark.io import load_table
+from gostream_spark.registry import register
+
+# --- W1 ext: percent_rank / cume_dist / ntile ---------------------------
+
+_PCT_RANK_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0
+)
+SELECT user_id, event_id, value_cents,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume_d,
+       ntile(4) OVER w AS quartile
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY value_cents, event_id)
+"""
+
+
+@register("window_percent_rank_cume", oracle=_PCT_RANK_ORACLE, tags=("W1", "ext"))
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ext: relative-position window functions — percent_rank,
+    cume_dist, and ntile(4) of each event's value within its user's
+    history. Ordering is the total order (value_cents, event_id), so
+    ntile's bucket assignment (which is order- not value-determined
+    under ties) is deterministic on both engines. Partitioned by
+    user_id — high-cardinality key, no global window; one shuffle."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("user_id") % 10 == 0))
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("value_cents", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume_d"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --- W2 ext: gaps-and-islands activity streaks --------------------------
+
+_STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), grp AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS g
+  FROM days
+), islands AS (
+  SELECT user_id, g, count(*) AS streak_len
+  FROM grp GROUP BY user_id, g
+)
+SELECT user_id,
+       count(*) AS n_streaks,
+       max(streak_len) AS longest_streak,
+       CAST(sum(streak_len) AS BIGINT) AS active_days
+FROM islands
+GROUP BY user_id
+"""
+
+
+@register("gaps_islands_streaks", oracle=_STREAKS_ORACLE, tags=("W2", "ext"))
+def gaps_islands_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 ext: gaps-and-islands — consecutive-active-day streaks per
+    user via the classic (day_ordinal - row_number) grouping trick.
+    Day ordinals are exact integers (no timestamp arithmetic in the
+    compared values). Two hash aggregates + one user-partitioned
+    window, all keyed on user_id: a single shuffle reused across
+    stages, linear at any scale."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn("g", F.col("d") - F.row_number().over(w))
+        .groupBy("user_id", "g")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+        F.sum("streak_len").alias("active_days"),
+    )
+
+
+# --- J1/A1 ext: market-basket pair lift ---------------------------------
+
+_BASKET_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, count(*) AS pair_cnt
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), bc AS (
+  SELECT p_brand, count(*) AS brand_cnt FROM ob GROUP BY 1
+), n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob)
+SELECT brand_a, brand_b, pair_cnt,
+       round(CAST(pair_cnt AS DOUBLE) / n_orders, 6) AS support,
+       round(CAST(pair_cnt AS DOUBLE) * n_orders
+             / (ca.brand_cnt * cb.brand_cnt), 6) AS lift
+FROM pairs
+JOIN bc ca ON ca.p_brand = brand_a
+JOIN bc cb ON cb.p_brand = brand_b
+CROSS JOIN n
+WHERE pair_cnt >= 5
+"""
+
+
+@register("market_basket_pair_lift", oracle=_BASKET_ORACLE, tags=("J1", "A1", "ext"))
+def market_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/A1 ext: market-basket co-occurrence — brand pairs appearing
+    in the same order, with support and lift. The self-join is
+    co-partitioned on l_orderkey (the distinct and the join share one
+    shuffle key) and the pair fan-out is bounded by per-basket brand
+    count squared, not input size; brand marginals and the order
+    count are broadcast-size. Lift is one double expression over
+    exact integer counts — identical on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 5)
+    )
+    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("brand_cnt"))
+    n = ob.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(bc.withColumnsRenamed({"p_brand": "brand_a", "brand_cnt": "cnt_a"})),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(bc.withColumnsRenamed({"p_brand": "brand_b", "brand_cnt": "cnt_b"})),
+            "brand_b",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "pair_cnt",
+            F.round(F.col("pair_cnt").cast("double") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("pair_cnt").cast("double")
+                * F.col("n_orders")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --- A8 ext: MAD robust outliers ----------------------------------------
+
+_MAD_ORACLE = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE value IS NOT NULL
+), med AS (
+  SELECT event_type, CAST(2 * median(cents) AS BIGINT) AS med2
+  FROM c GROUP BY 1
+), d AS (
+  SELECT c.event_type, cents, med2, abs(2 * cents - med2) AS d2
+  FROM c JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, CAST(2 * median(d2) AS BIGINT) AS mad2
+  FROM d GROUP BY 1
+)
+SELECT d.event_type,
+       count(*) AS n,
+       round(CAST(max(med2) AS DOUBLE) / 200.0, 4) AS median_value,
+       round(CAST(max(mad2) AS DOUBLE) / 400.0, 4) AS mad_value,
+       CAST(count(*) FILTER (WHERE 2 * d2 > 3 * mad2) AS BIGINT) AS n_outliers
+FROM d JOIN mad USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("mad_robust_outliers", oracle=_MAD_ORACLE, tags=("A8", "ext"))
+def mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ext: robust outlier detection via median absolute deviation.
+    All medians are over integers (cents), and a median of integers is
+    either k or k+0.5 — doubling it first makes every compared value
+    an exact BIGINT, so the outlier cut |v - med| > 3·MAD is the
+    integer test 2·d2 > 3·mad2 with zero float boundaries. Two
+    broadcast-size statistic tables join back to the fact; exact
+    ``median`` is a single-shuffle sort-based aggregate per group."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+    med = c.groupBy("event_type").agg(
+        (2 * F.median("cents")).cast("long").alias("med2")
+    )
+    d = c.join(F.broadcast(med), "event_type").withColumn(
+        "d2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = d.groupBy("event_type").agg((2 * F.median("d2")).cast("long").alias("mad2"))
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med2").cast("double") / 200.0, 4).alias("median_value"),
+            F.round(F.max("mad2").cast("double") / 400.0, 4).alias("mad_value"),
+            F.sum(
+                F.when(2 * F.col("d2") > 3 * F.col("mad2"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# --- W3/F2 ext: time-weighted average -----------------------------------
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  -- floor(epoch) mirrors Spark's unix_timestamp second truncation
+  -- (fixture timestamps carry sub-second components — FIXTURES.md)
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,2)) AS v,
+         lead(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - CAST(floor(epoch(ts)) AS BIGINT) AS dur_s
+  FROM events WHERE value IS NOT NULL AND user_id % 10 = 0
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(CAST(dur_s AS BIGINT)) AS BIGINT) AS total_dur_s,
+       round(CAST(sum(v * CAST(dur_s AS BIGINT)) AS DOUBLE)
+             / sum(CAST(dur_s AS BIGINT)), 4) AS twap
+FROM seq
+WHERE dur_s IS NOT NULL AND dur_s > 0
+GROUP BY user_id
+"""
+
+
+@register("twap_per_user", oracle=_TWAP_ORACLE, tags=("W3", "F2", "ext"))
+def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/F2 ext: time-weighted average value per user — each reading
+    is weighted by how long it was current (the interval to the next
+    event). Weights are exact integer seconds and the weighted sum is
+    DECIMAL (associative, partition-order-proof); the single double
+    division happens after aggregation. One user-partitioned window +
+    one aggregate on the same key: a single shuffle."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull() & (F.col("user_id") % 10 == 0))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .withColumn(
+            "dur_s",
+            (F.lead(F.unix_timestamp("ts")).over(w) - F.unix_timestamp("ts")).cast(
+                "long"
+            ),
+        )
+        .filter(F.col("dur_s").isNotNull() & (F.col("dur_s") > 0))
+    )
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_s").alias("total_dur_s"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur_s")).cast("double") / F.sum("dur_s"), 4
+        ).alias("twap"),
+    )
+
+
+# --- A2/W2 ext: lag-1 autocorrelation of daily counts -------------------
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT event_type, c AS x,
+         lag(c) OVER (PARTITION BY event_type ORDER BY d) AS y
+  FROM daily
+), s AS (
+  SELECT event_type, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs WHERE y IS NOT NULL GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+       round((n * sxy - sx * sy)
+             / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                           * CAST(n * syy - sy * sy AS DOUBLE)), 0),
+             6) AS acf1
+FROM s
+"""
+
+
+@register("autocorr_daily_lag1", oracle=_AUTOCORR_ORACLE, tags=("A2", "W2", "ext"))
+def autocorr_daily_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/W2 ext: lag-1 autocorrelation of the per-type daily event
+    count series — the burstiness diagnostic. Pearson r is assembled
+    from exact BIGINT moment sums (counts and their products), so the
+    only floats are one subtraction/multiply/sqrt/divide chain —
+    correctly-rounded IEEE ops evaluated identically by both engines
+    — then rounded. The day series per type is tiny (one row per
+    day×type) regardless of input scale; the heavy step is the first
+    map-side-combined aggregate."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.select(
+        "event_type", F.col("c").alias("x"), F.lag("c").over(w).alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("acf1"),
+    )
+
+
+# --- A1 ext: chi-square independence test -------------------------------
+
+_CHISQ_ORACLE = """
+WITH obs AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nk, count(*) AS o
+  FROM customer GROUP BY 1, 2
+), rt AS (SELECT seg, sum(o) AS row_tot FROM obs GROUP BY 1),
+ct AS (SELECT nk, sum(o) AS col_tot FROM obs GROUP BY 1),
+n AS (SELECT sum(o) AS total FROM obs),
+terms AS (
+  SELECT CAST(round(
+           pow(o - CAST(row_tot * col_tot AS DOUBLE) / total, 2)
+             / (CAST(row_tot * col_tot AS DOUBLE) / total),
+           6) AS DECIMAL(28,6)) AS term
+  FROM obs JOIN rt USING (seg) JOIN ct USING (nk) CROSS JOIN n
+)
+SELECT CAST(round(sum(term), 4) AS DOUBLE) AS chisq,
+       CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+       CAST((SELECT total FROM n) AS BIGINT) AS n
+FROM terms
+"""
+
+
+@register("chisq_segment_nation", oracle=_CHISQ_ORACLE, tags=("A1", "ext"))
+def chisq_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 ext: chi-square independence statistic for the market-segment
+    × nation contingency table. Observed counts and marginals are
+    exact integers; each cell's (O−E)²/E is one double expression
+    (identical on both engines), rounded per-term and summed as
+    DECIMAL so the 125-term sum is order-independent. The contingency
+    table is |segments|×|nations| rows at any input scale — the heavy
+    step is the first map-side-combined count."""
+    obs = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("seg").agg(F.sum("o").alias("row_tot"))
+    ct = obs.groupBy("nk").agg(F.sum("o").alias("col_tot"))
+    n = obs.select(F.sum("o").alias("total"))
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col("total")
+    term = F.round(F.pow(F.col("o") - e, 2) / e, 6).cast("decimal(28,6)")
+    terms = (
+        obs.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "nk")
+        .crossJoin(F.broadcast(n))
+        .select(term.alias("term"))
+    )
+    dof = (
+        rt.agg((F.count(F.lit(1)) - 1).alias("dof_r"))
+        .crossJoin(ct.agg((F.count(F.lit(1)) - 1).alias("dof_c")))
+        .select((F.col("dof_r") * F.col("dof_c")).cast("long").alias("dof"))
+    )
+    return (
+        terms.agg(F.round(F.sum("term"), 4).cast("double").alias("chisq"))
+        .crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(n.select(F.col("total").cast("long").alias("n"))))
+    )
+
+
+# --- A1/W3 ext: Gini revenue concentration ------------------------------
+
+_GINI_ORACLE = """
+WITH rev AS (
+  SELECT c_nationkey AS nk, c_custkey,
+         CAST(coalesce(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+                               AS BIGINT)), 0) AS BIGINT) AS rev_cents
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT nk, rev_cents,
+         row_number() OVER (PARTITION BY nk ORDER BY rev_cents, c_custkey) AS r
+  FROM rev
+), s AS (
+  SELECT nk, count(*) AS n,
+         CAST(sum(CAST(rev_cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot,
+         CAST(sum(CAST(r AS DECIMAL(38,0)) * rev_cents) AS DECIMAL(38,0)) AS rw
+  FROM ranked GROUP BY 1
+)
+SELECT n_name, CAST(n AS BIGINT) AS n_customers,
+       round(2.0 * CAST(rw AS DOUBLE) / (n * CAST(tot AS DOUBLE))
+             - (n + 1.0) / n, 6) AS gini
+FROM s JOIN nation ON n_nationkey = nk
+WHERE tot > 0
+"""
+
+
+@register("gini_revenue_by_nation", oracle=_GINI_ORACLE, tags=("A1", "W3", "ext"))
+def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W3 ext: Gini coefficient of customer revenue concentration
+    per nation, via the rank-weighted-sum identity
+    G = 2·Σ(r·x)/(n·Σx) − (n+1)/n. Revenue is exact cents, ranks use
+    the total order (rev, custkey), and both Σ terms accumulate as
+    DECIMAL(38,0) (overflow-proof at any scale) before one double
+    expression. The window partitions by nation — at extreme
+    per-nation cardinality the two-pass histogram/prefix-sum form
+    (as ``abc_revenue_classes`` uses) drops the sort entirely; the
+    rank identity keeps this single-window version exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy(F.col("c_nationkey").alias("nk"), "c_custkey")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast(
+                        "long"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("nk").orderBy("rev_cents", "c_custkey")
+    ranked = rev.withColumn("r", F.row_number().over(w))
+    s = ranked.groupBy("nk").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rev_cents").cast("decimal(38,0)")).alias("tot"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("rev_cents")).alias("rw"),
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        s.filter(F.col("tot") > 0)
+        .join(F.broadcast(nation), nation.n_nationkey == F.col("nk"))
+        .select(
+            "n_name",
+            F.col("n").alias("n_customers"),
+            F.round(
+                2.0 * F.col("rw").cast("double") / (F.col("n") * F.col("tot").cast("double"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+        )
+    )
