@@ -6,7 +6,7 @@ right after the basics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
@@ -342,4 +342,73 @@ def agg_branch_reused_exchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hi.unionByName(lo).groupBy("band").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("rev_cents").alias("band_cents"),
+    )
+
+
+# --- Weighted median ----------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+         CAST(round(l_quantity) AS BIGINT) AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+), cum AS (
+  SELECT l_suppkey, price_cents, wt,
+         sum(wt) OVER (PARTITION BY l_suppkey
+                       ORDER BY price_cents, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         sum(wt) OVER (PARTITION BY l_suppkey) AS tot
+  FROM w
+)
+SELECT l_suppkey,
+       CAST(max(tot) AS BIGINT) AS total_weight,
+       round(CAST(min(CASE WHEN 2 * c >= tot THEN price_cents END) AS DOUBLE)
+             / 100.0, 2) AS wmedian_price
+FROM cum
+GROUP BY l_suppkey
+"""
+
+
+@register("weighted_median_price", oracle=_WMEDIAN_ORACLE, tags=("A8", "W3", "ext"))
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 ext: quantity-weighted median price per supplier — the
+    lower weighted median (first price whose cumulative weight
+    reaches half the total). Prices and weights are exact integers,
+    the crossing test 2·cum ≥ tot is integer, and the running sum
+    orders by the total order (price, orderkey, linenumber), so the
+    selected price is engine-exact with zero float boundaries.
+    One supplier-partitioned window + one aggregate on the same
+    high-cardinality key: a single shuffle. (The two-pass
+    histogram/prefix-sum form replaces the sort if one supplier's
+    line count ever outgrows a task — same cut rule, same result.)"""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_cents"),
+        F.round("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("price_cents", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_suppkey")
+    cum = li.select(
+        "l_suppkey",
+        "price_cents",
+        F.sum("wt").over(wc).alias("c"),
+        F.sum("wt").over(wt).alias("tot"),
+    )
+    return cum.groupBy("l_suppkey").agg(
+        F.max("tot").alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(2 * F.col("c") >= F.col("tot"), F.col("price_cents"))
+            ).cast("double")
+            / 100.0,
+            2,
+        ).alias("wmedian_price"),
     )

@@ -7,7 +7,7 @@ with an exact oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
@@ -938,4 +938,112 @@ def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("change").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.abs(F.col("delta_cents"))).cast("bigint").alias("abs_delta_cents"),
+    )
+
+
+# --- Sweep-line: peak concurrent sessions -------------------------------
+
+_PEAK_CONC_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev_ts IS NULL
+                       OR ts >= prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM ordered
+), sessions AS (
+  SELECT user_id, session_no,
+         CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+         CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS end_s
+  FROM numbered GROUP BY 1, 2
+), deltas AS (
+  SELECT start_s // 86400 AS day_ord, start_s AS sec, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT start_s // 86400, end_s, -1 FROM sessions
+), net AS (
+  SELECT day_ord, sec, sum(delta) AS net FROM deltas GROUP BY 1, 2
+), cum AS (
+  SELECT day_ord, sec,
+         sum(net) OVER (PARTITION BY day_ord ORDER BY sec
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+  FROM net
+)
+SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+                + to_seconds(day_ord * 86400), '%Y-%m-%d') AS day,
+       (SELECT count(*) FROM sessions s
+        WHERE s.start_s // 86400 = cum.day_ord) AS n_sessions,
+       CAST(max(c) AS BIGINT) AS peak_concurrent
+FROM cum
+GROUP BY day_ord
+"""
+
+
+@register("peak_concurrent_sessions", oracle=_PEAK_CONC_ORACLE, tags=("T3", "W3", "ext"))
+def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency: per day, the peak number of
+    simultaneously-open 30-minute-gap sessions among the sessions
+    opened that day — the capacity-planning statistic. Sessions come
+    from the lag-gap islanding (identical to the `session_window`
+    semantics: end = last event + gap); each becomes a +1/−1 delta at
+    integer epoch seconds, netted per second and prefix-summed per
+    day. Net-per-second collapses the within-second ordering
+    ambiguity, so the running max is engine-exact on pure integers.
+    Windows partition by day — the sweep is time-bucketed, never
+    global — and every shuffle key (user, day) is high-cardinality
+    at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    numbered = ev.select(
+        "user_id",
+        "ts",
+        F.sum(
+            F.when(
+                F.lag("ts").over(wu).isNull()
+                | (F.col("ts") >= F.lag("ts").over(wu) + F.expr("INTERVAL 30 MINUTE")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_no"),
+    )
+    sessions = numbered.groupBy("user_id", "session_no").agg(
+        F.unix_timestamp(F.min("ts")).alias("start_s"),
+        (F.unix_timestamp(F.max("ts")) + 1800).alias("end_s"),
+    )
+    deltas = sessions.select(
+        (F.col("start_s") / 86400).cast("long").alias("day_ord"),
+        F.col("start_s").alias("sec"),
+        F.lit(1).alias("delta"),
+    ).unionAll(
+        sessions.select(
+            (F.col("start_s") / 86400).cast("long").alias("day_ord"),
+            F.col("end_s").alias("sec"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = deltas.groupBy("day_ord", "sec").agg(F.sum("delta").alias("net"))
+    wd = (
+        Window.partitionBy("day_ord")
+        .orderBy("sec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = net.select("day_ord", F.sum("net").over(wd).alias("c"))
+    per_day = sessions.groupBy(
+        (F.col("start_s") / 86400).cast("long").alias("day_ord")
+    ).agg(F.count(F.lit(1)).alias("n_sessions"))
+    return (
+        cum.groupBy("day_ord")
+        .agg(F.max("c").alias("peak_concurrent"))
+        .join(per_day, "day_ord")
+        .select(
+            F.date_format(
+                F.timestamp_seconds(F.col("day_ord") * 86400), "yyyy-MM-dd"
+            ).alias("day"),
+            "n_sessions",
+            "peak_concurrent",
+        )
     )

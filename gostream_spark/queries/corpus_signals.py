@@ -235,3 +235,69 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 4).alias("p_keep"),
         F.when(p >= 0.5, "keep").otherwise("drop").alias("decision"),
     )
+
+
+# --- Source-vs-corpus KL divergence -------------------------------------
+
+_KL_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), st AS (
+  SELECT source, token, count(*) AS cnt_s FROM tok GROUP BY 1, 2
+), ct AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY 1
+), stot AS (
+  SELECT source, sum(cnt_s) AS tot_s FROM st GROUP BY 1
+), tot AS (
+  SELECT sum(cnt) AS tot FROM ct
+), terms AS (
+  SELECT st.source,
+         CAST(floor(1e9 * (CAST(cnt_s AS DOUBLE) / tot_s)
+                        * ln(CAST(cnt_s * tot AS DOUBLE) / (cnt * tot_s)))
+              AS BIGINT) AS t_nano
+  FROM st JOIN ct USING (token) JOIN stot USING (source) CROSS JOIN tot
+)
+SELECT source,
+       count(*) AS n_types,
+       round(CAST(sum(t_nano) AS DOUBLE) / 1e9, 4) AS kl_nats
+FROM terms GROUP BY source
+"""
+
+
+@register("source_kl_divergence", oracle=_KL_ORACLE, tags=("L8", "A1", "ext"))
+def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift gate: KL(P_source ‖ P_corpus) over unigram
+    distributions — the per-source divergence that flags a source
+    whose token mix departs from the pool (dominant boilerplate, new
+    language, template flood). Support(P_source) ⊆ support(P_corpus)
+    by construction, so plain KL is finite without smoothing. Each
+    term is floored to integer nano-nats BEFORE summing (the
+    ``unigram_logprob_quality`` discipline): the per-source sum is
+    exact-integer, order-proof; the probability ratio feeding ln is
+    one division of exact sub-2^53 integer products, identical on
+    both engines. Two token-keyed shuffles + broadcast-size totals;
+    the per-source term table is |source|×|vocab| at worst — linear
+    in vocabulary, never in corpus size."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt_s"))
+    ct = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    stot = st.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
+    tot = ct.agg(F.sum("cnt").alias("tot"))  # 1-row dim
+    ratio = (F.col("cnt_s") * F.col("tot")).cast("double") / (
+        F.col("cnt") * F.col("tot_s")
+    )
+    t_nano = F.floor(
+        1e9 * (F.col("cnt_s").cast("double") / F.col("tot_s")) * F.log(ratio)
+    ).cast("long")
+    terms = (
+        st.join(ct, "token")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", t_nano.alias("t_nano"))
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.sum("t_nano").cast("double") / 1e9, 4).alias("kl_nats"),
+    )

@@ -695,3 +695,130 @@ def count_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_events") == 5)
     )
+
+
+# --- Linear interpolation over the hourly grid --------------------------
+
+_INTERP_ORACLE = f"""
+WITH base AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 20 AND value IS NOT NULL),
+hourly AS (
+  SELECT user_id, h, CAST(sum(cents) AS BIGINT) AS known_cents
+  FROM base GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(h) AS lo, max(h) AS hi FROM base GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds),
+j AS (
+  SELECT g.user_id, g.h,
+         CAST(floor(epoch(g.h)) AS BIGINT) / 3600 AS hs,
+         known_cents
+  FROM grid g LEFT JOIN hourly USING (user_id, h)),
+ctx AS (
+  SELECT user_id, h, hs, known_cents,
+         last_value(known_cents IGNORE NULLS) OVER wb AS prev_c,
+         last_value(CASE WHEN known_cents IS NOT NULL THEN hs END IGNORE NULLS)
+           OVER wb AS prev_h,
+         first_value(known_cents IGNORE NULLS) OVER wf AS next_c,
+         first_value(CASE WHEN known_cents IS NOT NULL THEN hs END IGNORE NULLS)
+           OVER wf AS next_h
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY hs
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY hs
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, strftime(h, '{TS_FMT_DUCK}') AS hour,
+       CASE WHEN known_cents IS NOT NULL THEN 'known' ELSE 'interp' END AS kind,
+       -- floor at 1e4, not round: interpolation midpoints sit exactly on
+       -- .00005 boundaries where Spark (half-up) and DuckDB (half-even)
+       -- round differently; floor of the identical double is engine-proof
+       floor(CASE WHEN known_cents IS NOT NULL
+                  THEN CAST(known_cents AS DOUBLE) / 100.0
+                  ELSE (CAST(prev_c AS DOUBLE)
+                        + CAST(next_c - prev_c AS DOUBLE)
+                          * (hs - prev_h) / (next_h - prev_h)) / 100.0
+             END * 10000) / 10000 AS val
+FROM ctx
+"""
+
+
+@register("linear_interp_hourly", oracle=_INTERP_ORACLE, tags=("T1", "W3", "ext"))
+def linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the per-user hourly grid: missing
+    hours get the straight line between the neighbouring known hourly
+    sums (``events_resample_gapfill``'s forward-fill upgraded to
+    two-sided interpolation — the standard time-series imputation
+    before feature extraction). Known values are exact integer cents;
+    hour ordinals are exact integers; the interpolated value is one
+    double expression over those integers, identical on both engines.
+    Interior grid rows always have both neighbours (the grid spans
+    min..max of each user's own observed hours), so the output is
+    NULL-free by construction. Per-user windows — high-cardinality
+    partitioning, one shuffle shared by the two frame directions."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 20) & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    hourly = base.groupBy("user_id", "h").agg(F.sum("cents").alias("known_cents"))
+    bounds = base.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "hs", (F.unix_timestamp("h") / 3600).cast("long")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("hs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hs")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_h = F.when(F.col("known_cents").isNotNull(), F.col("hs"))
+    ctx = j.select(
+        "user_id",
+        "h",
+        "hs",
+        "known_cents",
+        F.last("known_cents", ignorenulls=True).over(wb).alias("prev_c"),
+        F.last(known_h, ignorenulls=True).over(wb).alias("prev_h"),
+        F.first("known_cents", ignorenulls=True).over(wf).alias("next_c"),
+        F.first(known_h, ignorenulls=True).over(wf).alias("next_h"),
+    )
+    interp = (
+        F.col("prev_c").cast("double")
+        + (F.col("next_c") - F.col("prev_c")).cast("double")
+        * (F.col("hs") - F.col("prev_h"))
+        / (F.col("next_h") - F.col("prev_h"))
+    ) / 100.0
+    return ctx.select(
+        "user_id",
+        ts_str("h").alias("hour"),
+        F.when(F.col("known_cents").isNotNull(), "known")
+        .otherwise("interp")
+        .alias("kind"),
+        (
+            F.floor(
+                F.when(
+                    F.col("known_cents").isNotNull(),
+                    F.col("known_cents").cast("double") / 100.0,
+                ).otherwise(interp)
+                * 10000
+            )
+            / 10000
+        ).alias("val"),
+    )

@@ -143,3 +143,39 @@ def sql_filter_clause_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     COALESCEd to 0 on both sides (NULL-free output convention)."""
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_FILTER_AGG)
+
+
+# --- TPC-H-Q10-shaped: returned-item revenue ranking --------------------
+# Identical text on both engines (ANSI core); only the final
+# projection's date formatting differs by dialect.
+_Q10_BODY = """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM customer
+JOIN nation   ON n_nationkey = c_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("sql_returned_revenue_topk", oracle=_Q10_BODY, tags=("E2", "J8", "W4"))
+def sql_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the TPC-H-Q10 shape — revenue lost to returned items per
+    customer over a half-year, top 20 — executed from the SAME SQL
+    text on both engines (the portability check: zero dialect
+    divergence, ANSI core only). Catalyst broadcasts nation+customer
+    into the fact stream, pushes the returnflag and date filters into
+    both scans, and plans the ORDER BY ... LIMIT as TakeOrdered (no
+    global sort). The DESC ranking has the c_custkey tiebreak, so the
+    selected rowset is total-order deterministic."""
+    register_views(spark, sf_dir, "customer", "nation", "orders", "lineitem")
+    return spark.sql(_Q10_BODY)
