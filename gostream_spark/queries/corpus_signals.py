@@ -301,3 +301,83 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_types"),
         F.round(F.sum("t_nano").cast("double") / 1e9, 4).alias("kl_nats"),
     )
+
+
+# --- Zipf slope per language --------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, cnt,
+         row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS r
+  FROM freq
+), pts AS (
+  SELECT lang,
+         CAST(floor(1e6 * ln(CAST(r AS DOUBLE))) AS BIGINT) AS x,
+         CAST(floor(1e6 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+  FROM ranked WHERE r <= 1000
+), s AS (
+  SELECT lang, count(*) AS n,
+         CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+         CAST(sum(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy,
+         CAST(sum(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n_points,
+       round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             4) AS zipf_slope
+FROM s
+"""
+
+
+@register("zipf_slope_by_lang", oracle=_ZIPF_ORACLE, tags=("L8", "L6", "ext"))
+def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law slope per language: OLS fit of ln(freq) on ln(rank)
+    over the top-1000 vocabulary head — the corpus-naturalness
+    diagnostic (natural language sits near −1; template floods and
+    word soup flatten it). Log points are floored to integer
+    micro-nats before the moment sums, which accumulate as
+    DECIMAL(38,0) (exact at any vocabulary size); the slope is one
+    double expression. The rank window partitions by lang over the
+    VOCABULARY table (bounded by distinct types, not corpus rows), so
+    the sort never sees fact-scale data."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("token"))
+    pts = (
+        freq.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 1000)
+        .select(
+            "lang",
+            F.floor(1e6 * F.log(F.col("r").cast("double"))).cast("long").alias("x"),
+            F.floor(1e6 * F.log(F.col("cnt").cast("double"))).cast("long").alias("y"),
+        )
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = pts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    den = F.col("n") * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    return s.select(
+        "lang",
+        F.col("n").alias("n_points"),
+        F.round(num / den, 4).alias("zipf_slope"),
+    )
