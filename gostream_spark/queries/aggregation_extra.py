@@ -412,3 +412,123 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("wmedian_price"),
     )
+
+
+# --- Incremental aggregate state merge ----------------------------------
+
+_INCR_MERGE_ORACLE = """
+SELECT o_custkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT))
+            AS BIGINT) AS total_cents
+FROM orders GROUP BY o_custkey
+"""
+
+
+@register("incremental_agg_merge", oracle=_INCR_MERGE_ORACLE, tags=("A9", "J2", "ext"))
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 ext: incremental-view maintenance by partial-state merge —
+    yesterday's materialized per-customer aggregate (orders before
+    1998) full-outer-merged with today's delta (1998-on), coalescing
+    the (count, sum) state fields. Count and decimal-cents sum are
+    the canonical MERGEABLE state: merge(stateA, stateB) equals the
+    aggregate over the unioned input — which is exactly what the
+    oracle computes over all orders at once. At 100 TB this is the
+    difference between re-scanning history daily and touching only
+    the delta partition; both sides shuffle on the same key, so the
+    merge join is co-partitioned."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0).cast("long")
+    cut = F.lit("1998-01-01 00:00:00").cast("timestamp")
+
+    def state(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+        )
+
+    hist = state(orders.filter(F.col("o_orderdate") < cut))
+    delta = state(orders.filter(F.col("o_orderdate") >= cut))
+    h = hist.withColumnsRenamed({"n_orders": "n_h", "total_cents": "c_h"})
+    d = delta.withColumnsRenamed({"n_orders": "n_d", "total_cents": "c_d"})
+    return h.join(d, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (F.coalesce("n_h", F.lit(0)) + F.coalesce("n_d", F.lit(0))).alias("n_orders"),
+        (F.coalesce("c_h", F.lit(0)) + F.coalesce("c_d", F.lit(0)))
+        .cast("long")
+        .alias("total_cents"),
+    )
+
+
+# --- Discrete-percentile SLA report -------------------------------------
+
+_SLA_ORACLE = """
+WITH d AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+           AS delay
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), hist AS (
+  SELECT priority, delay, count(*) AS cnt FROM d GROUP BY 1, 2
+), cum AS (
+  SELECT priority, delay, cnt,
+         sum(cnt) OVER (PARTITION BY priority ORDER BY delay
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         sum(cnt) OVER (PARTITION BY priority) AS n
+  FROM hist
+)
+SELECT priority,
+       CAST(max(n) AS BIGINT) AS n_lines,
+       CAST(min(CASE WHEN 2 * c >= n THEN delay END) AS BIGINT) AS p50_days,
+       CAST(min(CASE WHEN 10 * c >= 9 * n THEN delay END) AS BIGINT) AS p90_days,
+       CAST(max(delay) AS BIGINT) AS max_days
+FROM cum GROUP BY priority
+"""
+
+
+@register("ship_delay_sla", oracle=_SLA_ORACLE, tags=("A8", "F2", "ext"))
+def ship_delay_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/F2 ext: order→ship latency SLA (p50/p90/max days) per order
+    priority, as DISCRETE percentiles over the delay histogram — the
+    two-pass percentile pattern that scales: the heavy aggregate
+    collapses fact rows into a (priority × distinct-delay) histogram
+    first, and the percentile window runs over that bounded table,
+    never the facts. All compared values are integer day counts and
+    integer threshold tests (2·cum ≥ n, 10·cum ≥ 9·n): zero float
+    boundaries."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+                "delay"
+            ),
+        )
+    )
+    hist = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        Window.partitionBy("priority")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wp = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "delay",
+        F.sum("cnt").over(wc).alias("c"),
+        F.sum("cnt").over(wp).alias("n"),
+    )
+    return cum.groupBy("priority").agg(
+        F.max("n").alias("n_lines"),
+        F.min(F.when(2 * F.col("c") >= F.col("n"), F.col("delay")))
+        .cast("long")
+        .alias("p50_days"),
+        F.min(F.when(10 * F.col("c") >= 9 * F.col("n"), F.col("delay")))
+        .cast("long")
+        .alias("p90_days"),
+        F.max("delay").cast("long").alias("max_days"),
+    )
