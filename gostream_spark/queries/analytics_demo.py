@@ -1047,3 +1047,66 @@ def peak_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_concurrent",
         )
     )
+
+
+# --- Cohort LTV triangle ------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+), cells AS (
+  SELECT f.cohort_m, o.o_custkey,
+         (date_part('year', o.o_orderdate) - date_part('year', f.cohort_m)) * 12
+           + (date_part('month', o.o_orderdate) - date_part('month', f.cohort_m))
+           AS age_m,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+           AS cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+)
+SELECT strftime(cohort_m, '%Y-%m') AS cohort_month,
+       CAST(age_m AS BIGINT) AS age_months,
+       count(DISTINCT o_custkey) AS active_customers,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents
+FROM cells
+WHERE age_m <= 12
+GROUP BY cohort_m, age_m
+"""
+
+
+@register("cohort_ltv_triangle", oracle=_LTV_ORACLE, tags=("A1", "J1", "F2", "ext"))
+def cohort_ltv_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value triangle: customers grouped by first-order
+    month, with revenue and active-customer counts at each month-age up
+    to a year — `cohort_retention_matrix`'s revenue-weighted sibling
+    (the growth-accounting view: does a cohort's spend compound or
+    decay?). The first-order table is customer-cardinality and
+    co-partitions with orders on the same key, reusing one shuffle;
+    month ages are exact integer arithmetic and revenue is exact
+    cents. Output is |cohorts| × 13 cells at any scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_m")
+    )
+    cells = orders.join(firsts, "o_custkey").select(
+        "cohort_m",
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - F.year("cohort_m")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_m"))
+        ).alias("age_m"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    return (
+        cells.filter(F.col("age_m") <= 12)
+        .groupBy(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+            F.col("age_m").cast("long").alias("age_months"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("active_customers"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )

@@ -834,3 +834,81 @@ def corpus_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.floor(F.sum("n_tokens") * 1.0 / n).cast("bigint").alias("avg_tokens"),
     )
+
+
+# --- Cross-source duplication matrix ------------------------------------
+
+_XSOURCE_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT md5(text) AS dg, source FROM documents
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared_docs
+  FROM d a JOIN d b ON a.dg = b.dg AND a.source < b.source
+  GROUP BY 1, 2
+), per AS (
+  SELECT source, count(*) AS n_distinct FROM d GROUP BY 1
+)
+SELECT source_a, source_b, shared_docs,
+       round(CAST(shared_docs AS DOUBLE)
+             / (pa.n_distinct + pb.n_distinct - shared_docs), 6) AS content_jaccard
+FROM pairs
+JOIN per pa ON pa.source = source_a
+JOIN per pb ON pb.source = source_b
+"""
+
+
+@register("cross_source_duplication_matrix", oracle=_XSOURCE_ORACLE, tags=("L1", "L8", "ext"))
+def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance matrix: which sources carry the same content
+    — per source pair, the count of shared exact-content digests and
+    the content-level Jaccard between the sources' digest sets. This
+    is how mirror/scraper relationships surface before near-dup even
+    runs (a high-Jaccard pair means one source is largely a copy of
+    the other — drop or down-weight it wholesale instead of doc by
+    doc). The digest table carries 16-byte md5s, never text; the
+    pair join is digest-keyed so fan-out is bounded by per-digest
+    source-set size squared (≤ |sources|²), and the per-source
+    distinct counts are broadcast-size. Output is at most
+    |sources|² rows at any corpus scale."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("dg"), "source")
+        .distinct()
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dg") == F.col("b.dg")) & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_docs"))
+    )
+    per = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_distinct"))
+    return (
+        pairs.join(
+            F.broadcast(
+                per.withColumnsRenamed({"source": "source_a", "n_distinct": "n_a"})
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                per.withColumnsRenamed({"source": "source_b", "n_distinct": "n_b"})
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_docs",
+            F.round(
+                F.col("shared_docs").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_docs")),
+                6,
+            ).alias("content_jaccard"),
+        )
+    )
