@@ -264,7 +264,9 @@ FROM terms GROUP BY source
 """
 
 
-@register("source_kl_divergence", oracle=_KL_ORACLE, tags=("L8", "A1", "ext"))
+@register(
+    "source_kl_divergence", oracle=_KL_ORACLE, tags=("L8", "A1", "ext"), bench=True
+)
 def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift gate: KL(P_source ‖ P_corpus) over unigram
     distributions — the per-source divergence that flags a source

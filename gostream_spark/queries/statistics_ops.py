@@ -148,7 +148,9 @@ WHERE pair_cnt >= 5
 """
 
 
-@register("market_basket_pair_lift", oracle=_BASKET_ORACLE, tags=("J1", "A1", "ext"))
+@register(
+    "market_basket_pair_lift", oracle=_BASKET_ORACLE, tags=("J1", "A1", "ext"), bench=True
+)
 def market_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/A1 ext: market-basket co-occurrence — brand pairs appearing
     in the same order, with support and lift. The self-join is
