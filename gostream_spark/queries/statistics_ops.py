@@ -537,3 +537,256 @@ def gini_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+# --- A2 ext: Herfindahl-Hirschman concentration -------------------------
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT n_name,
+         l_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY 1, 2
+), s AS (
+  SELECT n_name, count(*) AS n_suppliers,
+         CAST(sum(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS tot,
+         CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS sq
+  FROM rev GROUP BY 1
+)
+SELECT n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       round(10000.0 * CAST(sq AS DOUBLE)
+             / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 4) AS hhi
+FROM s WHERE tot > 0
+"""
+
+
+@register("hhi_supplier_concentration", oracle=_HHI_ORACLE, tags=("A2", "J8", "ext"))
+def hhi_supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 ext: Herfindahl-Hirschman index of supplier revenue
+    concentration per nation — HHI = 10000·Σshareᵢ², the antitrust /
+    supply-risk statistic (10000 = monopoly, →0 = atomized). Computed
+    without shares: 10000·Σcᵢ²/(Σcᵢ)² over exact integer cents with
+    DECIMAL(38,0) accumulators, so there is ONE double expression at
+    the end and no per-supplier float division. Two hash aggregates,
+    no window at all — `gini_revenue_by_nation`'s rank-free sibling,
+    trivially 100 TB-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("c")
+        )
+    )
+    dec = F.col("c").cast("decimal(38,0)")
+    s = rev.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum(dec).alias("tot"),
+        F.sum(dec * F.col("c")).alias("sq"),
+    )
+    return s.filter(F.col("tot") > 0).select(
+        "n_name",
+        F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        F.round(
+            10000.0
+            * F.col("sq").cast("double")
+            / (F.col("tot").cast("double") * F.col("tot").cast("double")),
+            4,
+        ).alias("hhi"),
+    )
+
+
+# --- F3 ext: Benford first-digit audit ----------------------------------
+
+_BENFORD_ORACLE = """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), n AS (SELECT count(*) AS n FROM d)
+SELECT digit, count(*) AS observed,
+       round(CAST(count(*) AS DOUBLE) / max(n.n), 6) AS obs_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share
+FROM d CROSS JOIN n
+GROUP BY digit
+"""
+
+
+@register("benford_first_digit", oracle=_BENFORD_ORACLE, tags=("F3", "A1", "ext"))
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 ext: Benford's-law first-digit audit of order totals — the
+    classic anomaly/fraud screen (organic monetary data follows
+    P(d) = log10(1+1/d); fabricated or truncated data doesn't). The
+    first digit is extracted from the exact integer-cents STRING, not
+    float log arithmetic, so digit assignment has zero boundary risk;
+    shares are one double division each. Output is 9 rows from one
+    map-side-combined count at any scale."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("digit")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "digit",
+            "observed",
+            F.round(F.col("observed").cast("double") / F.col("n"), 6).alias(
+                "obs_share"
+            ),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_share"),
+        )
+    )
+
+
+# --- W3 ext: CUSUM changepoint scan -------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         count(*) AS x
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, count(*) AS k, sum(x) AS s FROM daily GROUP BY 1
+), cum AS (
+  SELECT daily.event_type, d, k, s,
+         sum(x) OVER (PARTITION BY daily.event_type ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx,
+         row_number() OVER (PARTITION BY daily.event_type ORDER BY d) AS i
+  FROM daily JOIN tot USING (event_type)
+), dev AS (
+  SELECT event_type, d, abs(k * cx - i * s) AS adev
+  FROM cum
+)
+SELECT event_type,
+       CAST(min(CASE WHEN adev = m THEN d END) AS BIGINT) AS changepoint_day,
+       CAST(m AS BIGINT) AS max_abs_dev_scaled
+FROM (SELECT *, max(adev) OVER (PARTITION BY event_type) AS m FROM dev)
+GROUP BY event_type, m
+"""
+
+
+@register("cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("W3", "A2", "ext"))
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 ext: CUSUM changepoint scan over the per-type daily count
+    series — the day where the cumulative deviation from the series
+    mean peaks (the standard level-shift locator). Scaled by the day
+    count k to stay integer: |k·cumsumᵢ − i·total| avoids the
+    fractional mean entirely, so the argmax (earliest day on ties) is
+    pure-integer deterministic. Facts collapse to the day×type table
+    map-side; every window runs over day-cardinality rows."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"), F.sum("x").alias("s")
+    )
+    wo = Window.partitionBy("event_type").orderBy("d")
+    cum = (
+        daily.join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "cx", F.sum("x").over(wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        )
+        .withColumn("i", F.row_number().over(wo))
+    )
+    dev = cum.select(
+        "event_type", "d", F.abs(F.col("k") * F.col("cx") - F.col("i") * F.col("s")).alias("adev")
+    )
+    wm = Window.partitionBy("event_type")
+    return (
+        dev.withColumn("m", F.max("adev").over(wm))
+        .groupBy("event_type", "m")
+        .agg(
+            F.min(F.when(F.col("adev") == F.col("m"), F.col("d")))
+            .cast("long")
+            .alias("changepoint_day"),
+        )
+        .select(
+            "event_type",
+            "changepoint_day",
+            F.col("m").cast("long").alias("max_abs_dev_scaled"),
+        )
+    )
+
+
+# --- A1 ext: user survival (attrition) curve ----------------------------
+
+_SURVIVAL_ORACLE = """
+WITH span AS (
+  SELECT user_id,
+         date_diff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+           AS lifespan
+  FROM events GROUP BY 1
+), hist AS (
+  SELECT lifespan, count(*) AS cnt FROM span GROUP BY 1
+), n AS (SELECT sum(cnt) AS n_users FROM hist)
+SELECT a.lifespan AS age,
+       CAST(sum(b.cnt) AS BIGINT) AS n_surviving,
+       round(CAST(sum(b.cnt) AS DOUBLE) / max(n.n_users), 6) AS survival_rate
+FROM hist a
+JOIN hist b ON b.lifespan >= a.lifespan
+CROSS JOIN n
+GROUP BY a.lifespan
+"""
+
+
+@register("user_survival_curve", oracle=_SURVIVAL_ORACLE, tags=("A1", "W3", "ext"))
+def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 ext: Kaplan-Meier-style survival curve — for each observed
+    lifespan age (days between a user's first and last event), the
+    count and fraction of users whose lifespan reached it. The heavy
+    pass collapses facts to one row per user (min/max), then to the
+    lifespan HISTOGRAM; the reverse-cumulative is a range self-join
+    over that histogram — O(D²) on the day-range-bounded domain D
+    (calendar days, never user cardinality), which keeps the whole
+    query window-free: no global sort exists at any scale. Integer
+    counts, one double division."""
+    span = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.to_date(F.max("ts")), F.to_date(F.min("ts"))).alias(
+                "lifespan"
+            )
+        )
+    )
+    hist = span.groupBy("lifespan").agg(F.count(F.lit(1)).alias("cnt"))
+    n = hist.agg(F.sum("cnt").alias("n_users"))
+    a = hist.select(F.col("lifespan").alias("age"))
+    b = hist.select(F.col("lifespan").alias("lb"), "cnt")
+    return (
+        a.join(F.broadcast(b), F.col("lb") >= F.col("age"))
+        .groupBy("age")
+        .agg(F.sum("cnt").cast("long").alias("n_surviving"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "age",
+            "n_surviving",
+            F.round(
+                F.col("n_surviving").cast("double") / F.col("n_users"), 6
+            ).alias("survival_rate"),
+        )
+    )
