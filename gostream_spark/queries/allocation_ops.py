@@ -414,3 +414,90 @@ def attribution_position_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_touches"),
         )
     )
+
+# --- Lindley recursion: floor-clamped running balance -------------------
+
+_LINDLEY_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT user_id, ts, event_id, delta,
+         CAST(SUM(delta) OVER w AS BIGINT) AS cum
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT user_id, ts, event_id, delta, cum,
+         CAST(MIN(cum) OVER w AS BIGINT) AS runmin
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT user_id, delta, cum,
+         cum - least(0, runmin) AS bal,
+         CASE WHEN cum < least(0, COALESCE(
+                lag(runmin) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                0)) THEN 1 ELSE 0 END AS clamped
+  FROM m
+)
+SELECT user_id,
+       CAST(SUM(delta) - least(0, MIN(cum)) AS BIGINT) AS final_balance,
+       CAST(MAX(bal) AS BIGINT) AS max_balance,
+       CAST(SUM(clamped) AS BIGINT) AS n_clamped
+FROM c GROUP BY user_id
+"""
+
+
+@register("inventory_lindley_balance", oracle=_LINDLEY_ORACLE, tags=("W3", "ext"))
+def inventory_lindley_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance (wallet / inventory semantics):
+    b_t = max(0, b_{t-1} + delta_t) per user, where purchase/signup
+    values credit and other event values debit the balance in exact
+    cents. The sequential-looking recursion is the Lindley equation,
+    whose closed form b_t = S_t - min(0, min_{s<=t} S_s) (S = prefix
+    sum) makes it pure PARTITIONED window algebra — no stateful UDF,
+    no iteration: running sum, running min, one lag for the clamp
+    events, then a per-user aggregate. Windows partition by user_id
+    (high cardinality, one shuffle); all arithmetic BIGINT cents."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100).cast("long")
+    d = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin("purchase", "signup"), cents
+        ).otherwise(-cents).alias("delta"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        d.withColumn("cum", F.sum("delta").over(wcum))
+        .withColumn("runmin", F.min("cum").over(wcum))
+        .withColumn("bal", F.col("cum") - F.least(F.lit(0), F.col("runmin")))
+        .withColumn(
+            "clamped",
+            F.when(
+                F.col("cum")
+                < F.least(
+                    F.lit(0), F.coalesce(F.lag("runmin").over(wlag), F.lit(0))
+                ),
+                1,
+            ).otherwise(0),
+        )
+    )
+    return c.groupBy("user_id").agg(
+        (F.sum("delta") - F.least(F.lit(0), F.min("cum")))
+        .cast("long")
+        .alias("final_balance"),
+        F.max("bal").cast("long").alias("max_balance"),
+        F.sum("clamped").cast("long").alias("n_clamped"),
+    )
