@@ -57,7 +57,7 @@ FROM r
 """
 
 
-@register("proration_largest_remainder", oracle=_PRORATION_ORACLE, tags=("W3", "ext"))
+@register("proration_largest_remainder", oracle=_PRORATION_ORACLE, tags=("W3", "ext"), bench=True)
 def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact largest-remainder (Hamilton) proration: allocate each
     order's total (in cents) across its lineitems proportionally to
@@ -452,7 +452,7 @@ FROM c GROUP BY user_id
 """
 
 
-@register("inventory_lindley_balance", oracle=_LINDLEY_ORACLE, tags=("W3", "ext"))
+@register("inventory_lindley_balance", oracle=_LINDLEY_ORACLE, tags=("W3", "ext"), bench=True)
 def inventory_lindley_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Floor-clamped running balance (wallet / inventory semantics):
     b_t = max(0, b_{t-1} + delta_t) per user, where purchase/signup

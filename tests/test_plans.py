@@ -457,3 +457,32 @@ def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_skyline_no_cartesian_no_global_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "skyline_pareto_parts")
+    # dominance is histogram + band prefix, never an all-pairs join
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan or "Inner, (band" in plan
+    # the only window runs partitioned by band, never over a single
+    # unpartitioned partition of the full input
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s.startswith("band") for s in specs), specs
+
+
+def test_proration_windows_share_one_order_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "proration_largest_remainder")
+    # all three window passes partition by l_orderkey: exactly one
+    # hash exchange on the key feeds them (plus the join's own)
+    assert plan.count("Exchange hashpartitioning(l_orderkey") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_lindley_single_user_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "inventory_lindley_balance")
+    # running sum, running min, lag, and the final agg all key on
+    # user_id: one exchange for the windows + at most one for the agg
+    assert plan.count("Exchange hashpartitioning(user_id") <= 2
+    assert "CartesianProduct" not in plan
