@@ -952,3 +952,78 @@ def streaming_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(out, ignore_errors=True)
     return result
+
+
+# --- T6: literal Lindley fold in state vs the batch closed form ---------
+
+_LINDLEY_STREAM_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN CAST(round(value * 100) AS BIGINT)
+              ELSE -CAST(round(value * 100) AS BIGINT) END AS delta
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT user_id, ts, event_id, delta,
+         CAST(SUM(delta) OVER w AS BIGINT) AS cum
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), m AS (
+  SELECT user_id, ts, event_id, delta, cum,
+         CAST(MIN(cum) OVER w AS BIGINT) AS runmin
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), c AS (
+  SELECT user_id, delta, cum,
+         cum - least(0, runmin) AS bal,
+         CASE WHEN cum < least(0, COALESCE(
+                lag(runmin) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                0)) THEN 1 ELSE 0 END AS clamped
+  FROM m
+)
+SELECT user_id,
+       CAST(SUM(delta) - least(0, MIN(cum)) AS BIGINT) AS final_balance,
+       CAST(MAX(bal) AS BIGINT) AS max_balance,
+       CAST(SUM(clamped) AS BIGINT) AS n_clamped
+FROM c GROUP BY user_id
+"""
+
+
+@register(
+    "streaming_lindley_stateful",
+    oracle=_LINDLEY_STREAM_ORACLE,
+    tags=("S2", "T6", "T8"),
+)
+def streaming_lindley_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming T6: the floor-clamped running balance folded
+    LITERALLY (b = max(0, b + delta)) in per-user group state —
+    the sequential recurrence whose closed form the batch twin
+    ``inventory_lindley_balance`` expresses as pure window algebra.
+    Both check against the SAME DuckDB oracle, proving the Lindley
+    identity holds end to end: stateful stream fold == windowed
+    batch plan == SQL. Exact BIGINT cents throughout; update-mode
+    sink, latest update per user via the monotonic event count."""
+    from gostream_spark.streaming import lindley_stateful
+
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = (
+        file_stream(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type").isin("purchase", "signup"), cents)
+            .otherwise(-cents)
+            .alias("delta"),
+        )
+    )
+    updates = lindley_stateful(ev)
+    result = run_available_now(updates, output_mode="update")
+    return result.groupBy("user_id").agg(
+        F.max_by("final_balance", "n_events").alias("final_balance"),
+        F.max_by("max_balance", "n_events").alias("max_balance"),
+        F.max_by("n_clamped", "n_events").alias("n_clamped"),
+    )

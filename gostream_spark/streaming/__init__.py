@@ -22,6 +22,7 @@ from gostream_spark.streaming.ops import (
     distinct_types_stateful,
     event_session_stateful,
     ewma_stateful,
+    lindley_stateful,
     running_count_stateful,
     session_timeout_stateful,
     space_saving_stateful,
@@ -40,6 +41,7 @@ __all__ = [
     "distinct_types_stateful",
     "event_session_stateful",
     "ewma_stateful",
+    "lindley_stateful",
     "running_count_stateful",
     "session_timeout_stateful",
     "space_saving_stateful",

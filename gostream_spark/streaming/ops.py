@@ -566,3 +566,69 @@ def event_session_stateful(events: DataFrame, watermark: str = "0 seconds") -> D
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_LINDLEY_STATE_SCHEMA = StructType(
+    [
+        StructField("balance", LongType()),
+        StructField("max_balance", LongType()),
+        StructField("n_clamped", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+_LINDLEY_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("final_balance", LongType()),
+        StructField("max_balance", LongType()),
+        StructField("n_clamped", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def _lindley_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    bal, mx, clamps, n = state.get if state.exists else (0, 0, 0, 0)
+    chunks = list(pdfs)
+    if chunks:
+        # order-sensitive fold: materialize the group, sort ONCE
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for d in pdf["delta"].tolist():
+            nxt = bal + int(d)
+            if nxt < 0:
+                nxt, clamps = 0, clamps + 1
+            bal = nxt
+            mx = max(mx, bal)
+            n += 1
+    state.update((bal, mx, clamps, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "final_balance": [bal],
+            "max_balance": [mx],
+            "n_clamped": [clamps],
+            "n_events": [n],
+        }
+    )
+
+
+def lindley_stateful(events_with_delta: DataFrame) -> DataFrame:
+    """T6 fifth shape: the floor-clamped running balance
+    b_t = max(0, b_{t-1} + delta_t) folded LITERALLY in per-key state
+    — the sequential recurrence the batch twin
+    (``inventory_lindley_balance``) replaces with its closed-form
+    window algebra. Input must carry (user_id, ts, event_id, delta);
+    all arithmetic is exact Python ints over BIGINT cents, so the
+    streaming fold and the batch closed form agree bit for bit — the
+    two are oracle-checked against the SAME DuckDB SQL. Same
+    protobuf-gated ``transformWithStateInPandas`` upgrade path as the
+    sibling stateful ops."""
+    return events_with_delta.groupBy("user_id").applyInPandasWithState(
+        _lindley_fn,
+        outputStructType=_LINDLEY_OUT_SCHEMA,
+        stateStructType=_LINDLEY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
