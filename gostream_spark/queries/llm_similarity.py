@@ -908,3 +908,92 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         _mmr_select, schema="sel_rank long, vec_id long, rel_u long, mmr_u long"
     )
     return out
+
+
+# --- L2 near-dup: containment / overlap coefficient ---------------------
+
+_CONTAIN_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id % 4 = 1
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter_cnt, overlap_coef, rn FROM (
+  SELECT i.doc_a, i.doc_b, i.inter_cnt,
+         round(CAST(i.inter_cnt AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+           AS overlap_coef,
+         row_number() OVER (
+           ORDER BY round(CAST(i.inter_cnt AS DOUBLE)
+                          / least(sa.n_sh, sb.n_sh), 6) DESC,
+                    i.doc_a, i.doc_b) AS rn
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+) WHERE rn <= 10
+"""
+
+
+@register("neardup_containment_pairs", oracle=_CONTAIN_ORACLE, tags=("L2",))
+def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 asymmetric near-dup: top-10 pairs by the OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) — Broder-style containment of the smaller
+    shingle set. Catches subset duplication (a doc embedded inside a
+    larger one) that symmetric Jaccard dilutes: a 50-shingle doc fully
+    contained in a 5000-shingle doc scores 1.0 here but ~0.01 on
+    Jaccard. Same linear shared-shingle candidate join as
+    `neardup_jaccard_pairs` (zero-overlap pairs never materialize; at
+    100 TB candidates come from MinHash banding instead), per-doc
+    size tables shuffle-joined (corpus-cardinality — never
+    hint-broadcast)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 1)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_sh = F.greatest(n - 2, F.lit(0))  # clamp: see neardup_jaccard_pairs
+    shingles = F.zip_with(
+        F.slice(toks, 1, n_sh),
+        F.zip_with(
+            F.slice(toks, 2, n_sh), F.slice(toks, 3, n_sh),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        lambda x, yz: F.concat(x, F.lit(" "), yz),
+    )
+    sh = (
+        docs.filter(n >= 3)
+        .select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingle").alias("shingle_b"))
+    inter = (
+        a.join(b, (F.col("shingle") == F.col("shingle_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    coef = F.round(
+        F.col("inter_cnt").cast("double") / F.least(F.col("n_a"), F.col("n_b")), 6
+    )
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "inter_cnt", coef.alias("overlap_coef"))
+    )
+    return topk_ranked(
+        scored,
+        10,
+        F.col("overlap_coef").desc(),
+        F.col("doc_a"),
+        F.col("doc_b"),
+    )
