@@ -210,7 +210,11 @@ def heavy_hitter_sketch_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     sketched = docs.groupBy("source").agg(
-        F.expr("approx_top_k(token, 64, 10000)").alias("items"),
+        # k = 2/phi: up to _PHI_INV tokens can pass the ceil(n/200) filter,
+        # so the sketch must be able to return at least that many — a
+        # fixed small k would silently drop true heavy hitters on data
+        # with a wider heavy tail than the fixture's 31-token vocabulary.
+        F.expr(f"approx_top_k(token, {2 * _PHI_INV}, 10000)").alias("items"),
         F.count(F.lit(1)).alias("n"),
     )
     return (
@@ -243,7 +247,11 @@ def streaming_heavy_hitters_builtin(spark: SparkSession, sf_dir: str) -> DataFra
         "source", F.explode(F.split(F.col("text"), " ")).alias("token")
     )
     agg = toks.groupBy("source").agg(
-        F.expr("approx_top_k(token, 64, 10000)").alias("items"),
+        # k = 2/phi: up to _PHI_INV tokens can pass the ceil(n/200) filter,
+        # so the sketch must be able to return at least that many — a
+        # fixed small k would silently drop true heavy hitters on data
+        # with a wider heavy tail than the fixture's 31-token vocabulary.
+        F.expr(f"approx_top_k(token, {2 * _PHI_INV}, 10000)").alias("items"),
         F.count(F.lit(1)).alias("n"),
     )
     res = run_available_now(agg, output_mode="complete")

@@ -845,6 +845,13 @@ def _mmr_select(pdf):
             s += float(x) * float(y)
         return s
 
+    def round_half_up(x):
+        # Match F.round / DuckDB round (half AWAY from zero) — Python's
+        # built-in round() is banker's (half-to-even), which would break
+        # the bit-identical cross-engine selection sequence on a cosine
+        # landing exactly on .5 micro-units.
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
     emb = {int(r.vec_id): list(r.embedding) for r in pdf.itertuples()}
     rel = {int(r.vec_id): int(r.rel_u) for r in pdf.itertuples()}
     norm = {v: math.sqrt(dot(e, e)) for v, e in emb.items()}
@@ -858,7 +865,7 @@ def _mmr_select(pdf):
                 mmr = 7 * rel[v]
             else:
                 mx = max(
-                    int(round(dot(emb[v], emb[s]) / (norm[v] * norm[s]) * 1_000_000))
+                    int(round_half_up(dot(emb[v], emb[s]) / (norm[v] * norm[s]) * 1_000_000))
                     for s in selected
                 )
                 mmr = 7 * rel[v] - 3 * mx

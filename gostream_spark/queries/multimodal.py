@@ -254,7 +254,9 @@ def multimodal_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MM_DEDUP_ORACLE = """
 WITH packed AS (
   SELECT doc_id, lang AS media_kind, md5(text) AS digest,
-         length(text) AS n_bytes
+         strlen(text) AS n_bytes  -- strlen = BYTE count of the utf-8
+         -- encoding, matching Spark's F.length over the BINARY payload;
+         -- length(text) would count CHARACTERS and diverge on non-ASCII
   FROM documents
 ), buckets AS (
   SELECT media_kind, digest,

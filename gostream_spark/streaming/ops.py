@@ -11,6 +11,7 @@ reference's stateful bolt).
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -402,20 +403,20 @@ _SS_OUT_SCHEMA = StructType(
 def _space_saving_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    # Summary serialized as token\x1fcount pairs joined by \x1e (unit/
-    # record separators cannot occur in whitespace-split tokens).
+    # Summary serialized as a JSON object {token: count}: JSON string
+    # escaping is collision-proof for ARBITRARY token bytes (control
+    # chars, quotes, non-ASCII), unlike any ad-hoc separator scheme —
+    # a whitespace-split token may legally contain \x1e/\x1f.
     n, summary = state.get if state.exists else (0, "")
-    counters: dict[str, int] = {}
-    if summary:
-        for item in summary.split("\x1e"):
-            tok, cnt = item.rsplit("\x1f", 1)
-            counters[tok] = int(cnt)
+    counters: dict[str, int] = json.loads(summary) if summary else {}
     # No cross-chunk sort needed: Space-Saving's guarantees (no false
     # negatives above N/m, overestimate <= min-counter <= N/m) hold
     # for ANY arrival order — this fold is order-insensitive in its
     # contract, unlike the EWMA/transition folds above.
     for pdf in pdfs:
-        for toks in pdf["text"].str.split(" "):
+        # dropna: a null text row contributes no tokens (str.split on
+        # NaN yields NaN, which would crash the inner iteration).
+        for toks in pdf["text"].dropna().str.split(" "):
             for tok in toks:
                 n += 1
                 if tok in counters:
@@ -429,9 +430,7 @@ def _space_saving_fn(
                     t_min = min(counters, key=lambda t: (counters[t], t))
                     c_min = counters.pop(t_min)
                     counters[tok] = c_min + 1
-    state.update(
-        (n, "\x1e".join(f"{t}\x1f{c}" for t, c in counters.items()))
-    )
+    state.update((n, json.dumps(counters, ensure_ascii=False)))
     thresh = -(-n // _SS_PHI_INV)  # ceil(n / 200)
     hh = sorted(
         (t, c) for t, c in counters.items() if c >= thresh

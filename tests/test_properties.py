@@ -1114,6 +1114,29 @@ def test_space_saving_state_guarantees(texts, n_batches):
         assert true <= est <= true + n / ops._SS_CAPACITY, (tok, est, true, n)
 
 
+def test_space_saving_hostile_tokens_and_nulls():
+    """State round-trip must be collision-proof for tokens containing
+    the old ad-hoc separators (\\x1e/\\x1f), JSON metachars, and
+    non-ASCII, and a null text row must contribute nothing rather
+    than crash the fold (ADVICE r5: the \\x1e-joined encoding silently
+    corrupted such tokens)."""
+    import pandas as pd
+
+    from gostream_spark.streaming import ops
+
+    hostile = ["a\x1eb", "a\x1fb", 'q"uote', "back\\slash", "café", "普通"]
+    state = _FakeGroupState()
+    # Two batches so the summary round-trips through the serialized state.
+    pdf1 = pd.DataFrame({"text": [" ".join(hostile), None]})
+    pdf2 = pd.DataFrame({"text": [" ".join(hostile), None, " ".join(hostile)]})
+    list(ops._space_saving_fn(("src",), iter([pdf1]), state))
+    (out,) = list(ops._space_saving_fn(("src",), iter([pdf2]), state))
+    emitted = dict(zip(out["token"], out["est_cnt"]))
+    assert emitted == {t: 3 for t in hostile}, emitted
+    n_total = out["n_tokens"].iloc[0]
+    assert n_total == 3 * len(hostile), n_total
+
+
 @given(
     docs=st.lists(
         st.lists(
