@@ -167,3 +167,104 @@ def sql_correlated_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame
     integer-valued, so the boundary is exact on both engines."""
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_SQL_CORR_SCALAR)
+
+
+# --- TPC-H-Q2 shape: correlated MIN over the correlation key ------------
+
+# (The fixture set has no partsupp table, so the min-cost-supplier
+# pattern is expressed over lineitem: lines sold at their part's
+# minimum extended price, decorated with supplier/nation dims.)
+_SQL_CORR_MIN = """
+SELECT p_brand, s_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_min_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem l1
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_size <= 10
+  AND l_extendedprice = (SELECT min(l2.l_extendedprice) FROM lineitem l2
+                         WHERE l2.l_partkey = l1.l_partkey)
+GROUP BY p_brand, s_name, n_name
+"""
+
+
+@register("sql_correlated_min_cost", oracle=_SQL_CORR_MIN, tags=("E2", "J1", "A9"))
+def sql_correlated_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the TPC-H-Q2 shape — a correlated MIN scalar subquery
+    selecting, per part, only the rows that achieve the per-group
+    minimum, then decorating through two dimension joins. Catalyst
+    de-correlates the min into ONE aggregate of lineitem by l_partkey
+    equi-joined back on the correlation key (same rewrite family as
+    Q17's sum) — no per-row probe; the small part/supplier/nation
+    dims broadcast. Equality on l_extendedprice is exact: both
+    engines compare the identical stored doubles, and min() returns
+    one of them bit-for-bit. Identical SQL text on both engines."""
+    register_views(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return spark.sql(_SQL_CORR_MIN)
+
+
+# --- TPC-H-Q15 shape: MAX over an aggregated view -----------------------
+
+_SQL_VIEW_MAX = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+             AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(round(total_revenue, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("sql_view_max_revenue", oracle=_SQL_VIEW_MAX, tags=("E2", "A2", "A9"))
+def sql_view_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the TPC-H-Q15 shape — top-revenue supplier for a quarter,
+    via a scalar MAX over an aggregated CTE view referenced twice
+    (once as the join input, once inside the subquery). The max
+    collapses to a one-row plan broadcast into the predicate;
+    revenue is summed in exact DECIMAL(18,4) (price x (1-discount)
+    with both operands two-decimal), so the equality that picks the
+    winner cannot be split by float accumulation order across
+    engines. Identical SQL text on both engines."""
+    register_views(spark, sf_dir, "supplier", "lineitem")
+    return spark.sql(_SQL_VIEW_MAX)
+
+
+# --- TPC-H-Q20 shape: nested IN with a grouped-aggregate inner ----------
+
+_SQL_NESTED_IN = """
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(l_quantity) > 50.0
+)
+"""
+
+
+@register("sql_nested_in_bulk_suppliers", oracle=_SQL_NESTED_IN, tags=("E2", "J3", "A5"))
+def sql_nested_in_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/J3: the TPC-H-Q20 shape — an IN whose inner query itself
+    contains another IN plus a grouped aggregate with HAVING:
+    suppliers who moved >50 units of any 'red' part in 1996. Both IN
+    levels de-correlate to left SEMI joins (part-key membership
+    filters the lineitem scan; the aggregated supplier set probes the
+    supplier table), so the whole nest is three scans, two semi
+    joins, one partial->final aggregate — no nested execution.
+    sum(l_quantity) is a sum of integer-valued doubles, exact on
+    both engines at the 50.0 gate. Identical SQL text on both
+    engines."""
+    register_views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
+    return spark.sql(_SQL_NESTED_IN)

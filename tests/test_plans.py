@@ -446,6 +446,30 @@ def test_correlated_scalar_subquery_is_aggregate_join(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2  # subquery partial->final + outer
 
 
+def test_q2_q15_q20_shapes_decorrelate(spark, sf_dir):
+    # Q2 shape: correlated MIN -> one aggregate on the correlation key
+    # equi-joined back (plus three broadcast dims) — never a per-row
+    # probe, never a nested-loop join
+    plan = _plan(spark, sf_dir, "sql_correlated_min_cost")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # min-by-partkey partial->final
+
+    # Q15 shape: scalar MAX over the aggregated view collapses to a
+    # one-row subquery broadcast into the predicate, not a join
+    plan = _plan(spark, sf_dir, "sql_view_max_revenue")
+    assert "Subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # Q20 shape: BOTH IN levels become left SEMI joins; the inner
+    # grouped-aggregate runs once as partial->final
+    plan = _plan(spark, sf_dir, "sql_nested_in_bulk_suppliers")
+    assert plan.count("LeftSemi") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
