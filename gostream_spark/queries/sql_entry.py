@@ -179,3 +179,36 @@ def sql_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     selected rowset is total-order deterministic."""
     register_views(spark, sf_dir, "customer", "nation", "orders", "lineitem")
     return spark.sql(_Q10_BODY)
+
+
+# --- TPC-H-Q19 shape: disjunctive multi-column predicate ----------------
+
+_SQL_DISJUNCTIVE = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1.0 AND 11.0 AND p_size BETWEEN 1 AND 5)
+   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10.0 AND 20.0 AND p_size BETWEEN 1 AND 10)
+   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20.0 AND 30.0 AND p_size BETWEEN 1 AND 15)
+GROUP BY p_brand
+"""
+
+
+@register("sql_disjunctive_brand_revenue", oracle=_SQL_DISJUNCTIVE, tags=("E2", "J1", "P2"))
+def sql_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/P2: the TPC-H-Q19 shape — an OR of three conjunctive
+    branches mixing columns from BOTH join sides. The optimizer-
+    relevant property: Catalyst factors the single-side implications
+    out of the disjunction, so the part scan still receives a pushed
+    `p_brand IN (...)`-style filter and the lineitem scan a quantity
+    range union, instead of evaluating the whole OR post-join — at
+    100 TB that's the difference between scanning three brands and
+    scanning the fact table. Revenue is summed in exact
+    DECIMAL(18,4); quantities/sizes are integer-valued so every
+    BETWEEN boundary is exact on both engines. Identical SQL text on
+    both engines."""
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_SQL_DISJUNCTIVE)

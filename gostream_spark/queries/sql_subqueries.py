@@ -268,3 +268,72 @@ def sql_nested_in_bulk_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines."""
     register_views(spark, sf_dir, "supplier", "nation", "lineitem", "part")
     return spark.sql(_SQL_NESTED_IN)
+
+
+# --- TPC-H-Q21 shape: twin correlated EXISTS + NOT EXISTS ---------------
+
+# (No l_commitdate/l_receiptdate in the fixture schema; "late" is
+# shipped >60 days after the order date, preserving Q21's structure:
+# the only late supplier on a finished multi-supplier order.)
+_SQL_TWIN_EXISTS = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+@register("sql_sole_late_supplier", oracle=_SQL_TWIN_EXISTS, tags=("E2", "J3", "J1"))
+def sql_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/J3: the TPC-H-Q21 shape — the hardest decorrelation stress
+    in the TPC-H suite: the SAME fact table correlated twice against
+    the outer row, once positively (EXISTS: another supplier shares
+    the order) and once negatively (NOT EXISTS: no OTHER supplier was
+    also late), with the negative branch additionally correlated to
+    the outer ORDERS date. Catalyst turns the pair into a left SEMI
+    then a left ANTI join on l_orderkey — three passes over lineitem
+    total, all hash-partitioned on the order key, never a per-row
+    re-probe. The NOT EXISTS's non-equi date conjunct rides as a join
+    residual. Identical SQL text on both engines."""
+    register_views(spark, sf_dir, "supplier", "lineitem", "orders")
+    return spark.sql(_SQL_TWIN_EXISTS)
+
+
+# --- TPC-H-Q18 shape: IN over a grouped-HAVING aggregate ----------------
+
+_SQL_BIG_ORDERS = """
+SELECT c_name, o_orderkey,
+       CAST(sum(l_quantity) AS BIGINT) AS total_qty,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 210.0)
+GROUP BY c_name, o_orderkey, o_totalprice
+"""
+
+
+@register("sql_large_volume_orders", oracle=_SQL_BIG_ORDERS, tags=("E2", "J3", "A5"))
+def sql_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: the TPC-H-Q18 shape — large-volume customers: orders whose
+    total line quantity tops 210, re-joined to their lines and owner.
+    The IN's inner query is a full grouped aggregate with HAVING;
+    Catalyst runs it ONCE as a partial->final aggregate on l_orderkey
+    and semi-joins the surviving keys into orders — the aggregate is
+    never re-evaluated per probe row, and both the aggregate and the
+    outer join share the l_orderkey partitioning. Quantities are
+    integer-valued doubles so the 210.0 gate and the BIGINT total are
+    exact on both engines. Identical SQL text on both engines."""
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_SQL_BIG_ORDERS)

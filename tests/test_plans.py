@@ -470,6 +470,35 @@ def test_q2_q15_q20_shapes_decorrelate(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_q21_q18_q19_shapes(spark, sf_dir):
+    # Q21 shape: twin correlated subqueries -> exactly one left SEMI
+    # (EXISTS) plus one left ANTI (NOT EXISTS) on the order key —
+    # three lineitem passes total, never nested re-probes
+    plan = _plan(spark, sf_dir, "sql_sole_late_supplier")
+    assert plan.count("LeftSemi") == 1
+    assert plan.count("LeftAnti") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    # Q18 shape: the grouped-HAVING inner aggregate runs once
+    # (partial->final) and semi-joins into orders
+    plan = _plan(spark, sf_dir, "sql_large_volume_orders")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+    # Q19 shape: the cross-side OR must be factored so the lineitem
+    # scan receives the pushed quantity-range disjunction instead of
+    # filtering post-join
+    plan = _plan(spark, sf_dir, "sql_disjunctive_brand_revenue")
+    scans = plan.split("PushedFilters")
+    lineitem_scan = next(s for s in scans[1:] if "l_quantity" in s[:400])
+    assert "Or(" in lineitem_scan[:400]
+    part_scan = next(s for s in scans[1:] if "p_brand" in s[:400] or "p_size" in s[:400])
+    assert part_scan is not None
+    assert "CartesianProduct" not in plan
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
