@@ -1027,3 +1027,76 @@ def streaming_lindley_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("max_balance", "n_events").alias("max_balance"),
         F.max_by("n_clamped", "n_events").alias("n_clamped"),
     )
+
+
+# --- J10 outer flavor #2: watermarked FULL OUTER stream-stream join -----
+
+_SS_FULL_ORACLE = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+           WHERE event_type = 'click'),
+     wm AS (SELECT least((SELECT max(p_ts) FROM p),
+                         (SELECT max(c_ts) FROM c)) - INTERVAL 1 HOUR AS w)
+SELECT coalesce(p.purchase_id, -1) AS purchase_id,
+       coalesce(c.click_id, -1) AS click_id,
+       coalesce(p.user_id, c.user_id) AS user_id
+FROM p FULL JOIN c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR
+ AND c.c_ts <= p.p_ts
+WHERE (p.purchase_id IS NOT NULL AND c.click_id IS NOT NULL)
+   OR (c.click_id IS NULL AND p.p_ts <= (SELECT w FROM wm))
+   OR (p.purchase_id IS NULL AND c.c_ts <= (SELECT w FROM wm) - INTERVAL 1 HOUR)
+"""
+
+
+@register(
+    "streaming_stream_stream_full_join",
+    oracle=_SS_FULL_ORACLE,
+    tags=("S2", "J10", "T4", "T8"),
+)
+def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 FULL OUTER stream-stream join — completes the outer-join
+    matrix (inner / left / full). Eviction now gates BOTH sides, and
+    asymmetrically, which the oracle must mirror: an unmatched
+    purchase closes once the watermark passes its own timestamp (no
+    click <= p_ts can still arrive), but an unmatched CLICK must wait
+    a further hour — it can match any future purchase with p_ts up to
+    c_ts + 1h, so its null-padded row only emits once
+    w > c_ts + 1h. Rows inside either boundary stay open in state and
+    correctly never emit under availableNow; the oracle encodes both
+    boundaries and is row-exact against the engine's eviction.
+    Nulls surface as -1 sentinels (hashed-output convention)."""
+    p = (
+        file_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    c = (
+        file_stream(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "full_outer",
+    ).select(
+        F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
+    )
+    return run_available_now(joined, output_mode="append")

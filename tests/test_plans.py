@@ -499,6 +499,17 @@ def test_q21_q18_q19_shapes(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_funnel_single_pass_one_user_shuffle(spark, sf_dir):
+    # the whole greedy 3-step chain rides ONE user_id hash exchange
+    # (plus the 1-row final count collapse) — the join-chain twin
+    # funnel_three_step pays one exchange per step
+    plan = _plan(spark, sf_dir, "funnel_single_pass")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:40]
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
