@@ -1004,3 +1004,73 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a"),
         F.col("doc_b"),
     )
+
+
+# --- L2/L4: SemDeDup — semantic dedup inside embedding clusters ---------
+
+_SEMDEDUP_TAU = 0.30  # fixture-calibrated; real corpora run ~0.95+
+
+_SEMDEDUP_ORACLE = f"""
+WITH pairs AS (
+  SELECT a.label, b.vec_id AS vec_id, a.vec_id AS keeper,
+         round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_TAU}
+), best AS (
+  SELECT label, vec_id, keeper, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, keeper) AS rn
+  FROM pairs)
+SELECT label, vec_id, keeper, cos FROM best WHERE rn = 1
+"""
+
+
+@register("semantic_dedup_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("L2", "L4", "L5", "ext"))
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that only compares embeddings INSIDE the same
+    k-means cluster — the trick that turns O(N²) pairwise cosine into
+    sum-over-clusters O(Σ|c|²), tractable because k is chosen so
+    clusters stay small (k ≈ √N). A document is dropped when its
+    cosine to a LOWER-id cluster-mate reaches τ; each dropped doc
+    reports its best keeper (max cos, then min id — deterministic).
+
+    The fixture's `label` column plays the cluster id (the cluster
+    assignment step itself is the registered `nearest_centroid` /
+    `kmeans_refined_clusters` queries); τ = 0.30 is calibrated to the
+    synthetic embeddings — real deployments run ~0.95+. Plan shape at
+    scale: ONE hash shuffle of embeddings on the cluster id for the
+    self-join — candidate pairs never cross clusters, so no
+    cartesian, and the cosine is JVM-side array algebra. Cosines are
+    rounded to 6dp before the τ gate and the keeper ranking, so no
+    cross-engine float boundary can flip membership."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("emb_b"),
+    )
+    pairs = (
+        a.join(b, (a.label == b.label_b) & (a.keeper < b.vec_id))
+        .select(
+            "label",
+            "vec_id",
+            "keeper",
+            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias(
+                "cos"
+            ),
+        )
+        .filter(F.col("cos") >= F.lit(_SEMDEDUP_TAU))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("keeper"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "vec_id", "keeper", "cos")
+    )

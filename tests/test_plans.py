@@ -510,6 +510,16 @@ def test_funnel_single_pass_one_user_shuffle(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_semdedup_pairs_stay_inside_clusters(spark, sf_dir):
+    # SemDeDup's whole point: candidate pairs form only through the
+    # cluster-id equi-join — never a cross-cluster cartesian; the
+    # keeper ranking reuses one vec_id partitioning
+    plan = _plan(spark, sf_dir, "semantic_dedup_semdedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
