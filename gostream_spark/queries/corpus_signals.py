@@ -28,7 +28,7 @@ gram/token hash where Zipf skew is absorbed by AQE skew-join splitting
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
@@ -382,4 +382,111 @@ def zipf_slope_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n").alias("n_points"),
         F.round(num / den, 4).alias("zipf_slope"),
+    )
+
+
+# --- DSIR hashed-ngram importance weights (Xie et al. 2023) -------------
+
+_DSIR_BUCKETS = 64
+_TARGET_SOURCES = "('src0','src1','src2','src3','src4')"
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(t.tok), 1, 8)) AS BIGINT) % {_DSIR_BUCKETS}
+           AS bucket
+  FROM documents, unnest(string_split(text, ' ')) AS t(tok)
+), stats AS (
+  SELECT bucket,
+         1 + count(*) FILTER (WHERE source IN {_TARGET_SOURCES}) AS cnt_t,
+         1 + count(*) FILTER (WHERE source NOT IN {_TARGET_SOURCES}) AS cnt_r
+  FROM toks GROUP BY bucket
+), totals AS (
+  SELECT sum(cnt_t) AS n_t, sum(cnt_r) AS n_r FROM stats
+), weights AS (
+  SELECT bucket,
+         (CAST(floor(1e6 * ln(cnt_t)) AS BIGINT)
+          - CAST(floor(1e6 * ln(n_t)) AS BIGINT)
+          - CAST(floor(1e6 * ln(cnt_r)) AS BIGINT)
+          + CAST(floor(1e6 * ln(n_r)) AS BIGINT)) AS w_u
+  FROM stats, totals
+), doc_scores AS (
+  SELECT t.doc_id, t.source,
+         CAST(sum(w.w_u) AS BIGINT) AS importance_u,
+         CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks t JOIN weights w USING (bucket)
+  WHERE t.source NOT IN {_TARGET_SOURCES}
+  GROUP BY t.doc_id, t.source
+)
+SELECT source, doc_id, importance_u, n_tokens FROM (
+  SELECT source, doc_id, importance_u, n_tokens,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY importance_u DESC, doc_id) AS rn
+  FROM doc_scores) WHERE rn = 1
+"""
+
+
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE, tags=("L8", "F7", "A1", "ext"))
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): score raw-corpus documents by a hashed
+    n-gram importance weight log p_target(x) - p_raw(x) under
+    bag-of-hashed-features models, then sample by weight. Here:
+    whitespace unigrams hashed to 64 buckets via md5 (the
+    repo's cross-engine hash), add-one smoothed counts from the
+    target (src0-4) vs raw (rest) partitions, per-bucket weight
+    w = ln(cnt_t/N_t) - ln(cnt_r/N_r) quantized term-by-term to
+    integer micro-units from INTEGER counts (the module's established
+    ln-quantization discipline, so both engines sum exact integers),
+    per-doc importance = Σ w over token occurrences, and the
+    top-importance doc per raw source as the selection preview.
+
+    Scale shape: the bucket-stats table is 64 rows —
+    genuinely bounded, so it BROADCASTS back onto the token stream
+    (unlike the corpus-derived frequency tables above, whose
+    cardinality grows with the corpus and must shuffle); the rest is
+    one explode scan + one doc_id aggregate + one per-source top-1."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_target = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    stats = toks.groupBy("bucket").agg(
+        (1 + F.count(F.when(is_target, 1))).alias("cnt_t"),
+        (1 + F.count(F.when(~is_target, 1))).alias("cnt_r"),
+    )
+    totals = stats.agg(
+        F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r")
+    )
+    q = lambda c: F.floor(1e6 * F.log(c)).cast("long")  # noqa: E731
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (q(F.col("cnt_t")) - q(F.col("n_t")) - q(F.col("cnt_r")) + q(F.col("n_r")))
+        .alias("w_u"),
+    )
+    doc_scores = (
+        toks.filter(~is_target)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("w_u").cast("long").alias("importance_u"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("importance_u").desc(), F.col("doc_id")
+    )
+    return (
+        doc_scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "doc_id", "importance_u", "n_tokens")
     )

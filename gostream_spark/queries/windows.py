@@ -492,3 +492,85 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(ts_str(nxt), F.lit("9999-12-31 00:00:00")).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- W2/W3 ext: run-collapsed SCD2 (gaps-and-islands) -------------------
+
+_SCD2_COLLAPSED_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events WHERE user_id < 50
+), islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), spans AS (
+  SELECT user_id, event_type AS state, island,
+         min(ts) AS t_from, CAST(count(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, event_type, island
+)
+SELECT user_id, state,
+       strftime(t_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+       coalesce(strftime(lead(t_from) OVER (PARTITION BY user_id
+                                            ORDER BY island),
+                         '%Y-%m-%d %H:%M:%S'),
+                '9999-12-31 00:00:00') AS valid_to,
+       n_events,
+       (lead(t_from) OVER (PARTITION BY user_id ORDER BY island) IS NULL)
+         AS is_current
+FROM spans
+"""
+
+
+@register("events_scd2_collapsed", oracle=_SCD2_COLLAPSED_ORACLE, tags=("W2", "W3", "ext"))
+def events_scd2_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2/W3 ext: RUN-COLLAPSED SCD2 — the gaps-and-islands shape:
+    consecutive same-state events merge into one validity interval
+    (unlike `events_scd2_intervals`, where every event opens one).
+    Change flag via lag -> island id via running sum of flags ->
+    per-island collapse -> interval close via lead over islands. All
+    four windows share the ONE user_id partitioning (the island
+    ordering is a sub-order of the same exchange), so the whole
+    transform costs a single shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_ev)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w_ev.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = islands.groupBy(
+        "user_id", F.col("event_type").alias("state"), "island"
+    ).agg(
+        F.min("ts").alias("t_from"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    w_is = Window.partitionBy("user_id").orderBy("island")
+    nxt = F.lead("t_from").over(w_is)
+    return spans.select(
+        "user_id",
+        "state",
+        ts_str("t_from").alias("valid_from"),
+        F.coalesce(ts_str(nxt), F.lit("9999-12-31 00:00:00")).alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )

@@ -520,6 +520,24 @@ def test_semdedup_pairs_stay_inside_clusters(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") <= 2
 
 
+def test_scd2_collapsed_single_user_shuffle(spark, sf_dir):
+    # all four window/agg steps of the gaps-and-islands transform ride
+    # the one user_id exchange
+    plan = _plan(spark, sf_dir, "events_scd2_collapsed")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:40]
+
+
+def test_dsir_bounded_broadcasts_only(spark, sf_dir):
+    # the 64-row bucket-weight table broadcasts back onto the token
+    # stream (BroadcastHashJoin); the only nested-loop join is the
+    # 64-row x 1-row totals expansion — nothing data-sized crosses
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
