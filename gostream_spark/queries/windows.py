@@ -574,3 +574,110 @@ def events_scd2_collapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+# --- J6/J7 ext: point-in-time join against the SCD2 interval table ------
+
+_PIT_ORACLE = """
+WITH hist AS (
+  SELECT * FROM events WHERE user_id < 50 AND event_type <> 'purchase'
+), flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM hist
+), islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), spans AS (
+  SELECT user_id, event_type AS state, island, min(ts) AS t_from
+  FROM islands GROUP BY user_id, event_type, island
+), dim AS (
+  SELECT user_id, state, t_from,
+         coalesce(lead(t_from) OVER (PARTITION BY user_id ORDER BY island),
+                  TIMESTAMP '9999-12-31 00:00:00') AS t_to
+  FROM spans
+)
+SELECT p.event_id AS purchase_id, p.user_id, d.state AS state_at_purchase,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM (SELECT * FROM events
+      WHERE user_id < 50 AND event_type = 'purchase') p
+JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.t_from AND p.ts < d.t_to
+"""
+
+
+@register("pit_join_state_at_purchase", oracle=_PIT_ORACLE, tags=("J6", "J7", "W2", "ext"))
+def pit_join_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: every purchase is enriched
+    with the state the user was in AT that moment, by interval-
+    containment against the run-collapsed SCD2 table built from the
+    user's non-purchase history — the leakage-safe temporal join
+    every feature platform ships (training rows must only see
+    features as of the label time). The intervals PARTITION each
+    user's timeline (half-open, sentinel-closed), so the containment
+    match is unique per probe.
+
+    Scale shape: the containment join is an EQUI-join on user_id with
+    the interval bounds as residual filters — one hash shuffle per
+    side on the same key, never a pairwise range explosion; the
+    interval dim reuses the probe's partitioning. The as-of union
+    trick (J7) computes the same answer when the dim is a changelog;
+    this shape is what you run when the dim is already materialized
+    as intervals."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hist = ev.filter(F.col("event_type") != "purchase")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = hist.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_ev)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w_ev.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = islands.groupBy(
+        "user_id", F.col("event_type").alias("state"), "island"
+    ).agg(F.min("ts").alias("t_from"))
+    w_is = Window.partitionBy("user_id").orderBy("island")
+    dim = spans.select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "t_from",
+        F.coalesce(
+            F.lead("t_from").over(w_is), F.lit("9999-12-31 00:00:00").cast("timestamp")
+        ).alias("t_to"),
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return (
+        probes.join(
+            dim,
+            (probes.user_id == dim.d_user)
+            & (probes.ts >= dim.t_from)
+            & (probes.ts < dim.t_to),
+        )
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("state").alias("state_at_purchase"),
+            ts_str("ts").alias("purchase_ts"),
+        )
+    )

@@ -538,6 +538,15 @@ def test_dsir_bounded_broadcasts_only(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_pit_join_is_equi_on_user(spark, sf_dir):
+    # interval containment rides the user_id EQUI join with the
+    # bounds as residuals — never a pairwise range (nested-loop) join
+    plan = _plan(spark, sf_dir, "pit_join_state_at_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
