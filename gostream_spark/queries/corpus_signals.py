@@ -426,7 +426,7 @@ SELECT source, doc_id, importance_u, n_tokens FROM (
 """
 
 
-@register("dsir_importance_weights", oracle=_DSIR_ORACLE, tags=("L8", "F7", "A1", "ext"))
+@register("dsir_importance_weights", oracle=_DSIR_ORACLE, tags=("L8", "F7", "A1", "ext"), bench=True)
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
     2023, arXiv:2302.03169): score raw-corpus documents by a hashed

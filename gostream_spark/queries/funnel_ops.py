@@ -45,7 +45,7 @@ SELECT funnel_step, n_users FROM (
 """
 
 
-@register("funnel_single_pass", oracle=_FUNNEL_ORACLE, tags=("L8", "F5", "A1"))
+@register("funnel_single_pass", oracle=_FUNNEL_ORACLE, tags=("L8", "F5", "A1"), bench=True)
 def funnel_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy earliest-completion funnel view -> click -> purchase:
     per user, t1 = first view, t2 = first click strictly after t1,

@@ -1026,7 +1026,7 @@ SELECT label, vec_id, keeper, cos FROM best WHERE rn = 1
 """
 
 
-@register("semantic_dedup_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("L2", "L4", "L5", "ext"))
+@register("semantic_dedup_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("L2", "L4", "L5", "ext"), bench=True)
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that only compares embeddings INSIDE the same

@@ -293,7 +293,7 @@ GROUP BY s_name
 """
 
 
-@register("sql_sole_late_supplier", oracle=_SQL_TWIN_EXISTS, tags=("E2", "J3", "J1"))
+@register("sql_sole_late_supplier", oracle=_SQL_TWIN_EXISTS, tags=("E2", "J3", "J1"), bench=True)
 def sql_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2/J3: the TPC-H-Q21 shape — the hardest decorrelation stress
     in the TPC-H suite: the SAME fact table correlated twice against

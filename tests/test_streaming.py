@@ -458,3 +458,41 @@ def test_eventtime_timeout_boundary_is_strict(spark, tmp_path):
     )
     got = {(r.user_id, r.event_cnt) for r in res.collect()}
     assert got == {(400, 1)}, got
+
+
+def test_tumbling_counts_available_now_is_single_batch(spark, sf_dir):
+    """Regression pin for the r5 bench outlier investigation: the
+    file-source fixture is one parquet file and no maxFilesPerTrigger
+    is set, so availableNow must process ALL input in exactly one
+    micro-batch — if this ever splits into several, the fixed
+    micro-batch machinery (~0.35 s each: WAL, planning, state commit)
+    multiplies and the bench number degrades for no plan reason."""
+    import shutil
+    import uuid
+
+    from gostream_spark.queries.streaming_queries import windowed_counts
+    from gostream_spark.streaming import runner
+    from gostream_spark.streaming.source import file_stream
+
+    ev = file_stream(spark, sf_dir, "events")
+    name = f"pin_batches_{uuid.uuid4().hex[:6]}"
+    ckpt = runner._scratch("ckpt")
+    q = (
+        windowed_counts(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(120)
+    finally:
+        q.stop()
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    assert len(progresses) == 1, [
+        (p["batchId"], p["numInputRows"]) for p in q.recentProgress
+    ]
