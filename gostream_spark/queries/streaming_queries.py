@@ -1100,3 +1100,60 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
     )
     return run_available_now(joined, output_mode="append")
+
+
+# --- L1/T8 ext: streaming CDC materialization (latest state per key) ----
+
+_CDC_STREAM_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id,
+       event_type AS state,
+       value_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register(
+    "streaming_cdc_latest_state",
+    oracle=_CDC_STREAM_ORACLE,
+    tags=("S2", "T8", "L1", "A6", "ext"),
+)
+def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cdc_apply_changelog``: the changelog
+    replayed as a stream, materialized with a COMPLETE-mode
+    ``max_by(payload, (ts, event_id))`` aggregate — the key insight
+    being that "latest row per key" is a MERGEABLE aggregate (argmax
+    under a total order), so the state store holds exactly one
+    payload per key and each micro-batch folds in map-side partials;
+    no window, no rank, no replay of history. Delete markers filter
+    AFTER the argmax (a deleted key's tombstone must win first, then
+    suppress the row) — same post-rank-filter discipline as the batch
+    twin, same oracle."""
+    ev = file_stream(spark, sf_dir, "events")
+    agg = ev.select(
+        "user_id",
+        F.struct(
+            "ts",
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        ).alias("payload"),
+    ).groupBy("user_id").agg(
+        F.max_by("payload", F.struct("payload.ts", "payload.event_id")).alias(
+            "latest"
+        )
+    )
+    res = run_available_now(agg, output_mode="complete")
+    return res.filter(F.col("latest.event_type") != "error").select(
+        "user_id",
+        F.col("latest.event_type").alias("state"),
+        F.col("latest.value_cents").alias("value_cents"),
+        ts_str("latest.ts").alias("updated_at"),
+    )

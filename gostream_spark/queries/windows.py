@@ -681,3 +681,94 @@ def pit_join_state_at_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str("ts").alias("purchase_ts"),
         )
     )
+
+
+# --- W1 ext: distribution ranks (ntile / percent_rank / cume_dist) ------
+
+_DIST_RANK_ORACLE = """
+SELECT c_mktsegment, c_custkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(ntile(4) OVER w_u AS BIGINT) AS quartile,
+       round(percent_rank() OVER w_t, 6) AS pct_rank,
+       round(cume_dist() OVER w_t, 6) AS cume
+FROM customer
+WHERE c_custkey <= 300
+WINDOW w_u AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey),
+       w_t AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+"""
+
+
+@register("window_distribution_ranks", oracle=_DIST_RANK_ORACLE, tags=("W1", "ext"))
+def window_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 ext: the distribution-rank trio — ntile(4) buckets (over the
+    tie-broken total order, so bucket membership is deterministic),
+    percent_rank and cume_dist (over the VALUE order, where ties
+    correctly share a rank — the two windows deliberately differ).
+    percent_rank/cume_dist are exact rationals (k/n) in both engines;
+    rounded to 6dp they compare bit-for-bit. Both window specs share
+    the one c_mktsegment exchange — the sort is a sub-order, not a
+    second shuffle."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    w_u = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_t = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("acctbal_cents"),
+        F.ntile(4).over(w_u).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w_t), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_t), 6).alias("cume"),
+    )
+
+
+# --- L1/W1 ext: CDC changelog -> snapshot materialization ---------------
+
+_CDC_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id,
+       event_type AS state,
+       value_cents,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS updated_at
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+@register("cdc_apply_changelog", oracle=_CDC_ORACLE, tags=("W1", "L1", "ext"))
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply: materialize a keyed changelog into its current
+    snapshot — latest version per key wins (ts, then event_id, the
+    deterministic total order), and a trailing delete marker (the
+    'error' type here) removes the key entirely. This is the MERGE
+    INTO / Kafka-compacted-topic semantics every lakehouse table
+    maintenance job runs, expressed as one window dedup: one shuffle
+    on the key, no join — the upsert/delete branching is a post-rank
+    filter. At 100 TB of changelog the same plan holds because rank-1
+    extraction aggregates partial (WindowGroupLimit pushes the rn=1
+    limit map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "value_cents",
+            ts_str("ts").alias("updated_at"),
+        )
+    )
