@@ -772,3 +772,51 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str("ts").alias("updated_at"),
         )
     )
+
+
+# --- W3 ext: rolling event-time interval features -----------------------
+
+_ROLLING_1H_ORACLE = """
+SELECT user_id, event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       CAST(count(*) OVER w AS BIGINT) AS events_last_1h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+         AS value_cents_last_1h
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+# (floor(epoch): DuckDB's epoch() keeps fractional microseconds while
+# Spark's unix_timestamp() floors to whole seconds — the frame edge
+# must sit on the same integer grid in both engines.)
+
+
+@register("rolling_interval_features", oracle=_ROLLING_1H_ORACLE, tags=("W3", "F2", "ext"))
+def rolling_interval_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 ext: per-event trailing-1-hour features (event count, cent
+    sum) via a RANGE frame over true event-time seconds — the online
+    feature-engineering staple ("activity in the last hour at each
+    moment"), which a ROWS frame cannot express because the lookback
+    is temporal, not positional. Ties in epoch seconds are handled by
+    RANGE semantics identically in both engines (peers aggregate
+    together, so no tie-break is needed for determinism). One shuffle
+    on user_id; the frame scan is a per-partition two-pointer sweep,
+    linear at any scale. Money rides integer cents inside the frame
+    sum so accumulation order cannot move a bit."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        ts_str("ts").alias("ts"),
+        F.count(F.lit(1)).over(w).cast("long").alias("events_last_1h"),
+        F.sum(F.round(F.col("value") * 100).cast("long"))
+        .over(w)
+        .cast("long")
+        .alias("value_cents_last_1h"),
+    )

@@ -547,6 +547,16 @@ def test_pit_join_is_equi_on_user(spark, sf_dir):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
 
 
+def test_cdc_apply_pushes_rank_limit_map_side(spark, sf_dir):
+    # rank-1 extraction must show the partial+final WindowGroupLimit
+    # pair (map-side top-1 per key before the shuffle) and ride one
+    # user_id exchange — the property that keeps CDC apply linear on
+    # a 100 TB changelog
+    plan = _plan(spark, sf_dir, "cdc_apply_changelog")
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
