@@ -244,3 +244,69 @@ def hash_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("c_name").alias("name_md5"),
         F.sha2("c_name", 256).alias("name_sha256"),
     )
+
+
+# --- F4/P6 ext: malformed-record routing (dead-letter queue) ------------
+
+_DLQ_ORACLE = """
+WITH mangled AS (
+  SELECT event_type,
+         CASE WHEN event_id % 7 = 0 THEN substr(props, 1, 5)
+              ELSE props END AS raw
+  FROM events
+), routed AS (
+  SELECT event_type, raw,
+         json_valid(raw) AS ok,
+         CASE WHEN json_valid(raw)
+              THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
+  FROM mangled
+)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_parsed,
+       CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_dead_letter,
+       CAST(sum(k) FILTER (WHERE ok) AS BIGINT) AS k_sum
+FROM routed GROUP BY event_type
+"""
+
+
+@register("dlq_malformed_json_routing", oracle=_DLQ_ORACLE, tags=("F4", "P6", "ext"))
+def dlq_malformed_json_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for malformed records — the production
+    ingest pattern: parse what parses, quarantine what doesn't,
+    never fail the job. A deterministic 1-in-7 of the fixture's JSON
+    payloads is truncated to simulate upstream corruption;
+    ``from_json`` with a ``columnNameOfCorruptRecord`` captures those
+    verbatim in a corrupt-record column, and its null-ness IS the
+    routing predicate — good rows
+    contribute their parsed value, bad rows increment the per-type
+    dead-letter count that an operator would alert on. All JVM-side
+    expression work in one aggregation pass; at scale the DLQ rows
+    themselves would fork to a quarantine sink via the same predicate
+    (see the two-phase `gostream_jsonl` sink for the write side)."""
+    ev = load_table(spark, sf_dir, "events")
+    mangled = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 7 == 0, F.substring(F.col("props"), 1, 5)
+        )
+        .otherwise(F.col("props"))
+        .alias("raw"),
+    )
+    # PERMISSIVE from_json yields an all-null STRUCT (not a null) for
+    # corrupt input, so null-testing the struct can't route; the
+    # canonical detector is columnNameOfCorruptRecord — corrupt rows
+    # carry their raw text there, parsed rows leave it null.
+    parsed = mangled.select(
+        "event_type",
+        F.from_json(
+            "raw",
+            "k BIGINT, _corrupt_record STRING",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+    )
+    ok = F.col("j._corrupt_record").isNull()
+    return parsed.groupBy("event_type").agg(
+        F.count(F.when(ok, 1)).cast("long").alias("n_parsed"),
+        F.count(F.when(~ok, 1)).cast("long").alias("n_dead_letter"),
+        F.sum(F.when(ok, F.col("j.k"))).cast("long").alias("k_sum"),
+    )
