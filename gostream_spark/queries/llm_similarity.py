@@ -1045,16 +1045,27 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian, and the cosine is JVM-side array algebra. Cosines are
     rounded to 6dp before the τ gate and the keeper ranking, so no
     cross-engine float boundary can flip membership."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from gostream_spark.functions import dot_product, l2_norm
+
+    # Hoist each vector's norm BEFORE the self-join: cosine inside the
+    # pair projection would re-fold both norms for every pair (3 array
+    # folds/pair); precomputing them per ROW leaves one dot product
+    # per pair — same doubles bit-for-bit (the norm fold is identical,
+    # merely computed once), ~3x less float work on |c|^2 pairs.
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
     a = emb.select(
         F.col("label"),
         F.col("vec_id").alias("keeper"),
         F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = emb.select(
         F.col("label").alias("label_b"),
         F.col("vec_id").alias("vec_id"),
         F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = (
         a.join(b, (a.label == b.label_b) & (a.keeper < b.vec_id))
@@ -1062,9 +1073,13 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             "vec_id",
             "keeper",
-            F.round(cosine_similarity(F.col("emb_a"), F.col("emb_b")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("emb_a"), F.col("emb_b")),
+                    F.col("nrm_a") * F.col("nrm_b"),
+                ),
+                6,
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= F.lit(_SEMDEDUP_TAU))
     )
