@@ -822,3 +822,100 @@ def linear_interp_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("val"),
     )
+
+
+# --- T3 ext: duration-capped sessionization (gap OR max-length split) ---
+
+_CAPPED_GAP_US = 1_800 * 1_000_000  # 30 min inactivity gap
+_CAPPED_LEN_US = 7_200 * 1_000_000  # 2 h hard cap from session anchor
+
+_CAPPED_SESSION_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 20
+), walk AS (
+  SELECT user_id, ts, event_id, us, rn,
+         us AS anchor_us, 1 AS session_no
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.ts, o.event_id, o.us, o.rn,
+         CASE WHEN o.us - w.us <= 1800000000
+                   AND o.us - w.anchor_us <= 7200000000
+              THEN w.anchor_us ELSE o.us END,
+         CASE WHEN o.us - w.us <= 1800000000
+                   AND o.us - w.anchor_us <= 7200000000
+              THEN w.session_no ELSE w.session_no + 1 END
+  FROM ordered o JOIN walk w
+    ON o.user_id = w.user_id AND o.rn = w.rn + 1
+)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+       CAST(count(*) AS BIGINT) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+FROM walk
+GROUP BY user_id, session_no
+"""
+
+
+def _capped_session_fold(pdf):
+    """Per-user sequential fold (runs inside applyInPandas): a new
+    session starts when the inactivity gap exceeds 30 min OR the
+    span from the current session's ANCHOR would exceed the 2 h hard
+    cap. All time math in integer microseconds — exact on both
+    engines."""
+    import pandas as pd
+
+    pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    # normalize to µs regardless of whether Arrow delivered [ns] or [us]
+    us = pdf["ts"].astype("datetime64[us]").astype("int64")
+    session_no, anchor, prev = 0, None, None
+    nos = []
+    for u in us:
+        if anchor is None or u - prev > _CAPPED_GAP_US or u - anchor > _CAPPED_LEN_US:
+            session_no += 1
+            anchor = u
+        prev = u
+        nos.append(session_no)
+    pdf = pdf.assign(session_no=nos)
+    out = (
+        pdf.groupby("session_no", as_index=False)
+        .agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+        )
+    )
+    out["session_start"] = out["session_start"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    out["session_end"] = out["session_end"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    return out[["user_id", "session_no", "n_events", "session_start", "session_end"]]
+
+
+@register("session_window_capped", oracle=_CAPPED_SESSION_ORACLE, tags=("T3", "U2", "ext"))
+def session_window_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 ext: sessionization with BOTH a 30 min inactivity gap and a
+    2 h hard duration cap (the Google-Analytics-style rule). The cap
+    makes this NOT window-expressible: each event's session depends
+    on the running anchor, which resets only when a split fires — a
+    true sequential recurrence, so the engine runs it as a per-user
+    ``applyInPandas`` fold (one user_id shuffle, per-group O(n)
+    integer-microsecond math), and the oracle replays the identical
+    recurrence as a DuckDB RECURSIVE CTE walk over rank-ordered
+    events. The plain gap-only session (`session_window`,
+    `session_window_dynamic_gap`) stays the built-in-window fast
+    path; this shape is the escape hatch for rules the window algebra
+    cannot express."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandas(
+            _capped_session_fold,
+            schema=(
+                "user_id long, session_no long, n_events long, "
+                "session_start string, session_end string"
+            ),
+        )
+    )

@@ -1157,3 +1157,47 @@ def streaming_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("latest.value_cents").alias("value_cents"),
         ts_str("latest.ts").alias("updated_at"),
     )
+
+
+# --- S6 ext: side-output routing to two sinks ---------------------------
+
+_SPLIT_ORACLE = """
+SELECT 'main' AS sink, event_type, CAST(count(*) AS BIGINT) AS event_cnt
+FROM events WHERE event_type <> 'error' GROUP BY event_type
+UNION ALL
+SELECT 'side', event_type, CAST(count(*) AS BIGINT)
+FROM events WHERE event_type = 'error' GROUP BY event_type
+"""
+
+
+@register("streaming_split_side_outputs", oracle=_SPLIT_ORACLE, tags=("S2", "S5", "S6", "ext"))
+def streaming_split_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 ext: the side-output pattern — one stream, two sinks: error
+    events route to a quarantine sink, everything else to the main
+    sink, inside a single foreachBatch (the batch persisted once so
+    both filtered writes share the computation; Flink's side outputs
+    / Storm's multi-stream declare, expressed the Spark way). Both
+    sinks re-read and counted per type; main + side must exactly
+    re-partition the input — which is what the oracle asserts."""
+    from pyspark.sql import functions as SF
+
+    from gostream_spark.streaming import file_stream
+    from gostream_spark.streaming.runner import run_foreach_batch_split
+
+    ev = file_stream(spark, sf_dir, "events").select("event_id", "event_type")
+    session, main_out, side_out = run_foreach_batch_split(
+        ev, lambda df: SF.col("event_type") == "error"
+    )
+    main = (
+        session.read.parquet(main_out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("event_cnt"))
+        .select(F.lit("main").alias("sink"), "event_type", "event_cnt")
+    )
+    side = (
+        session.read.parquet(side_out)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("event_cnt"))
+        .select(F.lit("side").alias("sink"), "event_type", "event_cnt")
+    )
+    return main.unionByName(side)

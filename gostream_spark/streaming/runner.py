@@ -184,3 +184,46 @@ def run_foreach_batch_parquet(
         q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession, out
+
+
+def run_foreach_batch_split(
+    sdf: DataFrame, predicate, timeout_sec: int = 300
+) -> tuple[SparkSession, str, str]:
+    """S6 side-outputs: route each micro-batch to TWO parquet sinks by
+    a predicate — the Storm/Flink multi-stream (side-output) pattern.
+    The batch is persisted once per trigger so the two filtered
+    writes share a single upstream computation instead of re-running
+    the stream transformations twice. Returns (session, main_path,
+    side_path)."""
+    main_out, side_out = _scratch("sink"), _scratch("sink")
+    ckpt = _scratch("ckpt")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.filter(~predicate(batch_df)).write.mode("append").parquet(
+                main_out
+            )
+            batch_df.filter(predicate(batch_df)).write.mode("append").parquet(
+                side_out
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"split stream into {main_out!r}/{side_out!r} still running "
+                f"after {timeout_sec}s; sinks hold a PARTIAL batch set"
+            )
+    finally:
+        q.stop()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return sdf.sparkSession, main_out, side_out
