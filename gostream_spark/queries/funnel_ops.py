@@ -128,3 +128,103 @@ def pattern_error_then_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("gap_sec"),
     )
+
+
+# --- Variable-length pattern: >=2 consecutive errors, then purchase -----
+
+_BURST_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+), islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), spans AS (
+  SELECT user_id, event_type AS state, island,
+         min(ts) AS t_from, max(ts) AS t_to,
+         CAST(count(*) AS BIGINT) AS run_len
+  FROM islands GROUP BY user_id, event_type, island
+), seq AS (
+  SELECT user_id, state, run_len, t_to,
+         lead(state) OVER w AS next_state,
+         lead(t_from) OVER w AS next_from
+  FROM spans
+  WINDOW w AS (PARTITION BY user_id ORDER BY island)
+)
+SELECT user_id, run_len AS n_errors,
+       strftime(t_to, '%Y-%m-%d %H:%M:%S') AS last_error_ts,
+       strftime(next_from, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM seq
+WHERE state = 'error' AND run_len >= 2 AND next_state = 'purchase'
+"""
+
+
+@register("pattern_error_burst_recovery", oracle=_BURST_ORACLE, tags=("W2", "W3", "L8", "ext"))
+def pattern_error_burst_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIABLE-length pattern matching — MATCH_RECOGNIZE's `A B+ C`
+    shape (here: a run of >=2 consecutive errors immediately followed
+    by a purchase), which fixed-offset lag/lead cannot express because
+    the middle element is unbounded. The gaps-and-islands machinery
+    turns runs into single span rows, and the pattern collapses to a
+    FIXED-length adjacency over spans (error-span with run_len >= 2,
+    next span is a purchase) — one lead() away. Everything rides one
+    user_id exchange; run compression makes the per-user sequence
+    shorter, not longer, so this scales strictly better than the raw
+    event stream it reads."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_ev = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_ev)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w_ev.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island"),
+    )
+    spans = islands.groupBy(
+        "user_id", F.col("event_type").alias("state"), "island"
+    ).agg(
+        F.min("ts").alias("t_from"),
+        F.max("ts").alias("t_to"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+    )
+    w_is = Window.partitionBy("user_id").orderBy("island")
+    seq = spans.select(
+        "user_id",
+        "state",
+        "run_len",
+        "t_to",
+        F.lead("state").over(w_is).alias("next_state"),
+        F.lead("t_from").over(w_is).alias("next_from"),
+    )
+    from gostream_spark.parity import ts_str
+
+    return seq.filter(
+        (F.col("state") == "error")
+        & (F.col("run_len") >= 2)
+        & (F.col("next_state") == "purchase")
+    ).select(
+        "user_id",
+        F.col("run_len").alias("n_errors"),
+        ts_str("t_to").alias("last_error_ts"),
+        ts_str("next_from").alias("purchase_ts"),
+    )
