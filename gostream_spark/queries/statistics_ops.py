@@ -790,3 +790,90 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival_rate"),
         )
     )
+
+
+# --- Graph analytics: triangle counting on the co-occurrence graph ------
+
+_TRIANGLE_ORACLE = """
+WITH bl AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), co_all AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, CAST(count(*) AS BIGINT) AS s
+  FROM bl a JOIN bl b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(s) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS ne
+  FROM co_all
+), co AS (
+  SELECT ba, bb FROM co_all, tot WHERE 10 * s * ne >= 11 * ts
+), tri AS (
+  SELECT e1.ba AS a, e1.bb AS b, e2.bb AS c
+  FROM co e1
+  JOIN co e2 ON e1.bb = e2.ba
+  JOIN co e3 ON e3.ba = e1.ba AND e3.bb = e2.bb
+)
+SELECT brand, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT a AS brand FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+) GROUP BY brand
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("J1", "A1", "ext"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-based TRIANGLE COUNTING — the canonical distributed graph
+    primitive (clustering coefficients, community strength, spam
+    detection) run entirely as relational joins: per-brand triangle
+    participation over the high-affinity brand co-occurrence graph.
+    Edges = brand pairs co-appearing in an order with support >= 1.1x
+    the mean edge support (an integer cross-multiplied RELATIVE gate,
+    so the graph stays sparse at every scale factor where an absolute
+    threshold would saturate). Triangles enumerate via the canonical
+    a<b<c orientation: edge(a,b) ⋈ edge(b,c) ⋈ edge(a,c) — each
+    triangle counted exactly once, two hash joins, no explosion
+    beyond wedge count. At 100 TB the same plan is the MapReduce
+    triangle algorithm (Suri & Vassilvitskii 2011): orientation
+    bounds wedge fan-out by the smaller-degree endpoint, and every
+    join hash-partitions on its key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    bl = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = bl.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    b = bl.select(F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("bb"))
+    co_all = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("ba") < F.col("bb")))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    tot = co_all.agg(
+        F.sum("s").cast("long").alias("ts"),
+        F.count(F.lit(1)).cast("long").alias("ne"),
+    )
+    co = (
+        co_all.crossJoin(F.broadcast(tot))
+        .filter(10 * F.col("s") * F.col("ne") >= 11 * F.col("ts"))
+        .select("ba", "bb")
+    )
+    e1 = co.select(F.col("ba").alias("a"), F.col("bb").alias("b"))
+    e2 = co.select(F.col("ba").alias("b2"), F.col("bb").alias("c"))
+    e3 = co.select(F.col("ba").alias("a3"), F.col("bb").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    verts = (
+        tri.select(F.col("a").alias("brand"))
+        .unionAll(tri.select(F.col("b").alias("brand")))
+        .unionAll(tri.select(F.col("c").alias("brand")))
+    )
+    return verts.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
