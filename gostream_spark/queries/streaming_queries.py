@@ -1201,3 +1201,108 @@ def streaming_split_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("side").alias("sink"), "event_type", "event_cnt")
     )
     return main.unionByName(side)
+
+
+# --- J9 ext: streaming point-in-time enrichment against SCD2 dim --------
+
+_PIT_STREAM_ORACLE = """
+WITH hist AS (
+  SELECT * FROM events WHERE user_id < 50 AND event_type <> 'purchase'
+), flagged AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN event_type IS DISTINCT FROM
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS chg
+  FROM hist
+), islands AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+), spans AS (
+  SELECT user_id, event_type AS state, island, min(ts) AS t_from
+  FROM islands GROUP BY user_id, event_type, island
+), dim AS (
+  SELECT user_id, state, t_from,
+         coalesce(lead(t_from) OVER (PARTITION BY user_id ORDER BY island),
+                  TIMESTAMP '9999-12-31 00:00:00') AS t_to
+  FROM spans
+)
+SELECT d.state AS state_at_purchase, CAST(count(*) AS BIGINT) AS n_purchases
+FROM (SELECT * FROM events
+      WHERE user_id < 50 AND event_type = 'purchase') p
+JOIN dim d
+  ON p.user_id = d.user_id
+ AND p.ts >= d.t_from AND p.ts < d.t_to
+GROUP BY d.state
+"""
+
+
+@register(
+    "streaming_pit_enrichment",
+    oracle=_PIT_STREAM_ORACLE,
+    tags=("S2", "J9", "T1", "ext"),
+)
+def streaming_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9 ext: the point-in-time join as a STREAM-STATIC join — the
+    online-serving shape of `pit_join_state_at_purchase`: purchases
+    arrive as a stream and each micro-batch equi-joins (user_id, with
+    the interval bounds as residuals) against the batch-built SCD2
+    interval dim, then feeds a streaming count by enriched state.
+    Stream-static joins are stateless per batch, so the dim can be
+    swapped/refreshed between triggers without touching stream state
+    — exactly how a feature store serves slowly-changing features to
+    a live scorer. Counted in complete mode; with all input available
+    the result must equal the batch PIT aggregation, which the oracle
+    asserts."""
+    from pyspark.sql import Window as W
+
+    ev_batch = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    hist = ev_batch.filter(F.col("event_type") != "purchase")
+    w_ev = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = hist.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w_ev)), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    islands = flagged.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg").over(w_ev.rowsBetween(W.unboundedPreceding, 0)).alias("island"),
+    )
+    spans = islands.groupBy(
+        "user_id", F.col("event_type").alias("state"), "island"
+    ).agg(F.min("ts").alias("t_from"))
+    w_is = W.partitionBy("user_id").orderBy("island")
+    dim = spans.select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "t_from",
+        F.coalesce(
+            F.lead("t_from").over(w_is),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("t_to"),
+    )
+    stream = (
+        file_stream(spark, sf_dir, "events")
+        .filter((F.col("user_id") < 50) & (F.col("event_type") == "purchase"))
+        .select("user_id", "ts")
+    )
+    joined = stream.join(
+        dim,
+        (stream.user_id == dim.d_user)
+        & (stream.ts >= dim.t_from)
+        & (stream.ts < dim.t_to),
+    )
+    agg = joined.groupBy(F.col("state").alias("state_at_purchase")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    return run_available_now(agg, output_mode="complete")
