@@ -319,3 +319,74 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
         ).alias("reclaimable_bytes"),
     )
+
+
+# --- L9 ext: chunked-transfer reassembly integrity check ----------------
+
+_REASSEMBLY_ORACLE = """
+WITH src AS (
+  SELECT doc_id, text, md5(text) AS whole_digest,
+         CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks
+  FROM documents WHERE doc_id % 10 = 0
+), chunks AS (
+  SELECT s.doc_id, i.i AS chunk_idx,
+         substr(s.text, CAST(i.i * 64 + 1 AS INTEGER), 64) AS piece
+  FROM src s, unnest(range(0, s.n_chunks)) i(i)
+), rebuilt AS (
+  SELECT doc_id, md5(string_agg(piece, '' ORDER BY chunk_idx)) AS rebuilt_digest
+  FROM chunks GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_chunks,
+       (r.rebuilt_digest = s.whole_digest) AS digest_ok
+FROM src s JOIN rebuilt r ON s.doc_id = r.doc_id
+"""
+
+
+@register("multimodal_chunk_reassembly", oracle=_REASSEMBLY_ORACLE, tags=("L9", "F1", "F5", "ext"))
+def multimodal_chunk_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9 ext: the integrity leg of chunked blob transfer — split each
+    payload into 64-byte pieces (the manifest-planning queries' chunk
+    grid), reassemble in chunk order, and verify the digest matches
+    the original. This is the end-to-end check an object-store
+    multipart pipeline runs after upload; `digest_ok` must be TRUE
+    for every row, and the oracle recomputes the identical
+    split/reassemble/compare. Spark side stays row-local until the
+    tiny per-doc regroup: explode the chunk grid, re-collect with
+    `array_sort` on (idx, piece) structs — deterministic reassembly
+    without any window."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    src = docs.select(
+        "doc_id",
+        "text",
+        F.md5("text").alias("whole_digest"),
+        F.ceil(F.length("text") / 64.0).cast("long").alias("n_chunks"),
+    )
+    chunks = src.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1)).alias(
+            "chunk_idx"
+        ),
+        "text",
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.substring(
+            F.col("text"), (F.col("chunk_idx") * 64 + 1).cast("int"), 64
+        ).alias("piece"),
+    )
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "piece"))),
+                    lambda x: x["piece"],
+                ),
+                "",
+            )
+        ).alias("rebuilt_digest")
+    )
+    return src.join(rebuilt, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        (F.col("rebuilt_digest") == F.col("whole_digest")).alias("digest_ok"),
+    )
