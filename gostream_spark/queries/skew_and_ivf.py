@@ -5,7 +5,7 @@ rewrite is PROVEN equivalent to the direct form, not just asserted.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
@@ -225,4 +225,151 @@ def skew_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return profile(orders, "o_custkey", "orders.o_custkey").unionByName(
         profile(li, "l_orderkey", "lineitem.l_orderkey")
+    )
+
+
+# --- L3 ext: ANN quality evaluation — recall@10 of IVF vs exact ---------
+
+_RECALL_ORACLE = f"""
+WITH elems AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+  FROM embeddings
+), cent_elems AS (
+  SELECT label, pos,
+         round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,7))) AS DOUBLE)
+               / count(*), 6) AS c
+  FROM elems GROUP BY label, pos
+), centroids AS (
+  SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_elems GROUP BY label
+), probes AS (
+  SELECT vec_id AS probe_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0
+), cellrank AS (
+  SELECT p.probe_id, c.c_label,
+         row_number() OVER (PARTITION BY p.probe_id
+                            ORDER BY round({_duck_cosine('c.cv', 'p.qv')}, 6) DESC,
+                            c.c_label) AS crn
+  FROM centroids c, probes p
+), probecells AS (
+  SELECT probe_id, c_label FROM cellrank WHERE crn <= 3
+), exact AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT p.probe_id, e.vec_id,
+           row_number() OVER (PARTITION BY p.probe_id
+                              ORDER BY round({_duck_cosine('e.embedding', 'p.qv')}, 6)
+                              DESC, e.vec_id) AS rn
+    FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id
+  ) WHERE rn <= 10
+), ivf AS (
+  SELECT probe_id, vec_id FROM (
+    SELECT pc.probe_id, e.vec_id,
+           row_number() OVER (PARTITION BY pc.probe_id
+                              ORDER BY round({_duck_cosine('e.embedding', 'p.qv')}, 6)
+                              DESC, e.vec_id) AS rn
+    FROM embeddings e
+    JOIN probecells pc ON e.label = pc.c_label
+    JOIN probes p ON p.probe_id = pc.probe_id
+    WHERE e.vec_id <> pc.probe_id
+  ) WHERE rn <= 10
+)
+SELECT x.probe_id, CAST(count(i.vec_id) AS BIGINT) AS recall_hits
+FROM exact x LEFT JOIN ivf i
+  ON x.probe_id = i.probe_id AND x.vec_id = i.vec_id
+GROUP BY x.probe_id
+"""
+
+
+@register("ann_recall_at_k", oracle=_RECALL_ORACLE, tags=("L3", "L5", "ext"))
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN QUALITY EVALUATION — the measurement loop every
+    approximate-index deployment runs before trusting it: for a probe
+    panel (every 25th vector), compute exact brute-force top-10 AND
+    IVF(nprobe=3) top-10 in the same job, and report per-probe
+    recall@10 as an integer hit count. Recall is THE accept/reject
+    metric for ANN indexes (a cell-probe count tuned on recall@k is
+    how nlist/nprobe get chosen); computing it in-engine over the
+    same plans that serve the queries means the eval measures exactly
+    what production runs. Scale shape: probes broadcast (a panel is
+    small by construction); the exact arm is panel x corpus — the
+    intended cost of ground truth — and both arms' per-probe top-k
+    ride one window each; the final recall join is probe-keyed and
+    tiny. Exact oracle replicates both arms bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), "v"
+    )
+    cent_elems = elems.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("double").cast("decimal(18,7)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("c")
+    )
+    centroids = cent_elems.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+        ).alias("cv")
+    )
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
+        )
+    )
+    w_probe = Window.partitionBy("probe_id")
+
+    exact = (
+        emb.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w_probe.orderBy(F.col("cos").desc(), F.col("vec_id"))),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", "vec_id")
+    )
+    cells = (
+        centroids.crossJoin(probes)
+        .select(
+            "probe_id",
+            "c_label",
+            F.round(cosine_similarity(F.col("cv"), F.col("qv")), 6).alias("ccos"),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                w_probe.orderBy(F.col("ccos").desc(), F.col("c_label"))
+            ),
+        )
+        .filter(F.col("crn") <= 3)
+        .select("probe_id", "c_label")
+    )
+    ivf = (
+        emb.join(F.broadcast(cells), emb.label == cells.c_label)
+        .join(probes.select("probe_id", "qv"), "probe_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            F.round(cosine_similarity(F.col("embedding"), F.col("qv")), 6).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(w_probe.orderBy(F.col("cos").desc(), F.col("vec_id"))),
+        )
+        .filter(F.col("rn") <= 10)
+        .select("probe_id", F.col("vec_id").alias("ivf_vec_id"))
+    )
+    return (
+        exact.join(
+            ivf,
+            (exact.probe_id == ivf.probe_id)
+            & (exact.vec_id == ivf.ivf_vec_id),
+            "left",
+        )
+        .groupBy(exact.probe_id)
+        .agg(F.count("ivf_vec_id").cast("long").alias("recall_hits"))
     )
