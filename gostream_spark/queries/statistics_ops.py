@@ -804,10 +804,9 @@ WITH bl AS (
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY 1, 2
 ), tot AS (
-  SELECT CAST(sum(s) AS BIGINT) AS ts, CAST(count(*) AS BIGINT) AS ne
-  FROM co_all
+  SELECT CAST(quantile_disc(s, 0.75) AS BIGINT) AS q75 FROM co_all
 ), co AS (
-  SELECT ba, bb FROM co_all, tot WHERE 10 * s * ne >= 11 * ts
+  SELECT ba, bb FROM co_all, tot WHERE s >= q75
 ), tri AS (
   SELECT e1.ba AS a, e1.bb AS b, e2.bb AS c
   FROM co e1
@@ -828,10 +827,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive (clustering coefficients, community strength, spam
     detection) run entirely as relational joins: per-brand triangle
     participation over the high-affinity brand co-occurrence graph.
-    Edges = brand pairs co-appearing in an order with support >= 1.1x
-    the mean edge support (an integer cross-multiplied RELATIVE gate,
-    so the graph stays sparse at every scale factor where an absolute
-    threshold would saturate). Triangles enumerate via the canonical
+    Edges = brand pairs co-appearing in an order in the TOP QUARTILE of
+    edge support (exact integer percentile_disc gate — scale-stable
+    where an absolute or mean-relative threshold saturates or
+    collapses as co-occurrence counts concentrate). Triangles enumerate via the canonical
     a<b<c orientation: edge(a,b) ⋈ edge(b,c) ⋈ edge(a,c) — each
     triangle counted exactly once, two hash joins, no explosion
     beyond wedge count. At 100 TB the same plan is the MapReduce
@@ -853,12 +852,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("s"))
     )
     tot = co_all.agg(
-        F.sum("s").cast("long").alias("ts"),
-        F.count(F.lit(1)).cast("long").alias("ne"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY s)")
+        .cast("long")
+        .alias("q75")
     )
     co = (
         co_all.crossJoin(F.broadcast(tot))
-        .filter(10 * F.col("s") * F.col("ne") >= 11 * F.col("ts"))
+        .filter(F.col("s") >= F.col("q75"))
         .select("ba", "bb")
     )
     e1 = co.select(F.col("ba").alias("a"), F.col("bb").alias("b"))
@@ -876,4 +876,112 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return verts.groupBy("brand").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+# --- Graph analytics #2: fixed-round k-core peeling ---------------------
+
+_KCORE_K = 4
+_KCORE_ROUNDS = 3
+
+_KCORE_ORACLE = """
+WITH bl AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), co_all AS MATERIALIZED (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, CAST(count(*) AS BIGINT) AS s
+  FROM bl a JOIN bl b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(quantile_disc(s, 0.75) AS BIGINT) AS q75 FROM co_all
+), e0 AS MATERIALIZED (
+  SELECT ba, bb FROM co_all, tot WHERE s >= q75
+), d0 AS MATERIALIZED (
+  SELECT v, count(*) AS d
+  FROM (SELECT ba AS v FROM e0 UNION ALL SELECT bb FROM e0) GROUP BY v
+), k0 AS MATERIALIZED (SELECT v FROM d0 WHERE d >= 4),
+e1 AS MATERIALIZED (SELECT ba, bb FROM e0
+       WHERE ba IN (SELECT v FROM k0) AND bb IN (SELECT v FROM k0)),
+d1 AS MATERIALIZED (SELECT v, count(*) AS d
+       FROM (SELECT ba AS v FROM e1 UNION ALL SELECT bb FROM e1) GROUP BY v),
+k1 AS MATERIALIZED (SELECT v FROM d1 WHERE d >= 4),
+e2 AS MATERIALIZED (SELECT ba, bb FROM e1
+       WHERE ba IN (SELECT v FROM k1) AND bb IN (SELECT v FROM k1)),
+d2 AS MATERIALIZED (SELECT v, count(*) AS d
+       FROM (SELECT ba AS v FROM e2 UNION ALL SELECT bb FROM e2) GROUP BY v),
+k2 AS MATERIALIZED (SELECT v FROM d2 WHERE d >= 4),
+e3 AS MATERIALIZED (SELECT ba, bb FROM e2
+       WHERE ba IN (SELECT v FROM k2) AND bb IN (SELECT v FROM k2)),
+d3 AS MATERIALIZED (SELECT v, count(*) AS d
+       FROM (SELECT ba AS v FROM e3 UNION ALL SELECT bb FROM e3) GROUP BY v)
+SELECT v AS brand, CAST(d AS BIGINT) AS induced_degree FROM d3
+"""
+
+
+@register("graph_kcore_peeling", oracle=_KCORE_ORACLE, tags=("J3", "A1", "ext"))
+def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE PEELING (fixed rounds) on the high-affinity brand graph:
+    repeatedly delete vertices of induced degree < 4, three rounds,
+    and report the survivors' induced degrees — the standard
+    community-density primitive (a vertex in the k-core after
+    convergence belongs to a subgraph where everyone has >= k
+    neighbors). Both engines run EXACTLY the same fixed round count —
+    the Spark side composes the three peel iterations as plan
+    operators in a Python loop (semi-joins + re-aggregation; no
+    driver data movement), the oracle unrolls them as CTE stages — so
+    equivalence holds by construction at any scale, independent of
+    when the peel happens to converge. Each round is one degree
+    aggregate + two semi joins, all hash-partitioned on the vertex;
+    at convergence-critical scale you iterate to fixpoint with the
+    same loop and a driver convergence check, exactly like
+    `operators/components.py`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    bl = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = bl.select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("ba"))
+    b = bl.select(F.col("l_orderkey").alias("ok2"), F.col("p_brand").alias("bb"))
+    co_all = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("ba") < F.col("bb")))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).cast("long").alias("s"))
+    )
+    tot = co_all.agg(
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY s)")
+        .cast("long")
+        .alias("q75")
+    )
+    # localCheckpoint: the peel loop references `edges` three times per
+    # round (two semi-joins + the degree aggregate), so without lineage
+    # truncation each round TRIPLES the number of times Spark replays
+    # the upstream co-occurrence self-join (27x after three rounds —
+    # the exponential-lineage trap every iterative graph algorithm
+    # hits; same discipline as operators/components.py). The edge set
+    # is tiny post-threshold, so materializing it is ~free.
+    edges = (
+        co_all.crossJoin(F.broadcast(tot))
+        .filter(F.col("s") >= F.col("q75"))
+        .select("ba", "bb")
+        .localCheckpoint(eager=True)
+    )
+
+    def degrees(e: DataFrame) -> DataFrame:
+        verts = e.select(F.col("ba").alias("v")).unionAll(
+            e.select(F.col("bb").alias("v"))
+        )
+        return verts.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+
+    for _ in range(_KCORE_ROUNDS):
+        keep = degrees(edges).filter(F.col("d") >= _KCORE_K).select("v")
+        edges = (
+            edges.join(keep, edges.ba == keep.v, "left_semi")
+            .join(keep, edges.bb == keep.v, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return degrees(edges).select(
+        F.col("v").alias("brand"), F.col("d").cast("long").alias("induced_degree")
     )
