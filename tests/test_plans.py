@@ -557,6 +557,17 @@ def test_cdc_apply_pushes_rank_limit_map_side(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_graph_queries_no_cartesian(spark, sf_dir):
+    # triangle enumeration and the k-core peel are pure equi-join
+    # pipelines: candidates come from the orderkey self-join and the
+    # oriented edge joins — the only cross is the 1-row threshold
+    # scalar broadcast
+    for name in ("graph_triangle_count", "graph_kcore_peeling"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, name  # 1-row q75
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE
