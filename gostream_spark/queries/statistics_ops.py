@@ -856,10 +856,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("q75")
     )
+    # localCheckpoint: `co` feeds three edge roles AND the three-way
+    # vertex union — nine downstream references; materializing the
+    # tiny thresholded edge list once stops Spark replaying the
+    # corpus-sized co-occurrence self-join per reference (the same
+    # lineage discipline as the k-core peel below).
     co = (
         co_all.crossJoin(F.broadcast(tot))
         .filter(F.col("s") >= F.col("q75"))
         .select("ba", "bb")
+        .localCheckpoint(eager=True)
     )
     e1 = co.select(F.col("ba").alias("a"), F.col("bb").alias("b"))
     e2 = co.select(F.col("ba").alias("b2"), F.col("bb").alias("c"))
