@@ -1171,3 +1171,55 @@ def test_prefix_filtered_join_equals_bruteforce(spark, docs, seed):
             if 8 * inter >= 3 * (na + nb):
                 want.add((ida, idb, inter))
     assert got == want, (got, want)
+
+
+@given(
+    gaps_s=st.lists(st.integers(min_value=0, max_value=4000), min_size=1, max_size=60),
+)
+@settings(max_examples=80, deadline=None)
+def test_capped_session_fold_invariants(gaps_s):
+    """Fuzz the duration-capped session fold against its invariants
+    for ANY gap sequence: (a) inside a session every inter-event gap
+    <= 30 min AND the span from the session's first event <= 2 h;
+    (b) at every session boundary the split was FORCED (gap too big,
+    or keeping the event would burst the cap); (c) session numbers
+    are 1..K dense and event counts sum to n."""
+    import pandas as pd
+
+    from gostream_spark.queries.event_time import (
+        _CAPPED_GAP_US,
+        _CAPPED_LEN_US,
+        _capped_session_fold,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    ts, t = [], base
+    for g in gaps_s:
+        t = t + pd.Timedelta(seconds=g)
+        ts.append(t)
+    pdf = pd.DataFrame(
+        {"user_id": 1, "ts": ts, "event_id": range(len(ts))}
+    )
+    out = _capped_session_fold(pdf.copy())
+    assert out["n_events"].sum() == len(ts)
+    assert sorted(out["session_no"]) == list(range(1, len(out) + 1))
+
+    # replay: assign each event its session via the same boundaries
+    us = pd.Series(ts).astype("datetime64[us]").astype("int64")
+    sess_first = {}
+    cur, anchor, prev = 0, None, None
+    assignment = []
+    for u in us:
+        if anchor is None or u - prev > _CAPPED_GAP_US or u - anchor > _CAPPED_LEN_US:
+            cur += 1
+            anchor = u
+            sess_first[cur] = u
+        else:
+            # staying in-session must satisfy BOTH constraints
+            assert u - prev <= _CAPPED_GAP_US
+            assert u - sess_first[cur] <= _CAPPED_LEN_US
+        prev = u
+        assignment.append(cur)
+    counts = pd.Series(assignment).value_counts().sort_index()
+    got = out.sort_values("session_no")["n_events"].tolist()
+    assert got == counts.tolist()
