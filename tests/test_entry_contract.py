@@ -82,7 +82,9 @@ def test_registry_hygiene():
                 if t in known:
                     continue
                 assert re.search(
-                    rf"\b{t}\b\s+AS\s*\(|\)\s*(?:AS\s+)?{t}\b|\b{t}\(", q.oracle, re.I
+                    rf"\b{t}\b\s+AS\s+(?:MATERIALIZED\s*)?\(|\)\s*(?:AS\s+)?{t}\b|\b{t}\(",
+                    q.oracle,
+                    re.I,
                 ) or t in ("unnest",), f"{name}: unknown table {t!r} in oracle"
 
 
