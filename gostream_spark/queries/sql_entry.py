@@ -212,3 +212,44 @@ def sql_disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     both engines."""
     register_views(spark, sf_dir, "lineitem", "part")
     return spark.sql(_SQL_DISJUNCTIVE)
+
+
+# --- TPC-H-Q5-flavored snowflake chain (all seven fixture tables) -------
+
+_SQL_SNOWFLAKE = """
+SELECT r_name, p_brand,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM region
+JOIN nation   ON n_regionkey = r_regionkey
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND s_nationkey = n_nationkey
+GROUP BY r_name, p_brand
+"""
+
+
+@register("sql_snowflake_local_supply", oracle=_SQL_SNOWFLAKE, tags=("E2", "J1", "J8"))
+def sql_snowflake_local_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/J8: the TPC-H-Q5 flavor — a SEVEN-table snowflake chain
+    (region → nation → customer → orders → lineitem → part →
+    supplier) with the local-supply constraint (`s_nationkey =
+    n_nationkey`) that makes supplier join through the customer's
+    nation rather than independently. This is the join-ORDERING
+    stress: written naively the chain starts from 5-row region;
+    Catalyst's reorder + AQE must pivot the plan around the lineitem
+    fact with every dimension broadcast, and the year filter pushed
+    into the orders scan — verified by the plan pin. Identical SQL
+    text on both engines; money in exact integer cents."""
+    register_views(
+        spark, sf_dir,
+        "region", "nation", "customer", "orders",
+        "lineitem", "part", "supplier",
+    )
+    return spark.sql(_SQL_SNOWFLAKE)

@@ -557,6 +557,17 @@ def test_cdc_apply_pushes_rank_limit_map_side(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_snowflake_chain_reorders_to_broadcast_star(spark, sf_dir):
+    # written region-first, the 7-table chain must pivot around the
+    # lineitem fact: six broadcast joins, zero sort-merge, one
+    # exchange (the final aggregate), year filter pushed to orders
+    plan = _plan(spark, sf_dir, "sql_snowflake_local_supply")
+    assert plan.count("BroadcastHashJoin") == 6
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
 def test_graph_queries_no_cartesian(spark, sf_dir):
     # triangle enumeration and the k-core peel are pure equi-join
     # pipelines: candidates come from the orderkey self-join and the
