@@ -1331,7 +1331,10 @@ def streaming_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     mutate the version a reader might be scanning — the same
     copy-on-write discipline as a lakehouse table format). The input
     is re-staged as four files streamed with maxFilesPerTrigger=1, so
-    the merge genuinely runs across several micro-batches; because
+    the merge genuinely runs across several micro-batches (and
+    replayed batch ids are skipped — merge alone is not idempotent,
+    so versions are stamped with the batch id that built them);
+    because
     count/sum partials merge associatively, the final view equals the
     one-shot batch aggregate REGARDLESS of how the stream was
     batched — exactly what the oracle asserts. At scale the merge is
@@ -1362,6 +1365,17 @@ def streaming_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
     state = {"current": None}
 
     def merge_batch(batch_df, batch_id: int) -> None:
+        # Idempotent replay: foreachBatch is at-least-once — after a
+        # failure the SAME batch_id can be delivered again. A merge is
+        # NOT naturally idempotent (it would double-count), so each
+        # version dir carries the batch id that produced it and a
+        # replayed id is skipped — the manifest trick the
+        # gostream_jsonl stream sink uses, applied to view versions.
+        applied = {
+            d.split("-")[0] for d in os.listdir(mv_root)
+        } if os.path.isdir(mv_root) else set()
+        if f"v{batch_id}" in applied:
+            return
         partial = batch_df.groupBy("event_type").agg(
             F.count(F.lit(1)).cast("long").alias("event_cnt"),
             F.sum("cents").cast("long").alias("value_cents"),
