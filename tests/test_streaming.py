@@ -496,3 +496,27 @@ def test_tumbling_counts_available_now_is_single_batch(spark, sf_dir):
     assert len(progresses) == 1, [
         (p["batchId"], p["numInputRows"]) for p in q.recentProgress
     ]
+
+
+def test_split_sink_empty_side_still_readable(spark, sf_dir):
+    """Side-output robustness: when the routing predicate matches
+    NOTHING in a batch, the side sink must still come out as a
+    readable (zero-row) parquet dataset, not a missing/invalid path —
+    the helper writes both filtered frames every trigger precisely so
+    downstream readers never special-case an empty quarantine."""
+    from pyspark.sql import functions as SF
+
+    from gostream_spark.streaming.runner import run_foreach_batch_split
+    from gostream_spark.streaming.source import file_stream
+
+    ev = file_stream(spark, sf_dir, "events").select("event_id", "event_type")
+    session, main_out, side_out = run_foreach_batch_split(
+        ev, lambda df: SF.col("event_type") == "no_such_type"
+    )
+    side = session.read.parquet(side_out)
+    assert side.count() == 0
+    assert set(side.columns) == {"event_id", "event_type"}
+    total = session.read.parquet(main_out).count()
+    assert total == ev.sparkSession.read.parquet(
+        f"{sf_dir.rstrip('/')}/events.parquet"
+    ).count()
