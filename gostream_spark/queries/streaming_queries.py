@@ -1310,58 +1310,14 @@ def streaming_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- S5/S6/T7 ext: incremental materialized-view maintenance ------------
 
-_MATVIEW_ORACLE = """
-SELECT event_type, CAST(count(*) AS BIGINT) AS event_cnt,
-       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-FROM events GROUP BY event_type
-"""
-
-
-@register(
-    "streaming_matview_incremental",
-    oracle=_MATVIEW_ORACLE,
-    tags=("S2", "S5", "S6", "T7", "A9", "ext"),
-)
-def streaming_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental MATERIALIZED-VIEW maintenance — the streaming
-    pattern behind every "live dashboard table": each micro-batch
-    computes its PARTIAL aggregate (count + cent-sum per type) and
-    foreachBatch merges it into the persisted view by key, writing a
-    fresh VERSIONED snapshot directory per batch (writers never
-    mutate the version a reader might be scanning — the same
-    copy-on-write discipline as a lakehouse table format). The input
-    is re-staged as four files streamed with maxFilesPerTrigger=1, so
-    the merge genuinely runs across several micro-batches (and
-    replayed batch ids are skipped — merge alone is not idempotent,
-    so versions are stamped with the batch id that built them);
-    because
-    count/sum partials merge associatively, the final view equals the
-    one-shot batch aggregate REGARDLESS of how the stream was
-    batched — exactly what the oracle asserts. At scale the merge is
-    a keyed outer join of (tiny) view vs (tiny) partials — never a
-    rescan of history; history-rescan-free maintenance is the entire
-    point of IVM."""
+def make_matview_merger(mv_root: str):
+    """Build the foreachBatch merger for `streaming_matview_incremental`
+    (module-level so replay idempotence is directly unit-testable).
+    Returns (state, merge_batch); state["current"] tracks the latest
+    version directory."""
     import os
     import uuid
 
-    from gostream_spark.streaming.runner import _scratch
-
-    # Stage the fixture as four files so availableNow yields >1 batch.
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
-    )
-    stage = _scratch("sink")
-    for i in range(4):
-        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
-            "append"
-        ).parquet(stage)
-
-    sdf = (
-        spark.readStream.schema("event_id long, event_type string, cents long")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-    )
-    mv_root = _scratch("sink")
     state = {"current": None}
 
     def merge_batch(batch_df, batch_id: int) -> None:
@@ -1404,6 +1360,62 @@ def streaming_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         version = os.path.join(mv_root, f"v{batch_id}-{uuid.uuid4().hex[:6]}")
         merged.write.mode("overwrite").parquet(version)
         state["current"] = version
+
+    return state, merge_batch
+
+
+
+
+_MATVIEW_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS event_cnt,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY event_type
+"""
+
+
+@register(
+    "streaming_matview_incremental",
+    oracle=_MATVIEW_ORACLE,
+    tags=("S2", "S5", "S6", "T7", "A9", "ext"),
+)
+def streaming_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance — the streaming
+    pattern behind every "live dashboard table": each micro-batch
+    computes its PARTIAL aggregate (count + cent-sum per type) and
+    foreachBatch merges it into the persisted view by key, writing a
+    fresh VERSIONED snapshot directory per batch (writers never
+    mutate the version a reader might be scanning — the same
+    copy-on-write discipline as a lakehouse table format). The input
+    is re-staged as four files streamed with maxFilesPerTrigger=1, so
+    the merge genuinely runs across several micro-batches (and
+    replayed batch ids are skipped — merge alone is not idempotent,
+    so versions are stamped with the batch id that built them);
+    because
+    count/sum partials merge associatively, the final view equals the
+    one-shot batch aggregate REGARDLESS of how the stream was
+    batched — exactly what the oracle asserts. At scale the merge is
+    a keyed outer join of (tiny) view vs (tiny) partials — never a
+    rescan of history; history-rescan-free maintenance is the entire
+    point of IVM."""
+    from gostream_spark.streaming.runner import _scratch
+
+    # Stage the fixture as four files so availableNow yields >1 batch.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    stage = _scratch("sink")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    sdf = (
+        spark.readStream.schema("event_id long, event_type string, cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    mv_root = _scratch("sink")
+    state, merge_batch = make_matview_merger(mv_root)
 
     ckpt = _scratch("ckpt")
     q = (

@@ -520,3 +520,31 @@ def test_split_sink_empty_side_still_readable(spark, sf_dir):
     assert total == ev.sparkSession.read.parquet(
         f"{sf_dir.rstrip('/')}/events.parquet"
     ).count()
+
+
+def test_matview_merge_replay_is_idempotent(spark, tmp_path):
+    """Replaying a batch id (foreachBatch's at-least-once contract
+    after recovery) must NOT double-count: the merger stamps each
+    version with its batch id and skips already-applied ids."""
+    from gostream_spark.queries.streaming_queries import make_matview_merger
+
+    mv_root = str(tmp_path / "mv")
+    import os
+
+    os.makedirs(mv_root, exist_ok=True)
+    state, merge = make_matview_merger(mv_root)
+
+    b0 = spark.createDataFrame(
+        [("click", 100), ("click", 50), ("view", 10)],
+        "event_type string, cents long",
+    )
+    b1 = spark.createDataFrame([("click", 25)], "event_type string, cents long")
+    merge(b0, 0)
+    merge(b1, 1)
+    merge(b1, 1)  # replay of batch 1 — must be a no-op
+    merge(b0, 0)  # late replay of batch 0 — must be a no-op
+    final = {
+        r.event_type: (r.event_cnt, r.value_cents)
+        for r in spark.read.parquet(state["current"]).collect()
+    }
+    assert final == {"click": (3, 175), "view": (1, 10)}, final
