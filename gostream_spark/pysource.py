@@ -147,7 +147,16 @@ class _SynthStreamReader(SimpleDataSourceStreamReader):
         return [_row(i) for i in range(lo, hi)], {"pos": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return [_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+        # MUST be an iterator, not a list: this path runs on the
+        # EXECUTOR during crash-recovery replay, where the Python
+        # data-source worker type-checks the return
+        # (DATA_SOURCE_INVALID_RETURN_TYPE on a list). read() above is
+        # different — it runs driver-side and its result is copied for
+        # prefetch, which requires the concrete list. The mismatch only
+        # surfaces when a restart actually replays an uncommitted
+        # batch, which is timing-dependent — caught by
+        # test_stream_checkpoint_recovery_exactly_once under load.
+        return iter([_row(i) for i in range(int(start["pos"]), int(end["pos"]))])
 
 
 class _FileCommit(WriterCommitMessage):
