@@ -490,3 +490,86 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("source", "doc_id", "importance_u", "n_tokens")
     )
+
+
+# --- CCNet-style per-language perplexity buckets ------------------------
+
+_CCNET_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+), freq AS (
+  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+), per AS (
+  SELECT tok.doc_id,
+         count(*) AS n_tokens,
+         sum(CAST(floor(1e6 * ln(freq.cnt)) AS BIGINT)) AS s_micro
+  FROM tok JOIN freq USING (token) GROUP BY tok.doc_id
+), scored AS (
+  SELECT d.lang, per.doc_id, per.n_tokens,
+         -- integer mean micro log-count: LOW = rare-token soup (high
+         -- nll), HIGH = fluent/common tokens. Pure integer division,
+         -- no float anywhere in the ordering key.
+         per.s_micro // per.n_tokens AS mean_micro
+  FROM per JOIN documents d USING (doc_id)
+), bucketed AS (
+  SELECT lang, n_tokens,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY mean_micro DESC, doc_id) AS b
+  FROM scored
+)
+SELECT lang,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS token_mass
+FROM bucketed GROUP BY lang, b
+"""
+
+
+@register("ccnet_perplexity_buckets", oracle=_CCNET_ORACLE, tags=("L8", "L7", "W1", "ext"))
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per language, rank documents by LM score and
+    split into terciles — head (most fluent) feeds training first,
+    tail gets dropped or down-weighted. The LM here is the corpus's
+    own unigram model (`unigram_logprob_quality`); the ranking key is
+    the per-doc INTEGER mean of micro-quantized ln(count) — mean log
+    count DESC equals NLL ASC — so the tercile boundary is integer
+    arithmetic on both engines and cannot be split by a float ulp.
+    Shape: the two corpus shuffles of the NLL query, one lang window
+    for the terciles, one tiny final aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    per = (
+        tok.join(freq, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.floor(1e6 * F.log(F.col("cnt"))).cast("bigint")
+            ).alias("s_micro"),
+        )
+    )
+    scored = per.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "doc_id",
+        "n_tokens",
+        F.expr("s_micro div n_tokens").alias("mean_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("mean_micro").desc(), F.col("doc_id")
+    )
+    bucketed = scored.select(
+        "lang", "n_tokens", F.ntile(3).over(w).alias("b")
+    )
+    return bucketed.groupBy(
+        "lang",
+        F.when(F.col("b") == 1, "head")
+        .when(F.col("b") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("token_mass"),
+    )
