@@ -1430,3 +1430,59 @@ def streaming_matview_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
         q.stop()
     assert state["current"] is not None
     return spark.read.parquet(state["current"])
+
+
+# --- T6 seventh shape: duration-capped sessions in streaming state ------
+
+_CAPPED_STREAM_ORACLE = """
+WITH RECURSIVE ordered AS (
+  SELECT user_id, ts, event_id, epoch_us(ts) AS us,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE user_id < 20
+), walk AS (
+  SELECT user_id, ts, us, rn, us AS anchor_us, 1 AS session_no
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.user_id, o.ts, o.us, o.rn,
+         CASE WHEN o.us - w.us <= 1800000000
+                   AND o.us - w.anchor_us <= 7200000000
+              THEN w.anchor_us ELSE o.us END,
+         CASE WHEN o.us - w.us <= 1800000000
+                   AND o.us - w.anchor_us <= 7200000000
+              THEN w.session_no ELSE w.session_no + 1 END
+  FROM ordered o JOIN walk w
+    ON o.user_id = w.user_id AND o.rn = w.rn + 1
+), sess AS (
+  SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+         CAST(count(*) AS BIGINT) AS n_events,
+         strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+         strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+  FROM walk GROUP BY user_id, session_no
+)
+SELECT * FROM sess s
+WHERE session_no < (SELECT max(session_no) FROM sess m
+                    WHERE m.user_id = s.user_id)
+"""
+
+
+@register(
+    "streaming_session_capped_stateful",
+    oracle=_CAPPED_STREAM_ORACLE,
+    tags=("S2", "T6", "T3", "ext"),
+)
+def streaming_session_capped_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 seventh shape: the duration-capped session recurrence
+    (gap > 30 min OR span > 2 h splits — not window-expressible) held
+    in per-key streaming state. Each micro-batch folds its events
+    into the user's open session and emits only the sessions it
+    CLOSED; the open session rides in state and never emits — so the
+    exact oracle is the batch recursive-CTE walk MINUS each user's
+    last session. This is the streaming twin of the batch
+    `session_window_capped` (same recurrence, applyInPandas) and the
+    capstone of the T6 matrix: counter, set, numeric recurrence,
+    transition, count-window, sketch, and now a session machine."""
+    ev = file_stream(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    from gostream_spark.streaming.ops import capped_session_stateful
+
+    return run_available_now(capped_session_stateful(ev), output_mode="append")

@@ -632,3 +632,99 @@ def lindley_stateful(events_with_delta: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- T6 seventh shape: duration-capped sessions in state ----------------
+
+_CS_GAP_US = 1_800 * 1_000_000
+_CS_LEN_US = 7_200 * 1_000_000
+_CS_STATE_SCHEMA = StructType(
+    [
+        StructField("anchor_us", LongType()),
+        StructField("prev_us", LongType()),
+        StructField("session_no", LongType()),
+        StructField("cur_start_us", LongType()),
+        StructField("cur_count", LongType()),
+    ]
+)
+_CS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_no", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_start", StringType()),
+        StructField("session_end", StringType()),
+    ]
+)
+
+
+def _capped_session_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Sequential capped-session recurrence held in per-key state:
+    a session CLOSES (and emits) when the next event's gap exceeds
+    30 min or the span from the session anchor would exceed the 2 h
+    cap. The open session rides in state across micro-batches; it
+    never emits (matching the exact oracle, which drops each user's
+    last session). Integer-microsecond math throughout."""
+
+    def fmt(us: int) -> str:
+        return pd.Timestamp(us, unit="us").strftime("%Y-%m-%d %H:%M:%S")
+
+    if state.exists:
+        anchor, prev, sess_no, cur_start, cur_count = state.get
+    else:
+        anchor = prev = cur_start = None
+        sess_no, cur_count = 0, 0
+    out = []
+    # Order-sensitive fold: materialize ALL Arrow chunks and sort once
+    # (chunk arrival order is arbitrary — same discipline as _ewma_fn).
+    chunks = list(pdfs)
+    if chunks:
+        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+        for us in pdf["ts"].astype("datetime64[us]").astype("int64"):
+            if (
+                anchor is None
+                or us - prev > _CS_GAP_US
+                or us - anchor > _CS_LEN_US
+            ):
+                if anchor is not None:
+                    out.append(
+                        (key[0], sess_no, cur_count, fmt(cur_start), fmt(prev))
+                    )
+                sess_no += 1
+                anchor = us
+                cur_start = us
+                cur_count = 0
+            cur_count += 1
+            prev = us
+    state.update((anchor, prev, sess_no, cur_start, cur_count))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id",
+                "session_no",
+                "n_events",
+                "session_start",
+                "session_end",
+            ],
+        )
+
+
+def capped_session_stateful(events: DataFrame) -> DataFrame:
+    """T6 seventh shape: the duration-capped session rule
+    (gap OR max-length split — not window-expressible; see the batch
+    twin `queries.event_time.session_window_capped`) as per-key
+    streaming state. State is five integers per user — O(1) forever —
+    and each micro-batch folds its events into the open session,
+    emitting only sessions it CLOSED."""
+    return events.select("user_id", "ts", "event_id").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
+        _capped_session_state_fn,
+        outputStructType=_CS_OUT_SCHEMA,
+        stateStructType=_CS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
