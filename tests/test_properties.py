@@ -1223,3 +1223,44 @@ def test_capped_session_fold_invariants(gaps_s):
     counts = pd.Series(assignment).value_counts().sort_index()
     got = out.sort_values("session_no")["n_events"].tolist()
     assert got == counts.tolist()
+
+
+@given(
+    gaps_s=st.lists(st.integers(min_value=0, max_value=4000), min_size=2, max_size=50),
+    n_batches=st.integers(min_value=1, max_value=5),
+)
+@settings(max_examples=60, deadline=None)
+def test_streaming_capped_session_equals_batch_minus_open(gaps_s, n_batches):
+    """The streaming capped-session state machine, fed the same events
+    over ANY time-ordered micro-batch split, must emit exactly the
+    batch fold's sessions minus the final still-open one."""
+    import pandas as pd
+
+    from gostream_spark.queries.event_time import _capped_session_fold
+    from gostream_spark.streaming import ops
+
+    base = pd.Timestamp("2024-01-01")
+    ts, t = [], base
+    for g in gaps_s:
+        t = t + pd.Timedelta(seconds=g)
+        ts.append(t)
+    pdf = pd.DataFrame({"user_id": 7, "ts": ts, "event_id": range(len(ts))})
+
+    batch = _capped_session_fold(pdf.copy())
+    want = batch.iloc[:-1]  # drop the last (open) session
+
+    state = _FakeGroupState()
+    step = max(1, len(ts) // n_batches)
+    emitted = []
+    for i in range(0, len(ts), step):
+        chunk = pdf.iloc[i : i + step]
+        for out in ops._capped_session_state_fn((7,), iter([chunk]), state):
+            emitted.append(out)
+    got = (
+        pd.concat(emitted, ignore_index=True)
+        if emitted
+        else pd.DataFrame(columns=want.columns)
+    )
+    assert len(got) == len(want), (len(got), len(want))
+    for col in ("session_no", "n_events", "session_start", "session_end"):
+        assert got[col].tolist() == want[col].tolist(), col
