@@ -1486,3 +1486,53 @@ def streaming_session_capped_stateful(spark: SparkSession, sf_dir: str) -> DataF
     from gostream_spark.streaming.ops import capped_session_stateful
 
     return run_available_now(capped_session_stateful(ev), output_mode="append")
+
+
+# --- S5 ext: time-travel read over the matview version history ----------
+
+_TIME_TRAVEL_ORACLE = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS event_cnt,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events WHERE event_id % 4 < 2
+GROUP BY event_type
+"""
+
+
+@register(
+    "matview_time_travel",
+    oracle=_TIME_TRAVEL_ORACLE,
+    tags=("S5", "S6", "A9", "ext"),
+)
+def matview_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the incremental view's version history: because
+    `streaming_matview_incremental`'s merger writes an immutable
+    copy-on-write snapshot per batch (stamped with the batch id), ANY
+    historical state remains readable after later batches commit —
+    the lakehouse `VERSION AS OF` semantic, built from nothing but
+    directories and the batch-id naming discipline. Here batches 0-3
+    are the four event_id%4 slices in order; reading version v1 (the
+    snapshot AFTER batch 1 merged) must equal the batch aggregate
+    over slices {0,1} — which is exactly what the oracle computes.
+    Old versions are immutable so readers never race writers; a
+    retention sweep (the `.tmp` janitor here; VACUUM in a table
+    format) bounds history storage."""
+    import os
+
+    from gostream_spark.streaming.runner import _scratch
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mv_root = _scratch("sink")
+    os.makedirs(mv_root, exist_ok=True)
+    state, merge = make_matview_merger(mv_root)
+    # Apply the four slices as batches 0..3 (deterministic replay of
+    # the incremental pipeline, driver-sequenced for exact versioning).
+    for b in range(4):
+        merge(ev.filter(F.col("event_id") % 4 == b), b)
+    # Time travel: resolve the v1 snapshot from the directory naming
+    # discipline alone — no driver-side bookkeeping needed.
+    (v1,) = [d for d in os.listdir(mv_root) if d.startswith("v1-")]
+    return spark.read.parquet(os.path.join(mv_root, v1))
