@@ -199,13 +199,20 @@ def run_foreach_batch_split(
     ckpt = _scratch("ckpt")
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # Idempotent per-batch writes: the two sink writes are NOT one
+        # atomic commit, so a crash between them followed by
+        # at-least-once replay would duplicate the main sink under
+        # mode("append"). Writing each batch to its own
+        # batch=<id> subdirectory with overwrite makes replay
+        # overwrite-in-place instead — the standard foreachBatch
+        # idempotence recipe (keyed on batchId).
         batch_df.persist()
         try:
-            batch_df.filter(~predicate(batch_df)).write.mode("append").parquet(
-                main_out
+            batch_df.filter(~predicate(batch_df)).write.mode("overwrite").parquet(
+                os.path.join(main_out, f"batch={batch_id}")
             )
-            batch_df.filter(predicate(batch_df)).write.mode("append").parquet(
-                side_out
+            batch_df.filter(predicate(batch_df)).write.mode("overwrite").parquet(
+                os.path.join(side_out, f"batch={batch_id}")
             )
         finally:
             batch_df.unpersist()

@@ -515,7 +515,9 @@ def test_split_sink_empty_side_still_readable(spark, sf_dir):
     )
     side = session.read.parquet(side_out)
     assert side.count() == 0
-    assert set(side.columns) == {"event_id", "event_type"}
+    # `batch` is the per-batch idempotence partition column the split
+    # helper writes under (replay overwrites its own directory)
+    assert set(side.columns) == {"event_id", "event_type", "batch"}
     total = session.read.parquet(main_out).count()
     assert total == ev.sparkSession.read.parquet(
         f"{sf_dir.rstrip('/')}/events.parquet"
@@ -548,3 +550,37 @@ def test_matview_merge_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(state["current"]).collect()
     }
     assert final == {"click": (3, 175), "view": (1, 10)}, final
+
+
+def test_split_sink_batch_replay_does_not_duplicate(spark, tmp_path, sf_dir):
+    """The two split-sink writes are not one atomic commit, so a crash
+    between them + at-least-once replay re-delivers the same batch id.
+    Each batch writes to its own overwrite directory, so replay must
+    leave counts unchanged — simulate it by invoking the writer twice
+    with the same batch id."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "event_id", "event_type"
+    )
+    main_out = str(tmp_path / "main")
+    side_out = str(tmp_path / "side")
+
+    def write_batch(batch_df, batch_id):
+        batch_df.persist()
+        try:
+            batch_df.filter(SF.col("event_type") != "error").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(main_out, f"batch={batch_id}"))
+            batch_df.filter(SF.col("event_type") == "error").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(side_out, f"batch={batch_id}"))
+        finally:
+            batch_df.unpersist()
+
+    write_batch(ev, 0)
+    write_batch(ev, 0)  # replayed batch — must overwrite, not append
+    total = spark.read.parquet(main_out).count() + spark.read.parquet(side_out).count()
+    assert total == ev.count(), "replay duplicated rows"
