@@ -1264,3 +1264,60 @@ def test_streaming_capped_session_equals_batch_minus_open(gaps_s, n_batches):
     assert len(got) == len(want), (len(got), len(want))
     for col in ("session_no", "n_events", "session_start", "session_end"):
         assert got[col].tolist() == want[col].tolist(), col
+
+
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c"]),
+                st.integers(min_value=-500, max_value=500),
+            ),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    replay_mask=st.lists(st.booleans(), min_size=4, max_size=4),
+)
+@settings(**_SETTINGS)
+def test_matview_merger_random_batches_and_replays(
+    spark, tmp_path_factory, batches, replay_mask
+):
+    """Fuzz the incremental-view merger: arbitrary batch contents
+    (including empty batches and negative amounts), with arbitrary
+    batches replayed after later ones committed — the final view must
+    equal the one-shot aggregate of every batch applied exactly
+    once."""
+    from collections import defaultdict
+
+    from gostream_spark.queries.streaming_queries import make_matview_merger
+
+    mv_root = str(tmp_path_factory.mktemp("mv"))
+    state, merge = make_matview_merger(mv_root)
+
+    def mkdf(rows):
+        return spark.createDataFrame(
+            rows or [("__none__", 0)], "event_type string, cents long"
+        ).filter(F.col("event_type") != "__none__")
+
+    for bid, rows in enumerate(batches):
+        merge(mkdf(rows), bid)
+    for bid, rows in enumerate(batches):
+        if bid < len(replay_mask) and replay_mask[bid]:
+            merge(mkdf(rows), bid)  # replays, in arbitrary late order
+
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for rows in batches:
+        for etype, cents in rows:
+            want[etype][0] += 1
+            want[etype][1] += cents
+    if state["current"] is None:
+        assert not want
+        return
+    got = {
+        r.event_type: [r.event_cnt, r.value_cents]
+        for r in spark.read.parquet(state["current"]).collect()
+    }
+    assert got == dict(want), (got, dict(want))
