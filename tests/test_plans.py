@@ -568,6 +568,21 @@ def test_snowflake_chain_reorders_to_broadcast_star(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in plan
 
 
+def test_round6_window_shapes_single_exchange(spark, sf_dir):
+    # each of these rides exactly ONE keyed exchange: the two window
+    # specs of the rank trio share their mktsegment partition (sort
+    # is a sub-order, not a shuffle); the RANGE frame, the
+    # gaps-and-islands pattern chain, and the CDC rank likewise
+    for name in (
+        "window_distribution_ranks",
+        "rolling_interval_features",
+        "pattern_error_burst_recovery",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "CartesianProduct" not in plan, name
+
+
 def test_graph_queries_no_cartesian(spark, sf_dir):
     # triangle enumeration and the k-core peel are pure equi-join
     # pipelines: candidates come from the orderkey self-join and the
