@@ -1089,3 +1089,97 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("label", "vec_id", "keeper", "cos")
     )
+
+
+# --- L3/L5 ext: kNN label-disagreement (mislabel candidates) ------------
+
+_MISLABEL_ORACLE = f"""
+WITH sub AS (
+  SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+), pairs AS (
+  SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round({_duck_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                    b.vec_id) AS rn
+  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+), votes AS (
+  SELECT vec_id, own_label, nb_label, count(*) AS v
+  FROM pairs WHERE rn <= 5 GROUP BY vec_id, own_label, nb_label
+), winner AS (
+  SELECT vec_id, own_label, nb_label AS voted_label, v AS n_votes
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY v DESC, nb_label) AS wr
+        FROM votes) WHERE wr = 1
+)
+SELECT vec_id, own_label, voted_label, CAST(n_votes AS BIGINT) AS n_votes
+FROM winner
+WHERE voted_label <> own_label AND n_votes >= 3
+"""
+
+
+@register("knn_label_disagreement", oracle=_MISLABEL_ORACLE, tags=("L3", "L5", "ext"))
+def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by NEIGHBOR VOTE (the Confident-Learning
+    / cleanlab family's simplest member): a vector whose 5 nearest
+    neighbors majority-vote a DIFFERENT label (>=3 of 5) is a
+    mislabel candidate — the standard triage pass before training on
+    scraped labels. Runs on the explicit 1-in-5 subset like the other
+    exact pairwise forms; at corpus scale the neighbor arm swaps to
+    the IVF/LSH candidate path (`ivf_topk`, `similarity_lsh_buckets`)
+    with identical vote logic. Determinism: cosines rounded to 6dp
+    before the neighbor ranking, vote ties broken by label — both
+    window orders are total, so the flagged set is bit-stable
+    cross-engine."""
+    from gostream_spark.functions import dot_product, l2_norm
+
+    sub = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % 5 == 0)
+        .select(
+            "vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("nrm")
+        )
+    )
+    a = sub.select(
+        F.col("vec_id"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = sub.select(
+        F.col("vec_id").alias("nb_id"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, F.col("vec_id") != F.col("nb_id")).select(
+        "vec_id",
+        "own_label",
+        "nb_label",
+        F.round(
+            F.try_divide(
+                dot_product(F.col("ea"), F.col("eb")), F.col("na") * F.col("nb")
+            ),
+            6,
+        ).alias("cos"),
+        "nb_id",
+    )
+    w_nb = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nb_id"))
+    votes = (
+        pairs.withColumn("rn", F.row_number().over(w_nb))
+        .filter(F.col("rn") <= 5)
+        .groupBy("vec_id", "own_label", "nb_label")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    w_win = Window.partitionBy("vec_id").orderBy(F.col("v").desc(), F.col("nb_label"))
+    return (
+        votes.withColumn("wr", F.row_number().over(w_win))
+        .filter(F.col("wr") == 1)
+        .filter((F.col("nb_label") != F.col("own_label")) & (F.col("v") >= 3))
+        .select(
+            "vec_id",
+            "own_label",
+            F.col("nb_label").alias("voted_label"),
+            F.col("v").cast("long").alias("n_votes"),
+        )
+    )

@@ -991,3 +991,86 @@ def graph_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(edges).select(
         F.col("v").alias("brand"), F.col("d").cast("long").alias("induced_degree")
     )
+
+
+# --- Feature cleaning: percentile winsorization (clip at P5/P95) --------
+
+_WINSOR_ORACLE = """
+WITH cents AS (
+  SELECT c_mktsegment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), bounds AS (
+  SELECT c_mktsegment,
+         CAST(quantile_disc(price_cents, 0.05) AS BIGINT) AS lo,
+         CAST(quantile_disc(price_cents, 0.95) AS BIGINT) AS hi
+  FROM cents GROUP BY c_mktsegment
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(*) FILTER (WHERE price_cents < lo OR price_cents > hi)
+            AS BIGINT) AS n_clipped,
+       CAST(sum(least(greatest(price_cents, lo), hi)) AS BIGINT)
+         AS winsorized_cents,
+       CAST(sum(price_cents) AS BIGINT) AS raw_cents
+FROM cents c JOIN bounds b ON c.c_mktsegment = b.c_mktsegment
+GROUP BY c.c_mktsegment
+"""
+
+
+@register("winsorize_order_values", oracle=_WINSOR_ORACLE, tags=("A8", "F3", "ext"))
+def winsorize_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature cleaning by WINSORIZATION: per market segment, clip
+    order values into the [P5, P95] band and report the clipped count
+    plus raw-vs-winsorized mass — the standard outlier treatment
+    before feeding monetary features to a model (unlike dropping,
+    winsorizing keeps the row but bounds its leverage). Percentiles
+    are DISCRETE (exact member values, integer cents), so the clip
+    bounds and every clipped value are pure integer arithmetic on
+    both engines. Two passes over a single shuffle key: the per-group
+    bounds aggregate (tiny) joins back onto the same
+    segment-partitioned stream."""
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+    bounds = cents.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY price_cents)")
+        .cast("long")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY price_cents)")
+        .cast("long")
+        .alias("hi"),
+    )
+    clipped = cents.join(
+        F.broadcast(bounds), cents.c_mktsegment == bounds.seg
+    ).select(
+        "c_mktsegment",
+        "price_cents",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("price_cents"), F.col("lo")), F.col("hi")).alias(
+            "w_cents"
+        ),
+    )
+    return clipped.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.count(
+            F.when(
+                (F.col("price_cents") < F.col("lo"))
+                | (F.col("price_cents") > F.col("hi")),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_clipped"),
+        F.sum("w_cents").cast("long").alias("winsorized_cents"),
+        F.sum("price_cents").cast("long").alias("raw_cents"),
+    )
