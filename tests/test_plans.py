@@ -583,6 +583,27 @@ def test_round6_window_shapes_single_exchange(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    # the per-segment P5/P95 bounds table is segment-cardinality tiny
+    # and must broadcast back onto the stream — re-shuffling the fact
+    # for a 5-row join would be the wrong plan at any scale
+    plan = _plan(spark, sf_dir, "winsorize_order_values")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_knn_disagreement_subset_is_broadcast_pairwise(spark, sf_dir):
+    # the exact pairwise arm runs on the explicit 1-in-5 SUBSET: the
+    # non-equi self-pairing is a broadcast nested loop over that
+    # bounded subset (intended — it IS the ground-truth arm), never a
+    # corpus-sized cartesian; the vote windows share one exchange
+    plan = _plan(spark, sf_dir, "knn_label_disagreement")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_graph_queries_no_cartesian(spark, sf_dir):
     # triangle enumeration and the k-core peel are pure equi-join
     # pipelines: candidates come from the orderkey self-join and the
