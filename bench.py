@@ -22,6 +22,22 @@ from gostream_spark.registry import all_queries  # noqa: E402
 from gostream_spark.session import get_spark  # noqa: E402
 
 
+def _probe_once_ms() -> float:
+    """One un-minimized run of the xorshift loop. Used PER QUERY so
+    late-session container load is visible next to the query that paid
+    it: the r6 winnowing anomaly (2.0-2.5x vs local with an idle
+    start-of-run sentinel) showed a single session-level probe cannot
+    see load arriving mid-bench. NOT best-of-N on purpose — spikes are
+    the signal here, not noise to minimize away."""
+    t0 = time.perf_counter()
+    x = 88172645463325252
+    for _ in range(2_000_00):
+        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
+        x ^= x >> 7
+        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
+    return round((time.perf_counter() - t0) * 1000, 2)
+
+
 def _load_sentinel_ms() -> float:
     """Fixed CPU-bound, no-I/O, no-Spark probe timed alongside the
     headline set: a pure-Python xorshift64* loop whose work is
@@ -59,7 +75,9 @@ def main() -> None:
     # estimate of the plan's cost).
     for name in queries_list:
         queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    load_ms: dict[str, float] = {}
     for name in queries_list:
+        load_ms[name] = _probe_once_ms()
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
@@ -76,6 +94,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sentinel_ms": sentinel_ms,
+                "query_load_ms": load_ms,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1091,6 +1091,145 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- L2 ext: SemDeDup with corpus-size-derived cluster count ------------
+
+_SEMDEDUP_CAP = 32  # max rows per fine cluster => k grows ~ N/32 with N
+
+_SEMDEDUP_SCALED_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, label, embedding,
+         round(list_aggregate(list_transform(embedding,
+               v -> CAST(v AS DOUBLE)), 'sum'), 6) AS proj
+  FROM embeddings
+), ranked AS (
+  SELECT vec_id, label, embedding,
+         CAST(floor((row_number() OVER (PARTITION BY label
+                                        ORDER BY proj, vec_id) - 1)
+                    / {_SEMDEDUP_CAP}) AS BIGINT) AS sub_cluster
+  FROM base
+), pairs AS (
+  SELECT a.label, a.sub_cluster, b.vec_id AS vec_id, a.vec_id AS keeper,
+         round({_duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos
+  FROM ranked a JOIN ranked b
+    ON a.label = b.label AND a.sub_cluster = b.sub_cluster
+   AND a.vec_id < b.vec_id
+  WHERE round({_duck_cosine('a.embedding', 'b.embedding')}, 6) >= {_SEMDEDUP_TAU}
+), best AS (
+  SELECT label, sub_cluster, vec_id, keeper, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, keeper) AS rn
+  FROM pairs)
+SELECT label, sub_cluster, vec_id, keeper, cos FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "semantic_dedup_scaled",
+    oracle=_SEMDEDUP_SCALED_ORACLE,
+    tags=("L2", "L4", "L5", "ext"),
+    bench=True,
+)
+def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup in its SCALE regime: cluster count derived from corpus
+    size so per-cluster pair work stays bounded as N grows — the
+    fixture-fixed k=10 of `semantic_dedup_semdedup` makes |cluster|
+    grow with N and the pair count grow as N^2/10 (PERF.md's one
+    super-linear row). Note that a literal k = sqrt(N) is NOT enough:
+    sum-over-clusters |c|^2 = N^2/k = N^1.5, still super-linear (a
+    10x corpus step means 31.6x more pairs). What the SemDeDup paper's
+    k choice actually buys is BOUNDED CLUSTER CAPACITY, so this
+    variant pins |cluster| <= 32 and lets k ~ N/32 grow linearly with
+    the corpus: total pairs <= 32N, and PERF.md's sf-step goes linear.
+
+    Mechanics: the coarse semantic assignment is the fixture `label`
+    (production: the registered `nearest_centroid` /
+    `kmeans_refined_clusters` k-means path); each coarse cluster is
+    then refined into capacity-32 fine clusters by sorting on a fixed
+    linear functional of the embedding (the all-ones projection — a
+    deterministic 1-D locality proxy, i.e. a balanced 1-D k-means
+    refinement) and chunking the sorted order. Both engines compute
+    the projection as the identical left-to-right float64 fold, and
+    it is rounded to 6dp with vec_id tie-breaks, so the fine
+    assignment is bit-stable cross-engine. Pairing and keeper ranking
+    are then exactly `semantic_dedup_semdedup`'s, scoped to
+    (label, sub_cluster).
+
+    Plan shape at 100 TB: one range-partitioned sort per coarse
+    cluster for the refinement (Spark window on label — at real scale
+    the label space is the k-means cell id, so these windows are many
+    and small), then ONE hash shuffle on (label, sub_cluster) for the
+    self-join; candidates never cross fine clusters and per-task pair
+    fan-out is capped at 32^2/2."""
+    from gostream_spark.functions import dot_product, l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        F.round(
+            F.aggregate(
+                F.col("embedding"),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double"),
+            ),
+            6,
+        ).alias("proj"),
+    )
+    w_lbl = Window.partitionBy("label").orderBy("proj", "vec_id")
+    fine = emb.select(
+        "label",
+        "vec_id",
+        "embedding",
+        "nrm",
+        F.floor((F.row_number().over(w_lbl) - 1) / _SEMDEDUP_CAP)
+        .cast("long")
+        .alias("sub_cluster"),
+    )
+    a = fine.select(
+        "label",
+        "sub_cluster",
+        F.col("vec_id").alias("keeper"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = fine.select(
+        F.col("label").alias("label_b"),
+        F.col("sub_cluster").alias("sub_b"),
+        "vec_id",
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (a.label == b.label_b)
+            & (a.sub_cluster == b.sub_b)
+            & (a.keeper < b.vec_id),
+        )
+        .select(
+            "label",
+            "sub_cluster",
+            "vec_id",
+            "keeper",
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("emb_a"), F.col("emb_b")),
+                    F.col("nrm_a") * F.col("nrm_b"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(_SEMDEDUP_TAU))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("keeper"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("label", "sub_cluster", "vec_id", "keeper", "cos")
+    )
+
+
 # --- L3/L5 ext: kNN label-disagreement (mislabel candidates) ------------
 
 _MISLABEL_ORACLE = f"""

@@ -326,7 +326,10 @@ def multimodal_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REASSEMBLY_ORACLE = """
 WITH src AS (
   SELECT doc_id, text, md5(text) AS whole_digest,
-         CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_chunks
+         -- length() = CHARACTER count, matching Spark's F.length on a
+         -- STRING column (strlen would count UTF-8 bytes and diverge
+         -- on any non-ASCII doc; both sides slice by characters).
+         CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_chunks
   FROM documents WHERE doc_id % 10 = 0
 ), chunks AS (
   SELECT s.doc_id, i.i AS chunk_idx,

@@ -329,7 +329,12 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w_probe.orderBy(F.col("cos").desc(), F.col("vec_id"))),
         )
         .filter(F.col("rn") <= 10)
-        .select("probe_id", "vec_id")
+        # Alias the key so the final exact-vs-ivf join compares two
+        # UNAMBIGUOUS attributes; both arms descend from the same
+        # broadcast `probes`, and an un-aliased probe_id == probe_id
+        # self-join equality relies on dataset-id disambiguation that
+        # could degenerate to a trivially-true predicate.
+        .select(F.col("probe_id").alias("x_probe_id"), "vec_id")
     )
     cells = (
         centroids.crossJoin(probes)
@@ -366,10 +371,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exact.join(
             ivf,
-            (exact.probe_id == ivf.probe_id)
-            & (exact.vec_id == ivf.ivf_vec_id),
+            (F.col("x_probe_id") == F.col("probe_id"))
+            & (F.col("vec_id") == F.col("ivf_vec_id")),
             "left",
         )
-        .groupBy(exact.probe_id)
+        .groupBy("x_probe_id")
         .agg(F.count("ivf_vec_id").cast("long").alias("recall_hits"))
+        .select(F.col("x_probe_id").alias("probe_id"), "recall_hits")
     )

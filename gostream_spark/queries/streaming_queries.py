@@ -1327,8 +1327,16 @@ def make_matview_merger(mv_root: str):
         # version dir carries the batch id that produced it and a
         # replayed id is skipped — the manifest trick the
         # gostream_jsonl stream sink uses, applied to view versions.
+        # Only DURABLY COMMITTED versions suppress replay: versions are
+        # staged under a dot-prefixed temp dir and renamed into place
+        # atomically (below), so a crash mid-write leaves only a
+        # `.staging-*` orphan that is invisible here — the batch id is
+        # NOT considered applied and the at-least-once redelivery
+        # re-merges it instead of silently losing it.
         applied = {
-            d.split("-")[0] for d in os.listdir(mv_root)
+            d.split("-")[0]
+            for d in os.listdir(mv_root)
+            if d.startswith("v")
         } if os.path.isdir(mv_root) else set()
         if f"v{batch_id}" in applied:
             return
@@ -1357,8 +1365,15 @@ def make_matview_merger(mv_root: str):
             )
         else:
             merged = partial
-        version = os.path.join(mv_root, f"v{batch_id}-{uuid.uuid4().hex[:6]}")
-        merged.write.mode("overwrite").parquet(version)
+        # Stage + atomic rename: parquet directory writes are not
+        # atomic, so the final v{batch_id}-* name must only ever
+        # appear once the write fully succeeded (same staging/rename
+        # discipline as the gostream_jsonl 2PC sink).
+        token = uuid.uuid4().hex[:6]
+        staging = os.path.join(mv_root, f".staging-{batch_id}-{token}")
+        version = os.path.join(mv_root, f"v{batch_id}-{token}")
+        merged.write.mode("overwrite").parquet(staging)
+        os.rename(staging, version)
         state["current"] = version
 
     return state, merge_batch

@@ -552,6 +552,38 @@ def test_matview_merge_replay_is_idempotent(spark, tmp_path):
     assert final == {"click": (3, 175), "view": (1, 10)}, final
 
 
+def test_matview_crashed_staging_write_does_not_suppress_replay(
+    spark, tmp_path
+):
+    """A crash MID-write must not mark the batch applied: the merger
+    stages each version under `.staging-*` and renames atomically, so
+    a partial write leaves only a staging orphan. Replaying the same
+    batch id must then genuinely merge it (not skip it), and the
+    orphan must never be mistaken for a committed version."""
+    import os
+
+    from gostream_spark.queries.streaming_queries import make_matview_merger
+
+    mv_root = str(tmp_path / "mv")
+    os.makedirs(mv_root, exist_ok=True)
+    # Simulate a crash while batch 0 was being written: a partial
+    # staging directory exists, but no committed v0-* version.
+    os.makedirs(os.path.join(mv_root, ".staging-0-deadbe"))
+    state, merge = make_matview_merger(mv_root)
+
+    b0 = spark.createDataFrame(
+        [("click", 100), ("view", 10)], "event_type string, cents long"
+    )
+    merge(b0, 0)  # redelivery after the simulated crash
+    committed = [d for d in os.listdir(mv_root) if d.startswith("v0-")]
+    assert len(committed) == 1, os.listdir(mv_root)
+    final = {
+        r.event_type: (r.event_cnt, r.value_cents)
+        for r in spark.read.parquet(state["current"]).collect()
+    }
+    assert final == {"click": (1, 100), "view": (1, 10)}, final
+
+
 def test_split_sink_batch_replay_does_not_duplicate(spark, tmp_path, sf_dir):
     """The two split-sink writes are not one atomic commit, so a crash
     between them + at-least-once replay re-delivers the same batch id.
