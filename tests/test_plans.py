@@ -658,3 +658,65 @@ def test_lindley_single_user_exchange(spark, sf_dir):
     # user_id: one exchange for the windows + at most one for the agg
     assert plan.count("Exchange hashpartitioning(user_id") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_q6_scan_bound_pushdown(spark, sf_dir):
+    # Q6 shape: single scan, shipdate + quantity predicates pushed to
+    # parquet, one partial->final aggregate — only 1-row partials
+    # cross the wire
+    plan = _plan(spark, sf_dir, "sql_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # the full PushedFilters list is elided in toString; the pushed
+    # quantity bound still shows via IsNotNull + the scan's DataFilters
+    assert "IsNotNull(l_quantity)" in plan
+    assert "< 24.0)" in plan
+    assert "Exchange hashpartitioning" not in plan  # global agg -> single partition exchange only
+    assert plan.count("HashAggregate") == 2
+
+
+def test_q7_q8_q9_dims_broadcast_fact_chain_shuffles(spark, sf_dir):
+    # Q7 shape: both nation arms broadcast (pre-filtered); no
+    # cartesian from the disjunctive cross-pair predicate
+    plan = _plan(spark, sf_dir, "sql_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # Q8 shape: 7-table join — part/supplier/nation/region broadcast,
+    # the CASE-split share and the denominator share ONE aggregate
+    plan = _plan(spark, sf_dir, "sql_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in plan
+    # numerator+denominator in the same partial->final pair, not two plans
+    assert plan.count("HashAggregate") == 2
+
+    # Q9 shape: LIKE '%red%' evaluated on the part DIM, then broadcast
+    # — the contains-filter must not sit above the fact join
+    plan = _plan(spark, sf_dir, "sql_product_profit")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "Contains(p_name,red)" in plan.replace(" ", "")
+
+
+def test_q11_q13_q16_shapes(spark, sf_dir):
+    # Q11 shape: scalar total = one-row subquery broadcast into the
+    # HAVING predicate; grouped branch is one partial->final on
+    # l_partkey
+    plan = _plan(spark, sf_dir, "sql_important_stock")
+    assert "Subquery" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+    # Q13 shape: LEFT OUTER with the priority filter INSIDE the join
+    # (pushed to the orders scan, customers never dropped), then two
+    # stacked aggregates
+    plan = _plan(spark, sf_dir, "sql_customer_distribution")
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan.replace(" ", "")
+    assert plan.count("HashAggregate") >= 3  # per-cust partial/final + dist
+
+    # Q16 shape: non-nullable probe key -> plain left ANTI (never the
+    # null-aware BNLJ variant); distinct count is the two-phase expand
+    plan = _plan(spark, sf_dir, "sql_supplier_relationship")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
