@@ -47,9 +47,19 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming T1: file-stream source → 1h watermark → daily
     tumbling counts → memory sink in COMPLETE mode, availableNow.
     With the whole fixture available, the final complete-mode table
-    must equal the batch group-by — the oracle asserts exactly that."""
+    must equal the batch group-by — the oracle asserts exactly that.
+
+    state_partitions=8: the state keyspace is day x event_type (a few
+    thousand keys at most), and each state partition costs ~20 ms of
+    per-micro-batch store open/commit (PERF.md floor experiment:
+    32 partitions -> 1.24 s, 8 -> ~0.85 s, 4 -> 0.81 s locally at
+    sf0.1; RocksDB-vs-HDFSBacked was a wash at this state size). At
+    scale, state partitioning follows state cardinality, not the
+    batch shuffle width."""
     ev = file_stream(spark, sf_dir, "events")
-    result = run_available_now(windowed_counts(ev), output_mode="complete")
+    result = run_available_now(
+        windowed_counts(ev), output_mode="complete", state_partitions=8
+    )
     return result.select(
         ts_str("w.start").alias("win_start"), "event_type", "event_cnt"
     )

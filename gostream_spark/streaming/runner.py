@@ -52,7 +52,10 @@ def _sweep_stale() -> None:
 
 
 def run_available_now(
-    sdf: DataFrame, output_mode: str = "append", timeout_sec: int = 300
+    sdf: DataFrame,
+    output_mode: str = "append",
+    timeout_sec: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink (S4)
     and return the sink's contents as a batch DataFrame.
@@ -63,27 +66,51 @@ def run_available_now(
     aggregate to the latest). availableNow (T7) processes all
     currently-available input, possibly across several micro-batches,
     then stops.
+
+    state_partitions sizes the stateful shuffle for THIS query (state
+    partitions are pinned from spark.sql.shuffle.partitions at the
+    first micro-batch — AQE never coalesces them, unlike batch
+    shuffles, so the session-wide batch setting of 32 over-partitions
+    tiny state): each state partition pays a fixed per-micro-batch
+    store open/commit cost, measured locally at ~20 ms each (PERF.md
+    "streaming fixed-overhead floor"). Callers whose state keyspace is
+    small (e.g. day x event_type windows) should pass a small value;
+    at real scale this is the standard sizing decision — state
+    partitions follow state cardinality/size, not the batch shuffle
+    width. Fresh checkpoint per run, so re-pinning is always safe.
     """
     name = f"gs_mem_{next(_counter)}_{uuid.uuid4().hex[:8]}"
     ckpt = _scratch("ckpt")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        finished = q.awaitTermination(timeout_sec)
-        if not finished:
-            raise TimeoutError(
-                f"streaming query {name!r} still running after {timeout_sec}s; "
-                "refusing to return a partial sink"
-            )
-    finally:
-        q.stop()
     spark = sdf.sparkSession
+    prev_shuffle = None
+    if state_partitions is not None:
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            finished = q.awaitTermination(timeout_sec)
+            if not finished:
+                raise TimeoutError(
+                    f"streaming query {name!r} still running after "
+                    f"{timeout_sec}s; refusing to return a partial sink"
+                )
+        finally:
+            q.stop()
+    finally:
+        # Micro-batches plan ASYNCHRONOUSLY after start() reads the
+        # conf, so the override must stay in place until the query has
+        # terminated; this harness drives queries sequentially, so the
+        # temporary session-wide setting cannot leak into another plan.
+        if prev_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     # Materialize off the memory sink (localCheckpoint: executor-side
     # blocks, freed by the ContextCleaner once the result is
     # unreferenced), then drop the temp view so event-scale sink
