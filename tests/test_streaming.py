@@ -616,3 +616,93 @@ def test_split_sink_batch_replay_does_not_duplicate(spark, tmp_path, sf_dir):
     write_batch(ev, 0)  # replayed batch — must overwrite, not append
     total = spark.read.parquet(main_out).count() + spark.read.parquet(side_out).count()
     assert total == ev.count(), "replay duplicated rows"
+
+
+def test_stateful_crash_after_state_commit_recovers_exactly_once(
+    spark, tmp_path, sf_dir
+):
+    """Failure injection on the STATE path (the sink-side twin lives in
+    test_pysource.py): a stateful streaming aggregation is killed
+    mid-micro-batch — AFTER the state store has committed that batch's
+    state (forced by an action on batch_df inside foreachBatch) but
+    BEFORE the sink writes anything for it. Restarting on the same
+    checkpoint must replay the failed batch against the RECOVERED
+    state version (not the orphaned one the crashed attempt
+    committed), and the merged sink output must equal the one-shot
+    batch aggregate — exactly-once despite the at-least-once replay."""
+    import glob
+
+    ev = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        .select("event_id", "event_type")
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(out)
+    bomb = {"armed": True}
+
+    def sink(batch_df, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            n = batch_df.count()  # action: upstream state commits HERE
+            if batch_id == 2 and bomb["armed"]:
+                bomb["armed"] = False
+                raise RuntimeError("injected crash after state commit")
+            # overwrite per batch id => sink-side replay idempotence
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out, f"b{batch_id}")
+            )
+            assert n == batch_df.count()
+        finally:
+            batch_df.unpersist()
+
+    def start():
+        sdf = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        counts = sdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        return (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash after state commit"):
+        q.awaitTermination(300)
+        raise AssertionError("query must fail on the injected crash")
+    q.stop()
+    crashed_dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/b*"))
+    assert "b2" not in crashed_dirs, "sink must have nothing for the dead batch"
+    assert not bomb["armed"], "the bomb must actually have gone off"
+
+    q2 = start()  # recovery: same checkpoint, same sink
+    assert q2.awaitTermination(300), "recovered run must finish"
+    q2.stop()
+
+    dirs = sorted(glob.glob(f"{out}/b*"))
+    assert [os.path.basename(d) for d in dirs] == ["b0", "b1", "b2", "b3"]
+    # Merge update-mode deltas: latest batch wins per key.
+    latest: dict[str, int] = {}
+    for d in dirs:  # sorted => ascending batch id
+        for r in spark.read.parquet(d).collect():
+            latest[r.event_type] = r.n
+    truth = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert latest == truth, (latest, truth)
