@@ -187,7 +187,14 @@ def run_foreach_batch_parquet(
     sink (append per micro-batch). Returns (session, sink path) so the
     caller can re-read the materialized output. foreachBatch is the
     arbitrary-terminal-bolt escape hatch: the batch DataFrame handed
-    to the function supports the full batch API."""
+    to the function supports the full batch API.
+
+    Delivery note: plain append per batch is AT-LEAST-ONCE under
+    mid-run batch retry (no batch-id manifest); safe here only
+    because every call uses a FRESH checkpoint and a failed run
+    raises instead of returning a partial sink. Patterns that must
+    survive replay use the batch-id-stamped writers instead
+    (`make_matview_merger`, the gostream_jsonl 2PC sink)."""
     out = out_dir or _scratch("sink")
     ckpt = _scratch("ckpt")
 
