@@ -720,3 +720,17 @@ def test_q11_q13_q16_shapes(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_scaled_pairs_stay_inside_fine_clusters(spark, sf_dir):
+    # The scale-regime variant: refinement sort is one window exchange
+    # on label; pairs form only through the (label, sub_cluster)
+    # equi-join — never a cartesian; keeper ranking adds one vec_id
+    # exchange. Three hash exchanges total, zero cross-cluster pairs.
+    plan = _plan(spark, sf_dir, "semantic_dedup_scaled")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+    # the pair join keys on BOTH the coarse and the fine cluster id
+    joined = plan.replace(" ", "")
+    assert "sub_cluster" in joined and "label" in joined
