@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Compare two BENCH_r*.json files with load normalization: flag only
+per-query ratios that exceed the container-load ratio the sentinels
+(and, when present, the per-query `query_load_ms` probes) explain.
+
+    python tools/compare_bench.py BENCH_r06.json BENCH_r07.json
+    python tools/compare_bench.py BENCH_r06.json /tmp/bench_local.json --thresh 1.3
+
+A BENCH file is either the driver's wrapper ({"parsed": {...}}) or a
+raw bench.py JSON line. Output: one row per common query with old/new
+seconds, the raw ratio, the load-adjusted ratio (raw divided by the
+sentinel ratio), and a FLAG column for adjusted ratios above
+--thresh. This is the quantitative form of the BASELINE.md rule:
+"only per-query ratios that substantially exceed the sentinel ratio
+indicate a real plan change."
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+IDLE_SENTINEL_MS = 47.0  # BASELINE.md reference value for this container
+
+
+def _load(path: str) -> dict:
+    with open(path) as f:
+        text = f.read()
+    d = json.loads(text)
+    if "parsed" in d:
+        d = d["parsed"]
+    if "queries" not in d:
+        raise SystemExit(f"{path}: no 'queries' key — not a bench record")
+    return d
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--thresh", type=float, default=1.3)
+    args = ap.parse_args()
+    old, new = _load(args.old), _load(args.new)
+
+    s_old = old.get("sentinel_ms") or IDLE_SENTINEL_MS
+    s_new = new.get("sentinel_ms") or IDLE_SENTINEL_MS
+    load_ratio = s_new / s_old
+    loads_new = new.get("query_load_ms") or {}
+    loads_old = old.get("query_load_ms") or {}
+
+    common = sorted(set(old["queries"]) & set(new["queries"]))
+    print(
+        f"sentinels: old={s_old} ms new={s_new} ms -> container load "
+        f"ratio {load_ratio:.2f}x (applied to every raw ratio)"
+    )
+    if loads_new:
+        hot = {
+            q: m for q, m in loads_new.items() if m > 2 * s_new
+        }
+        if hot:
+            print(
+                "load-contaminated timings in NEW (probe > 2x sentinel): "
+                + ", ".join(f"{q}={m:.0f}ms" for q, m in sorted(hot.items()))
+            )
+    flags = 0
+    print(f"{'query':34s} {'old':>7s} {'new':>7s} {'raw':>6s} {'adj':>6s}")
+    tot_old = tot_new = 0.0
+    for q in common:
+        a, b = old["queries"][q], new["queries"][q]
+        tot_old += a
+        tot_new += b
+        raw = b / a if a else float("inf")
+        # Per-query probes beat the session sentinel when both exist.
+        per_q = (
+            (loads_new.get(q, s_new) / loads_old.get(q, s_old))
+            if (loads_new and loads_old)
+            else load_ratio
+        )
+        adj = raw / per_q
+        mark = "  <-- FLAG" if adj > args.thresh else ""
+        if mark:
+            flags += 1
+        print(f"{q:34s} {a:7.3f} {b:7.3f} {raw:5.2f}x {adj:5.2f}x{mark}")
+    print(
+        f"{'TOTAL (common)':34s} {tot_old:7.3f} {tot_new:7.3f} "
+        f"{tot_new / tot_old:5.2f}x {(tot_new / tot_old) / load_ratio:5.2f}x"
+    )
+    return 1 if flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
