@@ -54,7 +54,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-@register("sql_forecast_revenue", oracle=_SQL_Q6, tags=("E2", "P2", "A2"))
+@register(
+    "sql_forecast_revenue", oracle=_SQL_Q6, tags=("E2", "P2", "A2"), bench=True
+)
 def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: the TPC-H-Q6 shape — the canonical scan-bound query: one
     table, three pushable predicates, one global sum. Its entire
@@ -140,7 +142,9 @@ GROUP BY o_year
 """
 
 
-@register("sql_market_share", oracle=_SQL_Q8, tags=("E2", "J8", "A1"))
+@register(
+    "sql_market_share", oracle=_SQL_Q8, tags=("E2", "J8", "A1"), bench=True
+)
 def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E2: the TPC-H-Q8 shape — one supplier nation's share of an
     ECONOMY-part market inside the ASIA-customer region, per order

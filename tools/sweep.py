@@ -32,6 +32,14 @@ def main() -> int:
     ap.add_argument("--sf", default="0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
     ap.add_argument("--root", default="/root/testdata")
+    ap.add_argument(
+        "--partitions",
+        default="8",
+        help="spark.sql.shuffle.partitions — run the sweep at a prime "
+        "like 17 as a DETERMINISM check: a query whose result depends "
+        "on partitioning/ordering accidents diverges from the oracle "
+        "only under a partition count it was never tuned on",
+    )
     args = ap.parse_args()
     sf_dir = f"{args.root}/sf{args.sf}"
 
@@ -41,7 +49,7 @@ def main() -> int:
 
     spark = (
         SparkSession.builder.master("local[4]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", args.partitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
