@@ -9,6 +9,8 @@ of the same file — streaming file sources require an explicit schema.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,12 +29,25 @@ def file_stream(
     ensure_session_conf(spark, events=name == "events")
     path = table_path(sf_dir, name)
     schema = spark.read.parquet(path).schema
-    # The streaming file source wants a directory; scope it to this
-    # table's file with a glob filter.
-    reader = spark.readStream.schema(schema).option("pathGlobFilter", f"{name}.parquet")
+    # The streaming file source wants a directory. Two layouts exist:
+    # a single-FILE table (the driver fixtures) is scoped inside its
+    # parent dir with a name glob; a DIRECTORY table (the real-world
+    # layout — every production table is a directory of part files,
+    # and tools/restage_sharded.py's determinism axis) streams the
+    # directory itself, every shard included.
+    if os.path.isdir(path):
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", "*.parquet"
+        )
+        stream_path = path
+    else:
+        reader = spark.readStream.schema(schema).option(
+            "pathGlobFilter", f"{name}.parquet"
+        )
+        stream_path = sf_dir.rstrip("/")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    sdf = reader.parquet(sf_dir.rstrip("/"))
+    sdf = reader.parquet(stream_path)
     if name == "events" and dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return sdf

@@ -706,3 +706,28 @@ def test_stateful_crash_after_state_commit_recovers_exactly_once(
         .collect()
     }
     assert latest == truth, (latest, truth)
+
+
+def test_file_stream_reads_directory_table(spark, tmp_path, sf_dir):
+    """A production table is a DIRECTORY of part files, not one file —
+    file_stream must stream every shard of a directory-shaped table
+    (the single-file fixture layout is the special case, not the
+    rule). Regression for the sharded-fixture determinism sweep,
+    where the old parent-dir + name-glob scoping silently matched
+    nothing and every streaming query read 0 rows."""
+    from gostream_spark.streaming.source import file_stream
+    from gostream_spark.streaming.runner import run_available_now
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    root = tmp_path / "sf-sharded"
+    tdir = str(root / "events.parquet")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(tdir)
+
+    out = run_available_now(
+        file_stream(spark, str(root), "events").select("event_id"),
+        output_mode="append",
+    )
+    assert out.count() == ev.count()

@@ -40,6 +40,15 @@ def main() -> int:
         "on partitioning/ordering accidents diverges from the oracle "
         "only under a partition count it was never tuned on",
     )
+    ap.add_argument(
+        "--max-partition-bytes",
+        default=None,
+        help="spark.sql.files.maxPartitionBytes — set small (e.g. 1m) "
+        "as the SECOND determinism axis: multi-split scans change "
+        "source row order, catching order-dependent folds (first/last "
+        "without an ordering, order-sensitive aggregates) that a "
+        "shuffle-partition sweep cannot see",
+    )
     args = ap.parse_args()
     sf_dir = f"{args.root}/sf{args.sf}"
 
@@ -47,13 +56,17 @@ def main() -> int:
 
     from gostream_spark import registry
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", args.partitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if args.max_partition_bytes:
+        builder = builder.config(
+            "spark.sql.files.maxPartitionBytes", args.max_partition_bytes
+        )
+    spark = builder.getOrCreate()
     qs, oracles = registry.queries(), registry.oracle_sql()
     if args.only:
         keep = set(args.only.split(","))
@@ -61,8 +74,12 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
+        # A table may be a single file OR a sharded directory (the
+        # restage_sharded.py determinism axis) — glob the latter.
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     bad, n_exact, n_rows = [], 0, 0
