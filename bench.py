@@ -46,17 +46,9 @@ def _load_sentinel_ms() -> float:
     `sentinel_ms` across BENCH_r*.json to normalize round-over-round
     query ratios — the r3/r5 uniform ~1.4x slowdowns were load, and
     this makes that check quantitative instead of argued from the
-    pattern (BASELINE.md records the reference value)."""
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        x = 88172645463325252
-        for _ in range(2_000_00):
-            x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
-            x ^= x >> 7
-            x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
-        best = min(best, time.perf_counter() - t0)
-    return round(best * 1000, 2)
+    pattern (BASELINE.md records the reference value). Same workload
+    as the per-query probe, so the two are unit-compatible."""
+    return round(min(_probe_once_ms() for _ in range(3)), 2)
 
 
 def main() -> None:

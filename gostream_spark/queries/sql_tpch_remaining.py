@@ -211,7 +211,7 @@ _SQL_Q11 = """
 WITH natvalue AS (
   SELECT l_partkey,
          CAST(round(l_extendedprice * 100) AS BIGINT)
-           * CAST(l_quantity AS BIGINT) AS value_cents
+           * CAST(round(l_quantity) AS BIGINT) AS value_cents
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -220,7 +220,8 @@ WITH natvalue AS (
 SELECT l_partkey, CAST(sum(value_cents) AS BIGINT) AS value_cents
 FROM natvalue
 GROUP BY l_partkey
-HAVING sum(value_cents) * 1000 > (SELECT sum(value_cents) FROM natvalue)
+HAVING sum(CAST(value_cents AS DECIMAL(38,0))) * 1000
+     > (SELECT sum(CAST(value_cents AS DECIMAL(38,0))) FROM natvalue)
 """
 
 
@@ -234,8 +235,14 @@ def sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     the grouped branch as one partial->final aggregate on l_partkey —
     the nation filter broadcasts the 25-row dim chain into the
     lineitem scan on both branches. The fraction is multiplied
-    through (no division), so the gate compares exact BIGINT cents.
-    Identical SQL text on both engines."""
+    through (no division), and the multiplied-through comparison runs
+    in DECIMAL(38,0): a 100 TB nation's cent total (~1.8e18) times
+    1000 would overflow BIGINT (Spark would silently wrap under
+    ANSI-off where DuckDB raises), while 38-digit decimal holds it
+    exactly on both engines. Quantity is rounded before the BIGINT
+    cast (Spark truncates a bare DOUBLE->BIGINT cast, DuckDB rounds —
+    latent with integer-valued fixture quantities, divergent the
+    moment one isn't). Identical SQL text on both engines."""
     register_views(spark, sf_dir, "lineitem", "supplier", "nation")
     return spark.sql(_SQL_Q11)
 

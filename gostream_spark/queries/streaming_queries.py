@@ -1375,6 +1375,15 @@ def make_matview_merger(mv_root: str):
             )
         else:
             merged = partial
+        # A crashed earlier attempt at THIS batch id left only a
+        # .staging-* orphan (never a committed version — that's what
+        # makes replay safe); sweep it now so repeated failures don't
+        # accumulate dead parquet data in mv_root forever.
+        import shutil
+
+        for d in os.listdir(mv_root):
+            if d.startswith(f".staging-{batch_id}-"):
+                shutil.rmtree(os.path.join(mv_root, d), ignore_errors=True)
         # Stage + atomic rename: parquet directory writes are not
         # atomic, so the final v{batch_id}-* name must only ever
         # appear once the write fully succeeded (same staging/rename

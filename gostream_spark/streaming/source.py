@@ -17,6 +17,23 @@ from pyspark.sql import functions as F
 from gostream_spark.io import TABLES, ensure_session_conf, table_path
 
 
+def _is_directory(spark: SparkSession, path: str) -> bool:
+    """Directory check through the HADOOP FileSystem API, so the
+    file-vs-directory table-layout dispatch works on any filesystem a
+    Spark path can name (s3a://, hdfs://, ...), not just the driver's
+    local disk — os.path.isdir on an object-store URI is always False
+    and would silently mis-route directory tables back into the
+    0-row name-glob bug this dispatch exists to fix. Falls back to
+    os.path for environments without JVM access."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.getFileStatus(hpath).isDirectory())
+    except Exception:
+        return os.path.isdir(path)
+
+
 def file_stream(
     spark: SparkSession, sf_dir: str, name: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -35,7 +52,7 @@ def file_stream(
     # layout — every production table is a directory of part files,
     # and tools/restage_sharded.py's determinism axis) streams the
     # directory itself, every shard included.
-    if os.path.isdir(path):
+    if _is_directory(spark, path):
         reader = spark.readStream.schema(schema).option(
             "pathGlobFilter", "*.parquet"
         )

@@ -577,6 +577,9 @@ def test_matview_crashed_staging_write_does_not_suppress_replay(
     merge(b0, 0)  # redelivery after the simulated crash
     committed = [d for d in os.listdir(mv_root) if d.startswith("v0-")]
     assert len(committed) == 1, os.listdir(mv_root)
+    # the crashed attempt's staging orphan was swept on re-merge, so
+    # repeated failures can't accumulate dead data in mv_root
+    assert not [d for d in os.listdir(mv_root) if d.startswith(".staging-")]
     final = {
         r.event_type: (r.event_cnt, r.value_cents)
         for r in spark.read.parquet(state["current"]).collect()

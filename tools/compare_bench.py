@@ -44,11 +44,21 @@ def main() -> int:
 
     s_old = old.get("sentinel_ms") or IDLE_SENTINEL_MS
     s_new = new.get("sentinel_ms") or IDLE_SENTINEL_MS
+    for label, rec in (("OLD", old), ("NEW", new)):
+        if not rec.get("sentinel_ms"):
+            print(
+                f"WARNING: {label} record has no sentinel_ms — assuming "
+                f"idle ({IDLE_SENTINEL_MS} ms); if that run was loaded, "
+                "adjusted ratios are wrong in the flattering direction"
+            )
     load_ratio = s_new / s_old
     loads_new = new.get("query_load_ms") or {}
     loads_old = old.get("query_load_ms") or {}
 
     common = sorted(set(old["queries"]) & set(new["queries"]))
+    if not common:
+        print("no common queries between the two records — nothing to compare")
+        return 2
     print(
         f"sentinels: old={s_old} ms new={s_new} ms -> container load "
         f"ratio {load_ratio:.2f}x (applied to every raw ratio)"

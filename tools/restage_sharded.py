@@ -24,15 +24,14 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
-
-import duckdb
-
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from gostream_spark.io import TABLES  # noqa: E402  (canonical fixture list)
 
 
 def main() -> int:
