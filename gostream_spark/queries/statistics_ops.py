@@ -153,35 +153,57 @@ WHERE pair_cnt >= 5
 )
 def market_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1/A1 ext: market-basket co-occurrence — brand pairs appearing
-    in the same order, with support and lift. The self-join is
-    co-partitioned on l_orderkey (the distinct and the join share one
-    shuffle key) and the pair fan-out is bounded by per-basket brand
-    count squared, not input size; brand marginals and the order
-    count are broadcast-size. Lift is one double expression over
+    in the same order, with support and lift. No-self-join shape
+    (the funnel_single_pass discipline, r7): a shuffle on l_orderkey
+    builds each order's sorted distinct brand SET; the pair list, the
+    brand marginals, and the order count are row-local array algebra
+    over that frame. vs the former self-join formulation this drops
+    the plan from 10 hash exchanges + 1 sort-merge join to 7
+    exchanges + 0 SMJ (pinned: tests/test_plans.py::
+    test_market_basket_no_self_join) — at 100 TB that removes two
+    full-relation sorts and a join whose probe side is the entire
+    distinct (order, brand) relation. ReuseExchange does NOT fire
+    across the three branches (Spark dedupes aggregate expression ids,
+    so the subplans are not object-identical); each branch re-runs the
+    scan+broadcast-join, which is the cheap part. The former join
+    formulation survives as the DuckDB oracle. Pair fan-out stays
+    bounded by per-basket brand count squared; brand marginals and the
+    order count are broadcast-size. Lift is one double expression over
     exact integer counts — identical on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        # NOT localCheckpoint'ed: four consumers do re-run the cheap
+        # broadcast-join scan (ReuseExchange does not fire across
+        # these branches), but materializing the basket frame was
+        # MEASURED SLOWER (2.12 s vs 1.62 s at sf0.1) — the
+        # checkpoint write of full brand arrays costs more than the
+        # pruned recomputes it saves. At 100 TB the same trade-off is
+        # config, not code: persist baskets only when the fact scan
+        # dominates the basket-frame write.
     )
-    a = ob.alias("a")
-    b = ob.alias("b")
+    # All (a < b) pairs of the sorted set, generated row-locally:
+    # element i pairs with every later element — no self-join.
+    pair_structs = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
-        )
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
         .agg(F.count(F.lit(1)).alias("pair_cnt"))
         .filter(F.col("pair_cnt") >= 5)
     )
-    bc = ob.groupBy("p_brand").agg(F.count(F.lit(1)).alias("brand_cnt"))
-    n = ob.select(F.countDistinct("l_orderkey").alias("n_orders"))
+    bc = (
+        baskets.select(F.explode("brands").alias("p_brand"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("brand_cnt"))
+    )
+    n = baskets.select(F.count(F.lit(1)).alias("n_orders"))
     return (
         pairs.join(
             F.broadcast(bc.withColumnsRenamed({"p_brand": "brand_a", "brand_cnt": "cnt_a"})),

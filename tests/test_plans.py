@@ -660,6 +660,18 @@ def test_lindley_single_user_exchange(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_market_basket_no_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "market_basket_pair_lift")
+    # pairs come from row-local array algebra over per-order brand
+    # sets, not a sort-merge self-join of the (order, brand) relation;
+    # the r7 rewrite dropped 10 exchanges + 1 SMJ to 7 + 0
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 7
+    # marginals and the order count stay broadcast-side
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_q6_scan_bound_pushdown(spark, sf_dir):
     # Q6 shape: single scan, shipdate + quantity predicates pushed to
     # parquet, one partial->final aggregate — only 1-row partials
