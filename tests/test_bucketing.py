@@ -68,3 +68,46 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, bucketed_tables):
         assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_agg_on_join_key_has_zero_exchanges(spark, sf_dir, bucketed_tables):
+    """The stronger co-location property: an aggregate keyed on the
+    bucket column inherits the scans' hash distribution THROUGH the
+    join, so the entire plan — join AND aggregate — runs with zero
+    exchanges of any kind. At 100 TB this is the layout-at-ingest
+    shape: every downstream orderkey join/rollup is bucket-local."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        per_order = (
+            spark.table("b_orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            )
+        )
+        plan = per_order._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+
+        plain = (
+            load_table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .join(
+                load_table(spark, sf_dir, "lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+            )
+        )
+        assert sorted(map(tuple, per_order.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
