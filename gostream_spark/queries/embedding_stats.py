@@ -20,9 +20,9 @@ from gostream_spark.registry import register
 
 _DIM_STATS_ORACLE = """
 WITH ex AS (
-  SELECT CAST(i - 1 AS BIGINT) AS pos,
-         CAST(embedding[i] AS DOUBLE) AS v
-  FROM embeddings, range(1, 65) t(i)
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
 ), m AS (
   SELECT pos,
          CAST(floor(v * 1e6) AS BIGINT) AS vm,
@@ -45,9 +45,11 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension mean/variance/range of the embedding space — the
     feature-store health profile (a near-zero-variance dimension is
     dead weight in every distance computation; a scale-drifted one
-    dominates them). posexplode fans each vector into 64 (pos, value)
-    rows map-side; one hash aggregate on pos follows — the output is
-    |dims| rows at any corpus size. Components are floored to integer
+    dominates them). posexplode fans each vector into per-dimension
+    (pos, value) rows map-side (dims derive from each row's own array
+    — never a hardcoded width, so a 4-dim degenerate corpus and the
+    64-dim fixture both profile correctly); one hash aggregate on pos
+    follows — the output is |dims| rows at any corpus size. Components are floored to integer
     micro-units before summing, so partial-agg order is irrelevant;
     min/max floor first for the same reason (an exact integer order
     statistic)."""

@@ -796,7 +796,7 @@ cand AS (
   SELECT vec_id, embedding, rel_u FROM (
     SELECT vec_id, embedding, rel_u,
            row_number() OVER (ORDER BY rel_u DESC, vec_id) AS rn
-    FROM scored)
+    FROM scored WHERE rel_u IS NOT NULL)
   WHERE rn <= 12),
 s1 AS (SELECT vec_id, embedding, rel_u, rel_u * 7 AS mmr_u
        FROM cand ORDER BY rel_u DESC, vec_id LIMIT 1),
@@ -859,6 +859,11 @@ def _mmr_select(pdf):
     selected: list[int] = []
     out = []
     for step in range(3):
+        if not remaining:
+            # pool smaller than the selection budget (degenerate
+            # corpora) — emit what exists, like the oracle's empty
+            # LIMIT 1 layers
+            break
         best = None
         for v in remaining:
             if not selected:
@@ -908,9 +913,15 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rel_u"),
         )
     )
-    pool = topk_ranked(scored, 12, F.col("rel_u").desc(), F.col("vec_id")).select(
-        F.lit(0).alias("query_id"), "vec_id", "embedding", "rel_u"
-    )
+    # zero-norm embeddings score NULL relevance (cosine undefined) and
+    # are not retrievable — drop them BEFORE the pool on both engines,
+    # or the greedy loop would divide by their zero norm
+    pool = topk_ranked(
+        scored.filter(F.col("rel_u").isNotNull()),
+        12,
+        F.col("rel_u").desc(),
+        F.col("vec_id"),
+    ).select(F.lit(0).alias("query_id"), "vec_id", "embedding", "rel_u")
     out = pool.groupBy("query_id").applyInPandas(
         _mmr_select, schema="sel_rank long, vec_id long, rel_u long, mmr_u long"
     )

@@ -131,6 +131,16 @@ EMB_QUERIES = [
     "similarity_topk", "similarity_pairs", "knn_join",
     "nearest_centroid", "embedding_dedup", "ivf_topk",
     "quantized_topk_rescore",
+    # r7 additions: the cluster-scoped dedup family must agree when a
+    # cluster holds a zero-norm member; MMR must DROP zero-norm
+    # candidates from the pool (undefined cosine would crash the
+    # greedy loop) and survive a pool smaller than the selection
+    # budget; dim stats must derive dimensionality from the data, not
+    # a hardcoded fixture width
+    "semantic_dedup_semdedup", "semantic_dedup_scaled",
+    "ann_recall_at_k", "knn_label_disagreement",
+    "mmr_diversified_topk", "embedding_dim_stats",
+    "embedding_centroid_separation", "embedding_minmax_normalize",
 ]
 
 
