@@ -63,6 +63,28 @@ QUERIES = [
     "heavy_hitter_sketch_builtin",
     "sample_weighted_priority",
     "neardup_prefix_filter_pairs",
+    # r7 sweep of the remaining log/ratio/sampling-boundary shapes:
+    # idf logs over empty docs, ln-quantized importance ratios,
+    # terciles on tiny per-language groups, entropy of the ''-token,
+    # power-law fits on near-empty vocabularies, set-ratio divisions
+    # on sub-shingle docs, split/sample boundaries at n < buckets —
+    # all probed green on this fixture before being pinned here
+    "bm25_topk",
+    "dsir_importance_weights",
+    "ccnet_perplexity_buckets",
+    "token_entropy_gate",
+    "text_quality_score",
+    "quality_classifier_score",
+    "zipf_slope_by_lang",
+    "lang_id_heuristic",
+    "tfidf_top_terms",
+    "source_kl_divergence",
+    "sample_temperature_rebalance",
+    "bpe_pair_frequencies",
+    "neardup_containment_pairs",
+    "neardup_levenshtein",
+    "train_val_test_split",
+    "cluster_safe_split",
 ]
 
 
