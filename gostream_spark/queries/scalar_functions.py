@@ -256,15 +256,15 @@ WITH mangled AS (
   FROM events
 ), routed AS (
   SELECT event_type, raw,
-         json_valid(raw) AS ok,
-         CASE WHEN json_valid(raw)
+         COALESCE(json_valid(raw), FALSE) AS ok,
+         CASE WHEN COALESCE(json_valid(raw), FALSE)
               THEN CAST(json_extract(raw, '$.k') AS BIGINT) END AS k
   FROM mangled
 )
 SELECT event_type,
        CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS n_parsed,
        CAST(count(*) FILTER (WHERE NOT ok) AS BIGINT) AS n_dead_letter,
-       CAST(sum(k) FILTER (WHERE ok) AS BIGINT) AS k_sum
+       CAST(COALESCE(sum(k) FILTER (WHERE ok), 0) AS BIGINT) AS k_sum
 FROM routed GROUP BY event_type
 """
 
@@ -298,15 +298,26 @@ def dlq_malformed_json_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carry their raw text there, parsed rows leave it null.
     parsed = mangled.select(
         "event_type",
+        "raw",
         F.from_json(
             "raw",
             "k BIGINT, _corrupt_record STRING",
             {"columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("j"),
     )
-    ok = F.col("j._corrupt_record").isNull()
+    # a NULL payload is a MISSING record, not valid JSON — route it to
+    # the dead letter side explicitly (from_json(NULL) yields a NULL
+    # struct whose corrupt-record column is also NULL, which would
+    # otherwise count it as parsed; DuckDB's json_valid(NULL) is NULL,
+    # which would count it as neither — the explicit rule is the only
+    # cross-engine-stable one)
+    ok = F.col("raw").isNotNull() & F.col("j._corrupt_record").isNull()
     return parsed.groupBy("event_type").agg(
         F.count(F.when(ok, 1)).cast("long").alias("n_parsed"),
         F.count(F.when(~ok, 1)).cast("long").alias("n_dead_letter"),
-        F.sum(F.when(ok, F.col("j.k"))).cast("long").alias("k_sum"),
+        # NULL-free output (engine convention): a group whose parsed
+        # rows carry no k sums to 0, not NULL
+        F.coalesce(F.sum(F.when(ok, F.col("j.k"))), F.lit(0))
+        .cast("long")
+        .alias("k_sum"),
     )

@@ -145,6 +145,28 @@ EVENT_QUERIES = [
     "ewma_smoothing", "zscore_outliers", "event_transition_matrix",
     "events_dedup_first", "events_scd2_intervals", "join_asof",
     "purchase_attribution_last_touch",
+    # r7 sweep of the remaining NULL-value / tied-timestamp / lone-user
+    # shapes: NULL payloads must dead-letter (not vanish from both
+    # routing counts), lag-1 autocorrelation and changepoint stats on
+    # single-point users, interpolation across a NULL reading, as-of
+    # tolerance at exact tie distance, PSI log-ratios with empty
+    # buckets — all probed green on this fixture before being pinned
+    "dlq_malformed_json_routing",
+    "autocorr_daily_lag1",
+    "cusum_changepoint",
+    "mad_robust_outliers",
+    "twap_per_user",
+    "linear_interp_hourly",
+    "events_resample_gapfill",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "pit_join_state_at_purchase",
+    "gaps_islands_streaks",
+    "session_window_capped",
+    "session_window_dynamic_gap",
+    "peak_concurrent_sessions",
+    "value_drift_psi",
+    "user_survival_curve",
 ]
 EMB_QUERIES = [
     # every cosine query must survive a zero-norm vector (ANSI mode
