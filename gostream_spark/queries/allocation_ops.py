@@ -259,17 +259,25 @@ def auc_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Welch's unequal-variance t-test ------------------------------------
 
 # One shared formula text → both engines evaluate the identical IEEE
-# double operation sequence before the final round().
+# double operation sequence before the final round(). The _DEFINED
+# guard is load-bearing under ANSI mode (Spark 4 default): Welch's
+# test is undefined for a group with n < 2 or a zero pooled variance
+# (all balances identical), and WITHOUT the guard one degenerate
+# segment would throw DIVIDE_BY_ZERO and kill the whole job — the
+# guarded CASE yields NULL instead, which DuckDB's div-by-zero -> NULL
+# also produces, so the engines stay in agreement.
 _VAR_A = "(CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1)"
 _VAR_B = "(CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1)"
 _SE2 = f"(({_VAR_A}) / na + ({_VAR_B}) / nb)"
+_DEFINED = f"na >= 2 AND nb >= 2 AND ({_SE2}) > 0"
 _T_EXPR = (
-    f"round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / sqrt({_SE2}), 4)"
+    f"round(CASE WHEN {_DEFINED} THEN "
+    f"(CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) / sqrt({_SE2}) END, 4)"
 )
 _DF_EXPR = (
-    f"round(({_SE2}) * ({_SE2}) / "
+    f"round(CASE WHEN {_DEFINED} THEN ({_SE2}) * ({_SE2}) / "
     f"((({_VAR_A}) / na) * (({_VAR_A}) / na) / (na - 1) + "
-    f"(({_VAR_B}) / nb) * (({_VAR_B}) / nb) / (nb - 1)), 2)"
+    f"(({_VAR_B}) / nb) * (({_VAR_B}) / nb) / (nb - 1)) END, 2)"
 )
 
 _WELCH_ORACLE = f"""

@@ -28,7 +28,7 @@ SELECT p_partkey,
        substring(p_name, 1, 5) AS name_head,
        concat_ws('|', p_brand, p_type) AS brand_type,
        CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INTEGER) AS brand_num,
-       regexp_replace(p_name, ' ', '_') AS name_snake,
+       regexp_replace(p_name, ' ', '_', 'g') AS name_snake,
        p_name LIKE '%widget%' AS is_widget
 FROM part
 """

@@ -242,3 +242,62 @@ def test_degenerate_embeddings_match_oracle(spark, degenerate_events_dir, name):
     every cosine query — parity depends on try_divide matching
     DuckDB's division-by-zero -> NULL."""
     _check(spark, degenerate_events_dir, name, ["embeddings"])
+
+
+# --- star-schema degenerate shapes (r7, found by tools/degenerate_probe) --
+
+STAR_QUERIES = [
+    # regexp_replace must be GLOBAL on both engines (multi-space names)
+    "string_functions",
+    # n<2 group / zero pooled variance must yield NULL, not an ANSI
+    # DIVIDE_BY_ZERO that kills the job
+    "welch_ttest_balance",
+    # zero-revenue (discount=1.0) and empty-filter global aggregates
+    "sql_forecast_revenue",
+    "small_quantity_revenue",
+    "join_promo_share",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_star_dir(spark):
+    from tools.degenerate_probe import stage
+
+    d = stage(spark)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", STAR_QUERIES)
+def test_degenerate_star_match_oracle(spark, degenerate_star_dir, name):
+    """Orders without lineitems, 100% discounts (zero revenue sums),
+    zero/negative balances, multi-space part names — the relational
+    shapes the benign driver fixtures never produce. Comparator is the
+    probe's parity-canonical one (NULL == NaN, pandas-coerced integral
+    floats == ints)."""
+    from tools.degenerate_probe import _canon
+
+    q = get_query(name)
+    sdf = q.fn(spark, degenerate_star_dir)
+    got = sorted(
+        tuple(_canon(v) for v in r)
+        for r in sdf.select(*sorted(sdf.columns)).collect()
+    )
+    con = duckdb.connect()
+    try:
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings".split()
+        ):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * "
+                f"FROM read_parquet('{degenerate_star_dir}/{t}.parquet')"
+            )
+        ddf = con.execute(q.oracle).fetchdf()
+        want = sorted(
+            tuple(_canon(v) for v in row)
+            for row in ddf[sorted(ddf.columns)].itertuples(index=False)
+        )
+    finally:
+        con.close()
+    assert got == want, f"{name}: {got[:4]} != {want[:4]}"
