@@ -117,9 +117,11 @@ def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_Q8 = """
 SELECT o_year,
-       CAST(round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume
-                                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
-                  / CAST(sum(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+       CAST(CASE WHEN sum(volume) <> 0 THEN
+              round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume
+                                  ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                    / CAST(sum(volume) AS DOUBLE), 6)
+            END AS DOUBLE) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
          CAST(l_extendedprice AS DECIMAL(18,2))

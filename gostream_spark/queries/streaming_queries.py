@@ -1381,9 +1381,13 @@ def make_matview_merger(mv_root: str):
         # accumulate dead parquet data in mv_root forever.
         import shutil
 
-        for d in os.listdir(mv_root):
-            if d.startswith(f".staging-{batch_id}-"):
-                shutil.rmtree(os.path.join(mv_root, d), ignore_errors=True)
+        # Same isdir guard as the replay check above: a caller that
+        # passes a not-yet-created mv_root must not crash here on
+        # batch 0 (the staged write below creates it).
+        if os.path.isdir(mv_root):
+            for d in os.listdir(mv_root):
+                if d.startswith(f".staging-{batch_id}-"):
+                    shutil.rmtree(os.path.join(mv_root, d), ignore_errors=True)
         # Stage + atomic rename: parquet directory writes are not
         # atomic, so the final v{batch_id}-* name must only ever
         # appear once the write fully succeeded (same staging/rename

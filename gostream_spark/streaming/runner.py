@@ -78,6 +78,13 @@ def run_available_now(
     at real scale this is the standard sizing decision — state
     partitions follow state cardinality/size, not the batch shuffle
     width. Fresh checkpoint per run, so re-pinning is always safe.
+
+    Concurrency caveat: the pin mutates the SESSION-global
+    spark.sql.shuffle.partitions for the query's lifetime (restored in
+    the finally below). Safe because this harness drives queries
+    sequentially on one session; if concurrent streams or mid-stream
+    batch compilation ever appear, scope the conf per query via a
+    dedicated `spark.newSession()` clone instead.
     """
     name = f"gs_mem_{next(_counter)}_{uuid.uuid4().hex[:8]}"
     ckpt = _scratch("ckpt")

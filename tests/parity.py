@@ -45,7 +45,10 @@ def _canon_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "<NULL>"
-        return repr(v)  # shortest round-trip repr: exact doubles compare exact
+        # repr(float(v)): shortest round-trip repr, normalized through
+        # the builtin so numpy.float64 (NumPy >= 2 reprs as
+        # 'np.float64(0.5)') compares exact against Spark's plain float.
+        return repr(float(v))
     if isinstance(v, bytes):
         return v.hex()
     return str(v)

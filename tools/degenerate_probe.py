@@ -140,7 +140,11 @@ def _canon(v) -> str:
             return "<NULL>"
         if v.is_integer() and abs(v) < 2**53:
             return str(int(v))
-        return repr(v)
+        # repr(float(v)): numpy scalars (DuckDB fetchdf gives
+        # numpy.float64) repr as 'np.float64(0.5)' under NumPy >= 2;
+        # normalizing through the builtin keeps the comparison exact
+        # and environment-independent.
+        return repr(float(v))
     return str(v)
 
 
