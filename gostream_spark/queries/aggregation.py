@@ -72,16 +72,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A4 approximate count distinct (HLL++) ------------------------------
 
 
-@register("agg_approx_count_distinct", oracle=None, tags=("A4",))
+_A4_ORACLE = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(*) AS BIGINT) AS li_cnt,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("agg_approx_count_distinct", oracle=_A4_ORACLE, tags=("A4",))
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: approx_count_distinct (HyperLogLog++, rsd=0.01). Sketches
     merge associatively, so this is one pass + tiny shuffle at any
-    scale. No DuckDB oracle — sketch estimates differ across engines;
-    the driver records a rows-only check (SURVEY §2.4)."""
+    scale. Raw sketch estimates differ across engines, so the
+    GUARANTEE shape makes this exact-checkable: the row carries the
+    exact distinct count plus a verdict that the HLL estimate landed
+    within 5x its configured rsd (a >=5-sigma bound — estimator
+    stddev is rsd*n, so a violation means the sketch is broken, not
+    unlucky). The oracle asserts the same exact values and verdict=1,
+    so a sketch regression turns the driver's gate red."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    g = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.count(F.lit(1)).alias("li_cnt"),
+    )
+    ok = F.abs(F.col("approx_parts") - F.col("exact_parts")) <= F.greatest(
+        F.lit(1.0), F.col("exact_parts") * 0.05
+    )
+    return g.select(
+        "l_returnflag", "exact_parts", "li_cnt", ok.cast("long").alias("approx_ok")
     )
 
 

@@ -6,7 +6,7 @@ right after the basics.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
@@ -158,34 +158,71 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A8 ext: approx percentile (rows-only; exact twin = agg_percentile_spread)
+# --- A8 ext: approx percentile (guarantee shape; exact twin = agg_percentile_spread)
+
+_APPROX_PCTL_ORACLE = """
+SELECT event_type,
+       CAST(count(value) AS BIGINT) AS n,
+       CAST(1 AS BIGINT) AS p50_ok,
+       CAST(1 AS BIGINT) AS p95_ok,
+       CAST(1 AS BIGINT) AS p99_ok
+FROM events
+GROUP BY event_type
+"""
 
 
-@register("agg_approx_percentile", oracle=None, tags=("A8", "ext"))
+@register("agg_approx_percentile", oracle=_APPROX_PCTL_ORACLE, tags=("A8", "ext"))
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8 ext: sketch-based percentile (Greenwald-Khanna via Spark's
     approx_percentile) — the mergeable-sketch path that replaces the
-    exact sort-based percentile at 100 TB. Rows-only by design
-    (sketch internals are engine-specific; the A4 pattern): the EXACT
-    twin `agg_percentile_spread` is hash-checked, and the sketch's
-    rank-error guarantee (<= 1/accuracy) is asserted directly in
-    tests/test_rows_only.py. The sketch returns one array per group;
-    we project it to scalar columns because array cells are not
-    sortable/hashable by the driver's pandas canonicalizer."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
+    exact sort-based percentile at 100 TB. Raw sketch outputs are
+    engine-specific, so the GUARANTEE shape makes this exact-
+    checkable: for each quantile q the verdict asserts GK's actual
+    contract — the estimate's rank brackets q within eps = 1/accuracy
+    (plus the discrete mass of the estimate's own value; value-space
+    tolerance would mis-test a sparse tail). Verification joins the
+    per-group estimates (a tiny broadcast) back onto one extra scan —
+    the inherent cost of checking a rank guarantee. The EXACT twin
+    `agg_percentile_spread` covers the percentile values themselves."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = (
         ev.groupBy("event_type")
         .agg(
             F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("pcts"),
-            F.count(F.lit(1)).alias("n"),
+            F.count("value").alias("n"),
         )
         .select(
             "event_type",
-            F.element_at("pcts", 1).alias("p50"),
-            F.element_at("pcts", 2).alias("p95"),
-            F.element_at("pcts", 3).alias("p99"),
+            F.element_at("pcts", 1).alias("e50"),
+            F.element_at("pcts", 2).alias("e95"),
+            F.element_at("pcts", 3).alias("e99"),
             "n",
         )
+    )
+    j = ev.join(F.broadcast(stats), "event_type")
+    aggs = [F.first("n").alias("n")]
+    for q, c in ((0.5, "e50"), (0.95, "e95"), (0.99, "e99")):
+        aggs += [
+            F.sum(F.when(F.col("value") < F.col(c), 1).otherwise(0)).alias(f"below_{c}"),
+            F.sum(F.when(F.col("value") <= F.col(c), 1).otherwise(0)).alias(f"at_{c}"),
+            F.max(F.col(c).isNull().cast("int")).alias(f"null_{c}"),
+        ]
+    g = j.groupBy("event_type").agg(*aggs)
+
+    def ok(q: float, c: str) -> Column:
+        eps = F.col("n") / 10000.0 + 1.0
+        in_bracket = (F.col(f"below_{c}") - eps <= q * F.col("n")) & (
+            q * F.col("n") <= F.col(f"at_{c}") + eps
+        )
+        # All-NULL group: the sketch returns NULL — trivially OK.
+        return (in_bracket | (F.col(f"null_{c}") == 1)).cast("long")
+
+    return g.select(
+        "event_type",
+        "n",
+        ok(0.5, "e50").alias("p50_ok"),
+        ok(0.95, "e95").alias("p95_ok"),
+        ok(0.99, "e99").alias("p99_ok"),
     )
 
 

@@ -375,32 +375,62 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- production-form 64-bit SimHash (xxhash64, rows-only) ---------------
 
 
-@register("simhash64_xxhash_buckets", oracle=None, tags=("L2", "F7", "ext"))
+_SIMHASH64_ORACLE = """
+WITH k AS (
+  SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))),
+                         chr(31)) AS key
+  FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT key) AS BIGINT) AS n_tokensets,
+       CAST(1 AS BIGINT) AS dup_same_fp,
+       CAST(1 AS BIGINT) AS buckets_le_tokensets
+FROM k
+"""
+
+
+@register(
+    "simhash64_xxhash_buckets", oracle=_SIMHASH64_ORACLE, tags=("L2", "F7", "ext")
+)
 def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deployable SimHash: 64-bit fingerprints where ONE
     Spark-internal xxhash64 per token supplies all 64 bit votes — 1
     hash pass vs the md5 form's 1-per-hex-digit, and a 2^64 keyspace
     that kills the small-vocabulary collision problem the 16-bit demo
-    has. Rows-only by design (xxhash64 has no DuckDB twin); the
-    md5-form `simhash_dedup` is the exact-checked semantics anchor,
-    and the fingerprint invariants (duplicate⇒equal, locality) are
-    pinned in tests/test_properties.py. Returns bucket-size stats —
-    at this keyspace every fixture bucket is its exact-duplicate
-    group."""
+    has. xxhash64 has no DuckDB twin, so the GUARANTEE shape makes
+    this exact-checkable: the row carries the exact doc and distinct
+    token-set counts plus verdicts for the fingerprint invariants
+    that hold on ANY input — equal token sets ⇒ equal fingerprints
+    (the dedup no-false-negative half) and the fingerprint-bucket
+    count never exceeding the token-set count. The md5-form
+    `simhash_dedup` stays the exact-checked value anchor, and
+    locality is pinned in tests/test_properties.py."""
     from gostream_spark.functions.sketches import simhash64_from_xxhashes
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.array_distinct(F.split("text", " "))
     hashed = docs.select(
-        "doc_id", F.transform(toks, lambda t: F.xxhash64(t)).alias("hs")
+        "doc_id",
+        F.array_join(F.array_sort(toks), "\x1f").alias("key"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
     )
-    fp = hashed.select("doc_id", simhash64_from_xxhashes(F.col("hs")).alias("fp"))
-    buckets = fp.groupBy("fp").agg(F.count(F.lit(1)).alias("bucket_size"))
-    return buckets.agg(
-        F.count(F.lit(1)).alias("n_buckets"),
-        F.max("bucket_size").alias("max_bucket"),
-        F.sum(F.when(F.col("bucket_size") > 1, 1).otherwise(0)).cast("long").alias(
-            "n_dup_buckets"
+    fp = hashed.select("key", simhash64_from_xxhashes(F.col("hs")).alias("fp"))
+    stats = fp.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.countDistinct("fp").alias("n_fps")
+    )
+    grp = (
+        fp.groupBy("key")
+        .agg(F.countDistinct("fp").alias("nfp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokensets"),
+            F.coalesce(F.max("nfp"), F.lit(1)).alias("max_nfp"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(grp)).select(
+        "n_docs",
+        "n_tokensets",
+        (F.col("max_nfp") == 1).cast("long").alias("dup_same_fp"),
+        (F.col("n_fps") <= F.col("n_tokensets")).cast("long").alias(
+            "buckets_le_tokensets"
         ),
     )
 
@@ -570,7 +600,41 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- L2 wave 5: PageRank centrality for canonical-copy selection --------
 
 
-@register("neardup_pagerank_centrality", oracle=None, tags=("L2", "ext"))
+_PAGERANK_ORACLE = """
+WITH sub AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+           AS shingle
+  FROM sub WHERE len(toks) >= 3
+), mins AS (
+  SELECT doc_id,
+         list_slice(list_sort(list(substr(md5(shingle), 1, 15))), 1, 8) AS m
+  FROM sh GROUP BY doc_id HAVING count(*) >= 8
+), bands AS (
+  SELECT doc_id, 0 AS band_id, md5(m[1] || m[2]) AS band_hash FROM mins
+  UNION ALL SELECT doc_id, 1, md5(m[3] || m[4]) FROM mins
+  UNION ALL SELECT doc_id, 2, md5(m[5] || m[6]) FROM mins
+  UNION ALL SELECT doc_id, 3, md5(m[7] || m[8]) FROM mins
+), starred AS (
+  SELECT doc_id,
+         min(doc_id) OVER (PARTITION BY band_id, band_hash) AS hub
+  FROM bands
+), edges AS (
+  SELECT DISTINCT hub AS src, doc_id AS dst FROM starred WHERE doc_id <> hub
+), nodes AS (
+  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+)
+SELECT CAST((SELECT count(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST(1 AS BIGINT) AS mass_ok,
+       CAST(1 AS BIGINT) AS floor_ok
+"""
+
+
+@register("neardup_pagerank_centrality", oracle=_PAGERANK_ORACLE, tags=("L2", "ext"))
 def neardup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative PageRank over the near-dup candidate graph
     (``operators.pagerank``, 10 fixed BSP rounds): ranks the
@@ -578,11 +642,18 @@ def neardup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     select the most-central variant instead of blind min-id — the
     canonical-copy heuristic for crawl dedup (hub pages accumulate
     rank from their satellites). Nodes are the candidate-graph
-    endpoints only (degree >= 1, so rank mass is conserved — pinned
-    in tests/test_rows_only.py). Rows-only by design: rank values are
-    float sums over shuffled neighbor contributions (last-ulp
-    partial-sum order), surfaced rounded at 4; row count equals the
-    candidate-graph node count."""
+    endpoints only (degree >= 1, so rank mass is conserved).
+
+    Rank values are float sums over shuffled neighbor contributions
+    (last-ulp partial-sum order), so the GUARANTEE shape makes this
+    exact-checkable: the row carries the exact candidate-graph node
+    and star-edge counts (the DuckDB oracle rebuilds the md5
+    bottom-k band graph, same CTEs as the judge-green
+    neardup_graph_stats) plus verdicts for the PageRank invariants
+    that hold on ANY input — total rank mass equals the node count
+    within float tolerance and every rank is at least the teleport
+    floor (1 - d). The hub-outranks-leaf structure check stays in
+    tests/test_rows_only.py."""
     from gostream_spark.operators.pagerank import pagerank
 
     edges = _bottomk_band_star_edges(spark, sf_dir)
@@ -591,17 +662,23 @@ def neardup_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(edges.select(F.col("dst").alias("doc_id")))
         .distinct()
     )
-    deg = (
-        edges.select(F.col("src").alias("doc_id"))
-        .union(edges.select(F.col("dst").alias("doc_id")))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
     ranks = pagerank(nodes, edges, damping=0.85, n_iter=10)
-    return (
-        ranks.withColumnRenamed("id", "doc_id")
-        .join(deg, "doc_id")
-        .select("doc_id", F.round("rank", 4).alias("rank"), "degree")
+    rstats = ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(F.sum("rank"), F.lit(0.0)).alias("mass"),
+        F.coalesce(F.min("rank"), F.lit(1.0)).alias("min_rank"),
+    )
+    estats = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return rstats.crossJoin(F.broadcast(estats)).select(
+        "n_nodes",
+        "n_edges",
+        (
+            F.abs(F.col("mass") - F.col("n_nodes"))
+            <= F.greatest(F.lit(1e-3), F.col("n_nodes") * 1e-6)
+        )
+        .cast("long")
+        .alias("mass_ok"),
+        (F.col("min_rank") >= 0.15 - 1e-9).cast("long").alias("floor_ok"),
     )
 
 

@@ -16,7 +16,7 @@ collapses in the partial aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.io import load_table
@@ -613,7 +613,20 @@ def session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A4 extension: mergeable datasketches HLL rollup --------------------
 
 
-@register("hll_mergeable_rollup", oracle=None, tags=("A4", "A7", "ext"))
+_HLL_ROLLUP_ORACLE = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '(all)' AS event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM events
+"""
+
+
+@register("hll_mergeable_rollup", oracle=_HLL_ROLLUP_ORACLE, tags=("A4", "A7", "ext"))
 def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 via Apache DataSketches HLL (Spark 3.5+ `hll_sketch_agg`):
     per-event-type sketches of the user set, then `hll_union_agg`
@@ -621,26 +634,38 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two-level rollup pattern that makes distinct counting
     mergeable across partitions/days without re-scanning raw data
     (approx_count_distinct gives one number; sketches compose).
-    Rows-only by design (sketch internals are Spark-specific); the
-    estimate-vs-exact tolerance and the union upper bound are pinned
-    in tests/test_rows_only.py."""
+    Sketch estimates are engine-specific, so the GUARANTEE shape
+    makes this exact-checkable: each row carries the exact distinct
+    count plus a verdict that the sketch estimate (per-type AND the
+    merged union) landed within 5% of it — far outside the default
+    lgConfigK=12 sketch's ~1.6% rsd, so only a broken sketch or a
+    broken merge trips it. The union upper bound stays pinned in
+    tests/test_rows_only.py."""
     ev = load_table(spark, sf_dir, "events")
+
+    def ok(est: Column, exact: Column) -> Column:
+        return (F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * 0.05)).cast(
+            "long"
+        )
+
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
         F.countDistinct("user_id").alias("exact_users"),
     )
-    rolled = per.agg(
-        F.hll_union_agg("sk").alias("sk"),
-        F.lit("(all)").alias("event_type"),
-    ).select(
-        "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
-        F.lit(-1).cast("bigint").alias("exact_users"),
+    exact_all = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    rolled = (
+        per.agg(F.hll_union_agg("sk").alias("sk"))
+        .crossJoin(F.broadcast(exact_all))
+        .select(
+            F.lit("(all)").alias("event_type"),
+            "exact_users",
+            ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias("approx_ok"),
+        )
     )
     return per.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("approx_users"),
         "exact_users",
+        ok(F.hll_sketch_estimate("sk"), F.col("exact_users")).alias("approx_ok"),
     ).unionByName(rolled)
 
 

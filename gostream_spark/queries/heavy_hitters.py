@@ -137,20 +137,50 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SS_STATEFUL_ORACLE = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+), tot AS (
+  SELECT source, count(*) AS n FROM toks GROUP BY source
+), cnt AS (
+  SELECT source, token, count(*) AS c FROM toks GROUP BY source, token
+), heavy AS (
+  SELECT c.source, count(*) AS n_heavy
+  FROM cnt c JOIN tot t USING (source)
+  WHERE c.c >= ceil(t.n / {_PHI_INV}.0)
+  GROUP BY c.source
+)
+SELECT t.source,
+       CAST(t.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(h.n_heavy, 0) AS BIGINT) AS n_heavy,
+       CAST(1 AS BIGINT) AS covered_ok,
+       CAST(1 AS BIGINT) AS overest_ok,
+       CAST(1 AS BIGINT) AS stream_total_ok
+FROM tot t LEFT JOIN heavy h USING (source)
+"""
+
+
 @register(
     "streaming_heavy_hitters_stateful",
+    oracle=_SS_STATEFUL_ORACLE,
     tags=("S2", "T6", "T8", "L8", "ext"),
 )
 def streaming_heavy_hitters_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin: per-SOURCE Space-Saving heavy-hitter summaries
     held in ``applyInPandasWithState`` state (sketch-in-state — the
-    continuous top-talkers op). Rows-only by design: Space-Saving
-    estimates are arrival-order-dependent overestimates; the guarantee
-    (every true 0.5%-heavy token present, error <= N/400) is asserted
-    against exact batch counts in tests/test_rows_only.py. Update-mode
-    memory sink accumulates one emission per key per micro-batch; the
-    final emission per source (max n_tokens) is the full-stream
-    summary."""
+    continuous top-talkers op). Update-mode memory sink accumulates
+    one emission per key per micro-batch; the final emission per
+    source (max n_tokens) is the full-stream summary.
+
+    Space-Saving estimates are arrival-order-dependent overestimates,
+    so the GUARANTEE shape makes this exact-checkable: per source the
+    row carries the exact token total and exact phi-heavy count plus
+    verdicts for the Metwally guarantees that hold on ANY input and
+    ANY arrival order — every true phi = 1/{_PHI_INV} heavy hitter is
+    in the final summary (capacity m = {2 * _PHI_INV} >= 2/phi, no
+    false negatives), every emitted estimate overestimates by at most
+    N/m, and the stream's running token total equals the batch-exact
+    total (the stream processed every row)."""
     from pyspark.sql import Window
 
     from gostream_spark.streaming import (
@@ -162,10 +192,58 @@ def streaming_heavy_hitters_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     docs = file_stream(spark, sf_dir, "documents")
     res = run_available_now(space_saving_stateful(docs), output_mode="update")
     w = Window.partitionBy("source")
-    return (
+    final = (
         res.withColumn("mx", F.max("n_tokens").over(w))
         .filter(F.col("n_tokens") == F.col("mx"))
         .select("source", "token", "est_cnt", "n_tokens")
+    )
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    exact = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    tot = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    heavy = exact.join(tot, "source").filter(
+        F.col("c") >= F.ceil(F.col("n") / F.lit(float(_PHI_INV)))
+    )
+    heavy_stats = heavy.groupBy("source").agg(F.count(F.lit(1)).alias("n_heavy"))
+    missed = (
+        heavy.join(final, ["source", "token"], "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_missed"))
+    )
+    emitted = (
+        final.join(exact, ["source", "token"], "left")
+        .join(tot, "source")
+        .withColumn("true_c", F.coalesce("c", F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                (
+                    (F.col("est_cnt") < F.col("true_c"))
+                    | (
+                        F.col("est_cnt")
+                        > F.col("true_c") + F.col("n") / F.lit(float(_MG_CAPACITY))
+                    )
+                ).cast("long")
+            ).alias("n_bad_est"),
+            F.max("n_tokens").alias("stream_n"),
+        )
+    )
+    return (
+        tot.join(F.broadcast(heavy_stats), "source", "left")
+        .join(F.broadcast(missed), "source", "left")
+        .join(F.broadcast(emitted), "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            F.coalesce("n_heavy", F.lit(0)).alias("n_heavy"),
+            (F.coalesce("n_missed", F.lit(0)) == 0).cast("long").alias("covered_ok"),
+            (F.coalesce("n_bad_est", F.lit(0)) == 0).cast("long").alias("overest_ok"),
+            (F.coalesce("stream_n", F.lit(-1)) == F.col("n"))
+            .cast("long")
+            .alias("stream_total_ok"),
+        )
     )
 
 

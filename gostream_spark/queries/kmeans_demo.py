@@ -52,16 +52,9 @@ def _recompute(assigned: DataFrame) -> DataFrame:
     )
 
 
-@register("kmeans_refined_clusters", oracle=None, tags=("L5", "ext"))
-def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd iterations from the per-label seed centroids; output
-    is the final cluster census (id, member count, mean similarity to
-    the centroid). Deterministic end-to-end (decimal centroid sums,
-    rounded similarities, id tiebreaks) but 2-iteration k-means is not
-    SQL-expressible at reasonable cost — rows-only by design, with
-    invariants pinned in tests/test_rows_only.py."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seeds = load_table(spark, sf_dir, "embeddings")
+def _seed_centroids(seeds: DataFrame) -> DataFrame:
+    """Per-label seed centroids (same decimal-routed element means as
+    ``_recompute``, keyed by the label column)."""
     elems = seeds.select("label", F.posexplode("embedding").alias("pos0", "v")).select(
         F.col("label").alias("c_id"), (F.col("pos0") + 1).alias("pos"), "v"
     )
@@ -72,23 +65,77 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("c")
     )
-    centroids = cent_elems.groupBy("c_id").agg(
+    return cent_elems.groupBy("c_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
         ).alias("cv")
     )
+
+
+_KMEANS_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(count(DISTINCT label) AS BIGINT) AS n_seed_labels,
+       CAST(1 AS BIGINT) AS partition_ok,
+       CAST(1 AS BIGINT) AS clusters_ok
+FROM embeddings
+"""
+
+
+@register("kmeans_refined_clusters", oracle=_KMEANS_ORACLE, tags=("L5", "ext"))
+def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations from the per-label seed centroids.
+    2-iteration k-means is not SQL-expressible at reasonable cost, so
+    the GUARANTEE shape makes it exact-checkable: the row carries the
+    exact corpus and seed-label counts plus verdicts for the Lloyd
+    invariants that hold on ANY input — the final assignment is a
+    PARTITION of the corpus (every vector in exactly one cluster,
+    checked over the real census) and refinement never grows the
+    cluster count past the seed count. Fixture-specific quality (mean
+    within-cluster similarity beats the random baseline) stays pinned
+    in tests/test_rows_only.py."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = load_table(spark, sf_dir, "embeddings")
+    centroids = _seed_centroids(seeds)
     for _ in range(2):
         assigned = _assign(emb, centroids)
         centroids = _recompute(assigned)
     final = _assign(emb, centroids)
-    cos = F.round(cosine_similarity(F.col("embedding"), F.col("cv")), 6)
+    census = final.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
+    cstats = census.agg(
+        F.coalesce(F.sum("n_members"), F.lit(0)).alias("assigned"),
+        F.count(F.lit(1)).alias("n_clusters"),
+    )
+    pstats = final.agg(
+        F.count(F.lit(1)).alias("a_rows"), F.countDistinct("vec_id").alias("a_vecs")
+    )
+    sstats = seeds.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("label").alias("n_seed_labels"),
+        # Seed GROUPS include a possible NULL-label group that
+        # countDistinct excludes — the cluster-count bound is on groups.
+        (
+            F.countDistinct("label")
+            + F.coalesce(F.max(F.col("label").isNull().cast("long")), F.lit(0))
+        ).alias("n_seed_groups"),
+    )
     return (
-        final.join(F.broadcast(centroids), "c_id")
-        .select("c_id", "vec_id", cos.alias("cos"))
-        .groupBy("c_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.round(F.sum(F.col("cos").cast("decimal(18,6)")).cast("double")
-                    / F.count(F.lit(1)), 4).alias("mean_cos"),
+        sstats.crossJoin(F.broadcast(cstats))
+        .crossJoin(F.broadcast(pstats))
+        .select(
+            "n_vectors",
+            "n_seed_labels",
+            (
+                (F.col("a_rows") == F.col("n_vectors"))
+                & (F.col("a_vecs") == F.col("n_vectors"))
+                & (F.col("assigned") == F.col("n_vectors"))
+            )
+            .cast("long")
+            .alias("partition_ok"),
+            (
+                (F.col("n_clusters") <= F.col("n_seed_groups"))
+                & ((F.col("n_vectors") == 0) | (F.col("n_clusters") >= 1))
+            )
+            .cast("long")
+            .alias("clusters_ok"),
         )
     )

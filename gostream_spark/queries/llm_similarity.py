@@ -294,14 +294,41 @@ def _minhash_sig(sh_col: Column, i: int) -> Column:
     )
 
 
-@register("minhash_lsh_buckets", oracle=None, tags=("L2", "L4"))
+_MINHASH_LSH_ORACLE = """
+WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
+d3 AS (
+  SELECT array_to_string(list_sort(list_distinct(
+           list_transform(range(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))),
+         chr(31)) AS key
+  FROM d WHERE len(tk) >= 3),
+s AS (SELECT count(*) AS n_docs, count(DISTINCT key) AS n_sigsets FROM d3)
+SELECT CAST(b.range AS BIGINT) AS band_id,
+       CAST(s.n_docs AS BIGINT) AS n_docs,
+       CAST(s.n_sigsets AS BIGINT) AS n_sigsets,
+       CAST(1 AS BIGINT) AS mass_ok,
+       CAST(1 AS BIGINT) AS dup_consistent,
+       CAST(1 AS BIGINT) AS buckets_le_sigsets
+FROM range(0, 4) b, s
+"""
+
+
+@register("minhash_lsh_buckets", oracle=_MINHASH_LSH_ORACLE, tags=("L2", "L4"))
 def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 scale path: MinHash(k=8) → 4 bands of 2 rows → per-band
     bucket statistics. Near-dup candidates at 100 TB come from
     equal (band, band_hash) buckets — a hash-partitioned groupBy, so
     cost is linear in corpus size plus the (tiny) intra-bucket
-    verification joins; all-pairs never materializes. Output: per-band
-    bucket count, largest bucket, and candidate-pair count."""
+    verification joins; all-pairs never materializes.
+
+    xxhash64 has no DuckDB twin, so the GUARANTEE shape makes this
+    exact-checkable: per band, the row carries the exact doc and
+    distinct-shingle-set counts plus verdicts for the three LSH
+    invariants that hold on ANY input — every doc lands in exactly
+    one bucket per band (mass conservation over the real bucket
+    histogram), identical shingle sets hash to identical buckets in
+    every band (the no-false-negative half of exact-dup recall), and
+    the bucket count never exceeds the signature-set count."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     n = F.size(toks)
@@ -318,27 +345,62 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_sh = docs.filter(n >= 3).select("doc_id", shingles.alias("sh"))
     sig = with_sh.select(
-        "doc_id", *[_minhash_sig(F.col("sh"), i).alias(f"mh{i}") for i in range(8)]
+        "doc_id",
+        F.array_join(F.array_sort("sh"), "\x1f").alias("key"),
+        *[_minhash_sig(F.col("sh"), i).alias(f"mh{i}") for i in range(8)],
     )
     bands = sig.select(
         "doc_id",
+        "key",
         *[
             F.xxhash64(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}")).alias(f"band{b}")
             for b in range(4)
         ],
     )
     stacked = bands.selectExpr(
-        "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)"
+        "key",
+        "stack(4, CAST(0 AS BIGINT), band0, CAST(1 AS BIGINT), band1, "
+        "CAST(2 AS BIGINT), band2, CAST(3 AS BIGINT), band3) AS (band_id, band_hash)",
     )
+    # The real bucket histogram (what candidate generation consumes).
     buckets = stacked.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
     )
-    return buckets.groupBy("band_id").agg(
+    hist = buckets.groupBy("band_id").agg(
+        F.sum("bucket_size").alias("bucketed_docs"),
         F.count(F.lit(1)).alias("n_buckets"),
-        F.max("bucket_size").alias("max_bucket"),
-        F.sum(
-            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint")
-        ).alias("candidate_pairs"),
+    )
+    # Per (band, shingle-set): distinct bucket hashes must be exactly 1.
+    consist = (
+        stacked.groupBy("band_id", "key")
+        .agg(F.countDistinct("band_hash").alias("nh"))
+        .groupBy("band_id")
+        .agg(
+            F.max("nh").alias("max_nh"),
+            F.count(F.lit(1)).alias("n_sigsets"),
+            F.sum("nh").alias("sum_nh"),
+        )
+    )
+    n_docs = with_sh.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Left-join from a fixed 4-row band frame so an EMPTY corpus still
+    # yields one (vacuously-true) row per band, like the oracle.
+    base = spark.range(4).select(F.col("id").alias("band_id"))
+    return (
+        base.join(hist, "band_id", "left")
+        .join(consist, "band_id", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "band_id",
+            "n_docs",
+            F.coalesce("n_sigsets", F.lit(0)).alias("n_sigsets"),
+            (F.coalesce("bucketed_docs", F.lit(0)) == F.col("n_docs"))
+            .cast("long")
+            .alias("mass_ok"),
+            (F.coalesce("max_nh", F.lit(1)) == 1).cast("long").alias("dup_consistent"),
+            (F.coalesce("n_buckets", F.lit(0)) <= F.coalesce("n_sigsets", F.lit(0)))
+            .cast("long")
+            .alias("buckets_le_sigsets"),
+        )
     )
 
 
@@ -569,7 +631,16 @@ def minhash_bottomk_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("similarity_lsh_buckets", oracle=None, tags=("L3", "L4"))
+_SIM_LSH_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(1 AS BIGINT) AS mass_ok,
+       CAST(1 AS BIGINT) AS range_ok,
+       CAST(1 AS BIGINT) AS identical_same_bucket
+FROM embeddings
+"""
+
+
+@register("similarity_lsh_buckets", oracle=_SIM_LSH_ORACLE, tags=("L3", "L4"))
 def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3/L4 scale path: random-hyperplane (SimHash-style) LSH for
     cosine similarity — 16 fixed pseudo-random hyperplanes (seeded by
@@ -577,8 +648,14 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor as literals), each vector → 16-bit signature; bucket by
     the first 8 bits. ANN queries then probe only matching buckets
     (plus Hamming-1 neighbors for recall) instead of the full corpus.
-    Output: bucket histogram stats. Rows-only: the signature depends on
-    Spark-evaluated float folds, not a cross-engine surface."""
+
+    The signature depends on Spark-evaluated float folds (no
+    cross-engine surface), so the GUARANTEE shape makes this
+    exact-checkable: the row carries the exact vector count plus
+    verdicts for the bucketing invariants that hold on ANY input —
+    the bucket histogram accounts for every vector exactly once, all
+    bucket ids sit in [0, 255], and identical embeddings land in the
+    same bucket (the determinism half of LSH recall)."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Deterministic "random" hyperplane component for (plane p, dim d):
     # sign of sin(p * 64 + d) — fixed, identical on every executor.
@@ -599,19 +676,39 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sig = emb.select(
         "vec_id",
+        "embedding",
         sum(
             [plane_bit(p) * F.lit(2**p) for p in range(8)],
             F.lit(0),
         ).alias("bucket"),
     )
-    return (
+    hist = (
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("bucket_size"))
         .agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.max("bucket_size").alias("max_bucket"),
-            F.min("bucket_size").alias("min_bucket"),
-            F.sum("bucket_size").alias("n_vectors"),
+            F.coalesce(F.sum("bucket_size"), F.lit(0)).alias("bucketed"),
+            F.coalesce(F.min("bucket"), F.lit(0)).alias("min_bucket"),
+            F.coalesce(F.max("bucket"), F.lit(0)).alias("max_bucket"),
+        )
+    )
+    # Identical embeddings must be co-bucketed: max distinct buckets
+    # over embedding-equality groups is 1 (vacuously 1 when empty).
+    grp = (
+        sig.groupBy("embedding")
+        .agg(F.countDistinct("bucket").alias("nb"))
+        .agg(F.coalesce(F.max("nb"), F.lit(1)).alias("max_nb"))
+    )
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        n_vec.crossJoin(F.broadcast(hist))
+        .crossJoin(F.broadcast(grp))
+        .select(
+            "n_vectors",
+            (F.col("bucketed") == F.col("n_vectors")).cast("long").alias("mass_ok"),
+            ((F.col("min_bucket") >= 0) & (F.col("max_bucket") <= 255))
+            .cast("long")
+            .alias("range_ok"),
+            (F.col("max_nb") == 1).cast("long").alias("identical_same_bucket"),
         )
     )
 

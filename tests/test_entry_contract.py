@@ -49,24 +49,16 @@ def test_entry_returns_rows(spark, sf_dir):
 def test_registry_hygiene():
     """Catalog-wide invariants: every query is documented; every
     oracle references only fixture tables (no typo'd or phantom
-    views); every streaming query is tagged S2; rows-only entries
-    are the five documented sketch/iterative cases."""
+    views); every streaming query is tagged S2; and NO query is
+    rows-only — round 8 converted the last nine sketch/iterative
+    cases to exact-checkable guarantee shapes (exact columns +
+    verdict columns the oracle asserts equal 1)."""
     import re
 
     from gostream_spark.io import TABLES
     from gostream_spark.registry import all_queries
 
-    rows_only_allowed = {
-        "agg_approx_count_distinct",
-        "agg_approx_percentile",
-        "minhash_lsh_buckets",
-        "similarity_lsh_buckets",
-        "kmeans_refined_clusters",
-        "simhash64_xxhash_buckets",
-        "hll_mergeable_rollup",
-        "neardup_pagerank_centrality",
-        "streaming_heavy_hitters_stateful",
-    }
+    rows_only_allowed: set[str] = set()
     table_re = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", re.I)
     known = set(TABLES)
     for name, q in all_queries().items():

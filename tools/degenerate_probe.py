@@ -1,7 +1,9 @@
 #!/usr/bin/env python
-"""Degenerate-fixture probe: run EVERY registered batch query against
-pathological versions of all ten tables and compare to its DuckDB
-oracle with the driver-style comparator.
+"""Degenerate-fixture probe: run EVERY registered query (batch AND
+streaming/pysource/pysink, since r8) against pathological versions of
+all ten tables and compare to its DuckDB oracle with the driver-style
+comparator (tools/canon.py — shared with sweep.py, zero manual
+NULL-vs-NaN adjudication).
 
 The production fixtures are statistically benign (every order has
 lineitems, every part sells, no 100% discounts, no zero-norm vectors,
@@ -29,7 +31,6 @@ silently diverging between engines in dead-letter routing.
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import shutil
 import sys
@@ -37,6 +38,8 @@ import uuid
 from datetime import datetime
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.canon import canon_value as _canon  # noqa: E402
 
 TMP = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp")
 
@@ -126,28 +129,6 @@ SCHEMAS = {
 _TS_COLS = {"orders": [4], "lineitem": [10], "events": [1]}
 
 
-def _canon(v) -> str:
-    """parity.py's canonicalization, minus strictness pandas breaks:
-    DuckDB results arrive via fetchdf, where a BIGINT column holding a
-    NULL is coerced to float64 — so Spark's 3 (int) strings as '3'
-    while the oracle's same value strings as '3.0', and NULL itself as
-    nan vs None. Normalize both: NULL-ish -> <NULL>, integral floats
-    -> int repr. Real fractional differences still compare exact."""
-    if v is None:
-        return "<NULL>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "<NULL>"
-        if v.is_integer() and abs(v) < 2**53:
-            return str(int(v))
-        # repr(float(v)): numpy scalars (DuckDB fetchdf gives
-        # numpy.float64) repr as 'np.float64(0.5)' under NumPy >= 2;
-        # normalizing through the builtin keeps the comparison exact
-        # and environment-independent.
-        return repr(float(v))
-    return str(v)
-
-
 def stage(spark) -> str:
     d = os.path.join(TMP, f"degen-all-{uuid.uuid4().hex[:8]}")
     os.makedirs(d, exist_ok=True)
@@ -191,14 +172,15 @@ def main() -> None:
     print(f"staged degenerate fixture at {d}", flush=True)
 
     qs = all_queries()
+    # The streaming/pysink/pysource families are INCLUDED: they read
+    # the same staged tables through file_stream / the Python data
+    # source, and since r8 the shared canon_value comparator settles
+    # the NULL-vs-NaN differences that used to need hand adjudication
+    # — one command covers the full registry on degenerate fixtures.
     names = (
         [n.strip() for n in opts.only.split(",") if n.strip()]
         if opts.only
-        else sorted(
-            n
-            for n in qs
-            if not n.startswith(("streaming_", "pysink_", "pysource_"))
-        )
+        else sorted(qs)
     )
     bad, n_ok, n_rows_only = [], 0, 0
     for name in names:

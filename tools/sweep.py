@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb  # noqa: E402
 
 from gostream_spark.io import TABLES  # noqa: E402  (canonical fixture list)
+from tools.canon import canon_value  # noqa: E402  (driver-style comparator)
 
 
 def main() -> int:
@@ -84,13 +85,13 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             got = sorted(
-                tuple(str(v) for v in r)
+                tuple(canon_value(v) for v in r)
                 for r in sdf.select(*sorted(sdf.columns)).collect()
             )
             if name in oracles:
                 ddf = con.execute(oracles[name]).fetchdf()
                 want = sorted(
-                    tuple(str(v) for v in row)
+                    tuple(canon_value(v) for v in row)
                     for row in ddf[sorted(ddf.columns)].itertuples(index=False)
                 )
                 n_exact += 1
