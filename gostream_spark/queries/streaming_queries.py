@@ -1324,11 +1324,26 @@ def make_matview_merger(mv_root: str):
     """Build the foreachBatch merger for `streaming_matview_incremental`
     (module-level so replay idempotence is directly unit-testable).
     Returns (state, merge_batch); state["current"] tracks the latest
-    version directory."""
+    version directory.
+
+    DRIVER-RESTART recovery: a fresh process constructing a merger
+    over an existing mv_root must resume from the latest COMMITTED
+    version, not from None — otherwise replayed batch ids are
+    (correctly) skipped but every subsequent batch would merge
+    against an empty view and silently drop all pre-crash history.
+    Committed versions are exactly the atomically-renamed `v{id}-*`
+    dirs, so the max batch id among them is the durable view head
+    (a crash mid-write leaves only an invisible `.staging-*` orphan).
+    Proven by the kill-the-whole-driver test in test_streaming.py."""
     import os
     import uuid
 
     state = {"current": None}
+    if os.path.isdir(mv_root):
+        versions = [d for d in os.listdir(mv_root) if d.startswith("v")]
+        if versions:
+            latest = max(versions, key=lambda d: int(d[1:].split("-")[0]))
+            state["current"] = os.path.join(mv_root, latest)
 
     def merge_batch(batch_df, batch_id: int) -> None:
         # Idempotent replay: foreachBatch is at-least-once — after a

@@ -734,3 +734,78 @@ def test_file_stream_reads_directory_table(spark, tmp_path, sf_dir):
         output_mode="append",
     )
     assert out.count() == ev.count()
+
+
+def test_matview_survives_whole_driver_kill(spark, tmp_path, sf_dir):
+    """Failure injection on the DRIVER: the incremental-matview stream
+    runs in a SEPARATE driver process (tests/matview_restart_harness.py)
+    that hard-kills its own JVM with Runtime.halt() — no shutdown
+    hooks, no graceful stop — right after the second committed view
+    version. A fresh process on the SAME checkpoint + mv_root must
+    (a) resume the view from the latest durably-committed version
+    (the merger's restart-recovery scan), (b) skip or replay batches
+    per the staged-version manifest, and (c) finish with the view
+    equal to the one-shot batch aggregate — exactly-once across
+    driver loss, strictly stronger than the task/batch-crash tests
+    above."""
+    import glob
+    import subprocess
+    import sys
+
+    ev = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    mv_root = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+
+    harness = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "matview_restart_harness.py")
+
+    def run(mode: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, harness, mode, stage, mv_root, ckpt],
+            capture_output=True, text=True, timeout=600,
+        )
+
+    crashed = run("crash")
+    assert crashed.returncode != 0, (
+        f"crash run must die, got rc=0\n{crashed.stdout}\n{crashed.stderr}"
+    )
+    committed = sorted(glob.glob(f"{mv_root}/v*"))
+    assert committed, "crash run must leave committed versions behind"
+    assert len(committed) <= 3, (
+        "halt after the second commit cannot have committed all batches"
+    )
+
+    recovered = run("recover")
+    assert recovered.returncode == 0, (
+        f"recovery run failed rc={recovered.returncode}\n"
+        f"{recovered.stdout}\n{recovered.stderr}"
+    )
+    versions = glob.glob(f"{mv_root}/v*")
+    final = max(versions, key=lambda d: int(os.path.basename(d)[1:].split("-")[0]))
+    got = {
+        r.event_type: (r.event_cnt, r.value_cents)
+        for r in spark.read.parquet(final).collect()
+    }
+    truth = {
+        r.event_type: (r.event_cnt, r.value_cents)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("event_cnt"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .collect()
+    }
+    assert got == truth, (got, truth)
+    assert not glob.glob(f"{mv_root}/.staging-*"), "staging orphans must be swept"
