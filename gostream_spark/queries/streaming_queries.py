@@ -175,7 +175,14 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("c_ts") <= F.col("p_ts")),
     ).select("purchase_id", "click_id", F.col("p_user").alias("user_id"))
-    return run_available_now(joined, output_mode="append")
+    # State partitions sized to the join-state keyspace (user_id at
+    # this SF), not the batch shuffle width: a stream-stream join
+    # opens FOUR state stores per partition per micro-batch, so the
+    # session's 32-wide default pays ~16x the fixed store
+    # open/commit floor this tiny state needs (PERF.md r8: 7.6s ->
+    # 3.1s). At real scale the same lever sizes partitions to state
+    # volume/executor memory, not down to 8.
+    return run_available_now(joined, output_mode="append", state_partitions=8)
 
 
 # --- S5/S6: foreachBatch parquet sink round-trip ------------------------
@@ -647,7 +654,8 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
         F.coalesce("click_id", F.lit(-1)).alias("click_id"),
         F.col("p_user").alias("user_id"),
     )
-    return run_available_now(joined, output_mode="append")
+    # Same state-partition sizing rationale as the inner variant.
+    return run_available_now(joined, output_mode="append", state_partitions=8)
 
 
 # --- T5 within-watermark dedup (bounded state, unlike dropDuplicates) ---
@@ -1109,7 +1117,8 @@ def streaming_stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataF
         F.coalesce("click_id", F.lit(-1)).alias("click_id"),
         F.coalesce(F.col("p_user"), F.col("c_user")).alias("user_id"),
     )
-    return run_available_now(joined, output_mode="append")
+    # Same state-partition sizing rationale as the inner variant.
+    return run_available_now(joined, output_mode="append", state_partitions=8)
 
 
 # --- L1/T8 ext: streaming CDC materialization (latest state per key) ----
