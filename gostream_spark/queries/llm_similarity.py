@@ -659,12 +659,16 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # Deterministic "random" hyperplane component for (plane p, dim d):
     # sign of sin(p * 64 + d) — fixed, identical on every executor.
+    # The plane vector is built at the embedding's OWN length (r8
+    # degenerate-probe find: a hardcoded 64-dim plane zip_with-pads
+    # shorter vectors with NULLs and every bucket silently degrades
+    # to NULL).
     def plane_bit(p: int) -> Column:
         signed = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
+                    F.sequence(F.lit(0), F.size("embedding") - 1),
                     lambda d: F.signum(F.sin(d + F.lit(p * 64))),
                 ),
                 lambda x, s: x.cast("double") * s,
@@ -695,7 +699,11 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # over embedding-equality groups is 1 (vacuously 1 when empty).
     grp = (
         sig.groupBy("embedding")
-        .agg(F.countDistinct("bucket").alias("nb"))
+        # coalesce before counting: countDistinct skips NULLs, so an
+        # all-NULL bucket group would count 0 and read as vacuously
+        # consistent-and-violated at once; map NULL to a sentinel so
+        # it participates in the distinctness check like any value.
+        .agg(F.countDistinct(F.coalesce("bucket", F.lit(-1))).alias("nb"))
         .agg(F.coalesce(F.max("nb"), F.lit(1)).alias("max_nb"))
     )
     n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))

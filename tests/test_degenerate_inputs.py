@@ -185,6 +185,11 @@ EMB_QUERIES = [
     "ann_recall_at_k", "knn_label_disagreement",
     "mmr_diversified_topk", "embedding_dim_stats",
     "embedding_centroid_separation", "embedding_minmax_normalize",
+    # r8 probe find: the hyperplane LSH must build its plane vectors
+    # at the embedding's own dimensionality — a hardcoded 64-dim
+    # plane zip_with-pads shorter vectors with NULLs and every bucket
+    # silently degrades to NULL (verdict column catches it)
+    "similarity_lsh_buckets",
 ]
 
 
