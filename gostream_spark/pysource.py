@@ -142,9 +142,14 @@ class _SynthStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         lo = int(start["pos"])
         hi = min(lo + self.batch, self.rows)
-        # Concrete list, not a generator: Spark's prefetching cache
-        # copy.copy()s the returned iterator when planning partitions.
-        return [_row(i) for i in range(lo, hi)], {"pos": hi}
+        # list_iterator, neither a generator nor a bare list: Spark's
+        # prefetching cache copy.copy()s the returned iterator when
+        # planning partitions (generators aren't copyable), and on the
+        # EXHAUSTED-stream path (end == start) it calls next() on it
+        # expecting StopIteration (a bare list raised TypeError there
+        # — a timing-dependent flake under the continuous trigger,
+        # caught by the r8 sweep).
+        return iter([_row(i) for i in range(lo, hi)]), {"pos": hi}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         # MUST be an iterator, not a list: this path runs on the

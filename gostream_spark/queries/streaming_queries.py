@@ -271,7 +271,11 @@ def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=("user_id",),
         aggs=(F.count(F.lit(1)).alias("event_cnt"),),
     )
-    result = run_available_now(sess, output_mode="complete")
+    # Session-window state is keyed by user — size the state shuffle
+    # to that keyspace, not the 32-wide batch default (same lever as
+    # the stream-stream joins; the merge pass otherwise pays the
+    # per-partition store floor 4x over).
+    result = run_available_now(sess, output_mode="complete", state_partitions=8)
     return result.select(
         "user_id",
         ts_str("w.start").alias("session_start"),

@@ -136,6 +136,7 @@ def run_until(
     timeout_sec: int = 120,
     poll_sec: float = 0.25,
     trigger_ms: int = 100,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drive a streaming DataFrame with a continuous processing-time
     trigger until ``predicate(sink_df) -> bool`` holds, then stop and
@@ -152,11 +153,21 @@ def run_until(
     production deploy bounds them by monitoring, not termination.
     Raises TimeoutError if the predicate is not satisfied within
     ``timeout_sec``.
+
+    ``state_partitions`` has the same semantics, sizing rationale, and
+    sequential-harness concurrency caveat as ``run_available_now``'s —
+    and matters MORE here: the continuous trigger runs many more
+    micro-batches, each paying the per-partition store floor.
     """
     import time
 
     name = f"gs_mem_{next(_counter)}_{uuid.uuid4().hex[:8]}"
     ckpt = _scratch("ckpt")
+    spark = sdf.sparkSession
+    prev_shuffle = None
+    if state_partitions is not None:
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     q = (
         sdf.writeStream.format("memory")
         .queryName(name)
@@ -165,7 +176,6 @@ def run_until(
         .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
-    spark = sdf.sparkSession
     try:
         deadline = time.time() + timeout_sec
         while True:
@@ -181,6 +191,8 @@ def run_until(
             time.sleep(poll_sec)
     finally:
         q.stop()
+        if prev_shuffle is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     result = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)
