@@ -581,8 +581,16 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= n_users
         )
 
+    # Per-user state keyspace; the continuous trigger re-pays the
+    # per-partition store floor on every 100 ms batch (incl. the
+    # no-data batches that fire the timers), so size it down.
     result = run_until(
-        closed, _all_closed, output_mode="update", timeout_sec=120, poll_sec=0.15
+        closed,
+        _all_closed,
+        output_mode="update",
+        timeout_sec=120,
+        poll_sec=0.15,
+        state_partitions=8,
     )
     return (
         result.filter(F.col("closed") == "timeout")
@@ -889,8 +897,11 @@ def streaming_session_eventtime_timeout(spark: SparkSession, sf_dir: str) -> Dat
     from gostream_spark.streaming import event_session_stateful
 
     ev = file_stream(spark, sf_dir, "events")
+    # Per-user state keyspace — same sizing lever as the other
+    # stateful queries (timer firing scans every state partition on
+    # the trailing no-data batch too).
     return run_available_now(
-        event_session_stateful(ev), output_mode="append"
+        event_session_stateful(ev), output_mode="append", state_partitions=8
     )
 
 
