@@ -241,14 +241,25 @@ class _JsonlStreamWriter(DataSourceStreamWriter):
                 if m is not None and os.path.exists(m.staged):
                     os.remove(m.staged)
             return
+        # DRIVER-LOSS window: a crashed earlier attempt at THIS batch
+        # may have published some shards without reaching the marker
+        # (shard names are uuid-fresh per attempt, so a naive replay
+        # would duplicate them). No marker => the batch is not
+        # committed; sweep the orphaned publishes and redo them.
+        for orphan in glob.glob(os.path.join(self.path, f"batch-{batchId}-*")):
+            os.remove(orphan)
         names = []
         for m in messages:
             if m is not None:
                 name = f"batch-{batchId}-{os.path.basename(m.staged)}"
                 os.replace(m.staged, os.path.join(self.path, name))
                 names.append(name)
-        with open(marker, "w") as f:
+        # Marker write is the COMMIT POINT, so it must be atomic:
+        # write-then-rename (a torn marker would half-commit the batch).
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
             f.write("\n".join(names))
+        os.replace(tmp, marker)
 
     def abort(self, messages, batchId: int) -> None:
         for m in messages:

@@ -241,10 +241,16 @@ def pysink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def open_shards(out: str):
     """Iterate committed rows (scaffolding for the stream-sink stop
-    condition: counts lines of published shards, never staged ones)."""
+    condition). MANIFEST-driven: only shards listed by an atomic
+    `_batch-<id>.manifest` marker count — a shard published by a
+    crashed attempt whose marker never landed is invisible here, the
+    same read-side discipline a lakehouse manifest gives."""
     import glob as _glob
     import os
 
-    for path in _glob.glob(os.path.join(out, "batch-*.jsonl")):
-        with open(path) as f:
-            yield from f
+    for marker in sorted(_glob.glob(os.path.join(out, "_batch-*.manifest"))):
+        with open(marker) as f:
+            names = [ln.strip() for ln in f if ln.strip()]
+        for name in names:
+            with open(os.path.join(out, name)) as f:
+                yield from f
