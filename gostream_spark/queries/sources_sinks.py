@@ -368,3 +368,207 @@ def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --- S5 ext: file-level min/max stats manifest + skipping verdict -------
+
+_MANIFEST_ORACLE = """
+WITH rows_in AS (
+  SELECT CAST(ts AS DATE) AS day, ts, event_id, user_id
+  FROM events WHERE ts IS NOT NULL),
+filed AS (
+  SELECT day, user_id,
+         CAST(floor((row_number() OVER (PARTITION BY day ORDER BY ts, event_id) - 1)
+                    / 512.0) AS BIGINT) AS file_seq
+  FROM rows_in),
+stats AS (
+  SELECT day, file_seq,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         COALESCE(min(user_id), -1) AS uid_lo,
+         COALESCE(max(user_id), -1) AS uid_hi
+  FROM filed GROUP BY day, file_seq)
+SELECT strftime(day, '%Y-%m-%d') AS day, file_seq, n_rows, uid_lo, uid_hi,
+       CASE WHEN day < DATE '2024-01-10' OR day > DATE '2024-01-12'
+            THEN 1 ELSE 0 END AS prune_day,
+       CASE WHEN uid_lo = -1 THEN 0
+            WHEN uid_hi < 0 OR uid_lo > 2 THEN 1 ELSE 0 END AS prune_uid
+FROM stats
+"""
+
+
+@register("file_stats_manifest", oracle=_MANIFEST_ORACLE, tags=("S5", "W3", "ext"))
+def file_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 ext: FILE-LEVEL STATS MANIFEST — the data-skipping index a
+    lakehouse keeps per parquet file (Delta add-file stats / Iceberg
+    manifests). Events stand in for an append log laid out the way
+    ingest actually writes it: day-partitioned, 512-row files in
+    arrival order. Per file the manifest records row count and
+    min/max ``user_id``, then renders the pruning VERDICT for two
+    predicates: a 3-day time window (``prune_day``) and a
+    ``user_id IN [0, 2]`` band (``prune_uid``). The point the output
+    makes is the one that matters at 100 TB: the time predicate
+    prunes almost every file of a time-ordered log, while the
+    unclustered user band prunes almost none — which is exactly why
+    the z-order twin (`zorder_skipping_effectiveness`) exists.
+    Scale shape: the file-assignment window is PARTITIONED BY day
+    (never a global row_number), and the manifest output is
+    files×stats — millions of rows for a 100 TB table, not billions.
+    All-NULL stats columns publish the -1 sentinel and a file with
+    unknown stats is never pruned (``prune_uid = 0``)."""
+    from pyspark.sql import Window
+
+    from gostream_spark.io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(F.to_date("ts").alias("day"), "ts", "event_id", "user_id")
+    )
+    w = Window.partitionBy("day").orderBy("ts", "event_id")
+    filed = ev.select(
+        "day",
+        "user_id",
+        F.floor((F.row_number().over(w) - 1) / 512.0).cast("bigint").alias("file_seq"),
+    )
+    stats = filed.groupBy("day", "file_seq").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(F.min("user_id"), F.lit(-1)).alias("uid_lo"),
+        F.coalesce(F.max("user_id"), F.lit(-1)).alias("uid_hi"),
+    )
+    return stats.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "file_seq",
+        "n_rows",
+        "uid_lo",
+        "uid_hi",
+        F.when(
+            (F.col("day") < F.lit("2024-01-10").cast("date"))
+            | (F.col("day") > F.lit("2024-01-12").cast("date")),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("prune_day"),
+        F.when(F.col("uid_lo") == -1, 0)
+        .when((F.col("uid_hi") < 0) | (F.col("uid_lo") > 2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("prune_uid"),
+    )
+
+
+# --- S5 ext: z-order vs linear layout skipping effectiveness ------------
+
+def _interleave_sql(xname: str, yname: str, bits: int) -> str:
+    return " + ".join(
+        f"((({xname} >> {i}) & 1) << {2 * i}) + ((({yname} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+
+
+_ZEFF_ORACLE = f"""
+WITH dims AS (
+  SELECT event_id % 256 AS x,
+         (CAST(date_part('minute', ts) AS BIGINT) * 60
+          + CAST(date_part('second', ts) AS BIGINT)) % 256 AS y
+  FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+keyed AS (
+  SELECT x, y, {_interleave_sql('x', 'y', 8)} AS zkey FROM dims),
+placed AS (
+  SELECT 'linear' AS layout, x >> 4 AS file_id, x, y FROM keyed
+  UNION ALL
+  SELECT 'zorder' AS layout, zkey >> 12 AS file_id, x, y FROM keyed),
+file_stats AS (
+  SELECT layout, file_id,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         min(x) AS x_lo, max(x) AS x_hi,
+         min(y) AS y_lo, max(y) AS y_hi
+  FROM placed GROUP BY layout, file_id)
+SELECT layout,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN x_hi >= 64 AND x_lo <= 79 THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_scanned_x,
+       CAST(sum(CASE WHEN x_hi >= 64 AND x_lo <= 79 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned_x,
+       CAST(sum(CASE WHEN y_hi >= 64 AND y_lo <= 79 THEN 1 ELSE 0 END) AS BIGINT)
+         AS files_scanned_y,
+       CAST(sum(CASE WHEN y_hi >= 64 AND y_lo <= 79 THEN n_rows ELSE 0 END) AS BIGINT)
+         AS rows_scanned_y
+FROM file_stats
+GROUP BY layout
+"""
+
+
+@register("zorder_skipping_effectiveness", oracle=_ZEFF_ORACLE, tags=("S5", "F7", "ext"))
+def zorder_skipping_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 ext: WHY Z-ORDER — measures, from per-file min/max stats
+    alone (the mechanism a real scanner prunes with), how many files
+    two layouts of the same events scan for an x-band and a y-band
+    predicate. ``linear`` sorts by (x, y) into 16 equal-width x
+    buckets: the x predicate hits 1/16 files but the y predicate
+    scans ALL of them (y's min/max spans the full range in every
+    file). ``zorder`` range-buckets the 8-bit Morton interleave
+    (top 2 bits of each dimension): BOTH predicates land on ~4/16
+    files — z-order trades the single-column optimum for a bounded
+    worst case across every interleaved dimension, which is the
+    correct layout when a 100 TB table serves more than one
+    predicate column. Dimensions are wide at every SF by
+    construction (entity shard ``event_id % 256``,
+    second-of-hour bucket); everything is row-local integer bit
+    math plus two tiny aggregates — no window, no global sort, so
+    the measurement itself costs one scan at any scale. NULL-key
+    rows are excluded on both sides (a writer routes them to a
+    dedicated null shard)."""
+    from gostream_spark.io import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_id").isNotNull())
+        .select(
+            (F.col("event_id") % 256).alias("x"),
+            ((F.minute("ts").cast("long") * 60 + F.second("ts").cast("long")) % 256).alias(
+                "y"
+            ),
+        )
+    )
+    zkey = None
+    for i in range(_ZORDER_BITS):
+        xbit = F.shiftleft(F.shiftright("x", i).bitwiseAND(F.lit(1)), 2 * i)
+        ybit = F.shiftleft(F.shiftright("y", i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        zkey = xbit + ybit if zkey is None else zkey + xbit + ybit
+    keyed = ev.select("x", "y", zkey.alias("zkey"))
+    placed = keyed.select(
+        F.lit("linear").alias("layout"),
+        F.shiftright("x", 4).alias("file_id"),
+        "x",
+        "y",
+    ).unionAll(
+        keyed.select(
+            F.lit("zorder").alias("layout"),
+            F.shiftright("zkey", 12).alias("file_id"),
+            "x",
+            "y",
+        )
+    )
+    file_stats = placed.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("x").alias("x_lo"),
+        F.max("x").alias("x_hi"),
+        F.min("y").alias("y_lo"),
+        F.max("y").alias("y_hi"),
+    )
+    scan_x = (F.col("x_hi") >= 64) & (F.col("x_lo") <= 79)
+    scan_y = (F.col("y_hi") >= 64) & (F.col("y_lo") <= 79)
+    return file_stats.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.sum(F.when(scan_x, 1).otherwise(0)).cast("bigint").alias("files_scanned_x"),
+        F.sum(F.when(scan_x, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned_x"),
+        F.sum(F.when(scan_y, 1).otherwise(0)).cast("bigint").alias("files_scanned_y"),
+        F.sum(F.when(scan_y, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned_y"),
+    )
