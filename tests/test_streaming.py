@@ -736,6 +736,86 @@ def test_file_stream_reads_directory_table(spark, tmp_path, sf_dir):
     assert out.count() == ev.count()
 
 
+def test_stateful_state_survives_whole_driver_kill(spark, tmp_path, sf_dir):
+    """Failure injection on the STATE STORE across DRIVER loss: the
+    running-count ``applyInPandasWithState`` query runs in a separate
+    driver process (tests/stateful_restart_harness.py) that halt()s
+    its JVM after the state store committed batch 2's state version
+    but before the sink saw batch 2 — no shutdown hooks, no graceful
+    stop. A fresh process on the same checkpoint must reload the last
+    COMMITTED state version (post-batch-1, not the crashed attempt's
+    orphan), replay batch 2 against it, and finish with per-key
+    cumulative counts equal to the one-shot batch ground truth. This
+    is the state-side twin of test_matview_survives_whole_driver_kill
+    (sink side) and the whole-process upgrade of
+    test_stateful_crash_after_state_commit_recovers_exactly_once
+    (in-process restart)."""
+    import glob
+    import subprocess
+    import sys
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    harness = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "stateful_restart_harness.py"
+    )
+
+    def run(mode: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, harness, mode, stage, out, ckpt],
+            capture_output=True, text=True, timeout=600,
+        )
+
+    crashed = run("crash")
+    assert crashed.returncode != 0, (
+        f"crash run must die, got rc=0\n{crashed.stdout}\n{crashed.stderr}"
+    )
+    crashed_dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/b*"))
+    assert crashed_dirs == ["b0", "b1"], (
+        f"halt fired between state commit and sink write for b2; sink "
+        f"must hold exactly b0,b1 — got {crashed_dirs}"
+    )
+    # The state store must have durably committed versions pre-kill.
+    state_files = glob.glob(f"{ckpt}/state/**/*.delta", recursive=True) + glob.glob(
+        f"{ckpt}/state/**/*.snapshot", recursive=True
+    )
+    assert state_files, "crash run must leave committed state versions behind"
+
+    recovered = run("recover")
+    assert recovered.returncode == 0, (
+        f"recovery run failed rc={recovered.returncode}\n"
+        f"{recovered.stdout}\n{recovered.stderr}"
+    )
+    dirs = sorted(glob.glob(f"{out}/b*"))
+    assert [os.path.basename(d) for d in dirs] == ["b0", "b1", "b2", "b3"]
+    # Update-mode deltas: latest batch wins per key. If the recovered
+    # driver had lost (or double-applied) state, users whose last
+    # event is in batch 2 or 3 would carry wrong cumulative counts.
+    latest: dict[int, int] = {}
+    for d in dirs:  # sorted => ascending batch id
+        for r in spark.read.parquet(d).collect():
+            latest[r.user_id] = r.n_events
+    truth = {
+        r.user_id: r.n_events
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .collect()
+    }
+    assert latest == truth, (
+        f"{len(latest)} keys vs {len(truth)}; "
+        f"mismatches={[k for k in truth if latest.get(k) != truth[k]][:5]}"
+    )
+
+
 def test_matview_survives_whole_driver_kill(spark, tmp_path, sf_dir):
     """Failure injection on the DRIVER: the incremental-matview stream
     runs in a SEPARATE driver process (tests/matview_restart_harness.py)
