@@ -13,7 +13,9 @@ A fresh driver process on the same checkpoint must reload the
 recovered state version and continue the per-key counts from it, not
 from zero and not from the orphaned post-crash version.
 
-Usage: python stateful_restart_harness.py {crash|recover} STAGE OUT CKPT
+Usage: python stateful_restart_harness.py {crash|recover} STAGE OUT CKPT [STORE]
+STORE is ``hdfs`` (default) or ``rocksdb`` — the provider a 100 TB
+deployment actually runs; both processes of a pair must agree.
 Exit codes: crash mode exits nonzero (the halted JVM tears the Python
 client down); recover mode exits 0 iff the stream finished.
 """
@@ -25,22 +27,37 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
 
 def main() -> int:
     mode, stage, out, ckpt = sys.argv[1:5]
+    store = sys.argv[5] if len(sys.argv) > 5 else "hdfs"
 
     from pyspark.sql import SparkSession
 
     from gostream_spark.streaming.ops import running_count_stateful
 
-    spark = (
+    builder = (
         SparkSession.builder.master("local[2]")
         .appName(f"stateful_restart_{mode}")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    if store == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB
+        ).config(
+            # Changelog checkpointing is the at-scale recovery path:
+            # per-batch deltas to the checkpoint, snapshots in the
+            # background — exactly what halt() must not corrupt.
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    spark = builder.getOrCreate()
     os.makedirs(out, exist_ok=True)
 
     def sink(batch_df, batch_id: int) -> None:

@@ -736,7 +736,8 @@ def test_file_stream_reads_directory_table(spark, tmp_path, sf_dir):
     assert out.count() == ev.count()
 
 
-def test_stateful_state_survives_whole_driver_kill(spark, tmp_path, sf_dir):
+@pytest.mark.parametrize("store", ["hdfs", "rocksdb"])
+def test_stateful_state_survives_whole_driver_kill(spark, tmp_path, sf_dir, store):
     """Failure injection on the STATE STORE across DRIVER loss: the
     running-count ``applyInPandasWithState`` query runs in a separate
     driver process (tests/stateful_restart_harness.py) that halt()s
@@ -749,7 +750,11 @@ def test_stateful_state_survives_whole_driver_kill(spark, tmp_path, sf_dir):
     is the state-side twin of test_matview_survives_whole_driver_kill
     (sink side) and the whole-process upgrade of
     test_stateful_crash_after_state_commit_recovers_exactly_once
-    (in-process restart)."""
+    (in-process restart). Runs on BOTH providers: the HDFS-backed
+    default and RocksDB with changelog checkpointing — the store a
+    100 TB deployment runs, whose recovery path (replay changelog
+    deltas onto the last snapshot) is exactly what a mid-batch
+    halt() stresses."""
     import glob
     import subprocess
     import sys
@@ -771,7 +776,7 @@ def test_stateful_state_survives_whole_driver_kill(spark, tmp_path, sf_dir):
 
     def run(mode: str) -> subprocess.CompletedProcess:
         return subprocess.run(
-            [sys.executable, harness, mode, stage, out, ckpt],
+            [sys.executable, harness, mode, stage, out, ckpt, store],
             capture_output=True, text=True, timeout=600,
         )
 
@@ -784,10 +789,14 @@ def test_stateful_state_survives_whole_driver_kill(spark, tmp_path, sf_dir):
         f"halt fired between state commit and sink write for b2; sink "
         f"must hold exactly b0,b1 — got {crashed_dirs}"
     )
-    # The state store must have durably committed versions pre-kill.
-    state_files = glob.glob(f"{ckpt}/state/**/*.delta", recursive=True) + glob.glob(
-        f"{ckpt}/state/**/*.snapshot", recursive=True
-    )
+    # The state store must have durably committed versions pre-kill
+    # (*.delta/*.snapshot for the HDFS store; *.changelog/*.zip for
+    # RocksDB changelog checkpointing).
+    state_files = [
+        p
+        for pat in ("*.delta", "*.snapshot", "*.changelog", "*.zip")
+        for p in glob.glob(f"{ckpt}/state/**/{pat}", recursive=True)
+    ]
     assert state_files, "crash run must leave committed state versions behind"
 
     recovered = run("recover")
