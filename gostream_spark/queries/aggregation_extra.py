@@ -199,7 +199,13 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
-    j = ev.join(F.broadcast(stats), "event_type")
+    # Null-safe join key: groupBy keeps a NULL event_type group, so
+    # the verification join must match it too (plain equi-join would
+    # silently drop the NULL group the oracle still emits).
+    j = ev.join(
+        F.broadcast(stats).withColumnRenamed("event_type", "_et"),
+        F.col("event_type").eqNullSafe(F.col("_et")),
+    ).drop("_et")
     aggs = [F.first("n").alias("n")]
     for q, c in ((0.5, "e50"), (0.95, "e95"), (0.99, "e99")):
         aggs += [

@@ -414,11 +414,19 @@ def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
     )
     fp = hashed.select("key", simhash64_from_xxhashes(F.col("hs")).alias("fp"))
+    # The oracle's count(DISTINCT key) skips a NULL key (all-NULL-text
+    # docs), so the bucket invariants uniformly exclude the NULL-key
+    # group on this side too — n_docs alone counts every row, matching
+    # the oracle's count(*).
     stats = fp.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.countDistinct("fp").alias("n_fps")
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(
+            F.when(F.col("key").isNotNull(), F.col("fp"))
+        ).alias("n_fps"),
     )
     grp = (
-        fp.groupBy("key")
+        fp.filter(F.col("key").isNotNull())
+        .groupBy("key")
         .agg(F.countDistinct("fp").alias("nfp"))
         .agg(
             F.count(F.lit(1)).alias("n_tokensets"),

@@ -644,9 +644,13 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
     def ok(est: Column, exact: Column) -> Column:
-        return (F.abs(est - exact) <= F.greatest(F.lit(1.0), exact * 0.05)).cast(
-            "long"
-        )
+        # An empty/all-NULL input yields a NULL sketch (nothing was
+        # aggregated) and exact = 0 — coalesce so the verdict stays a
+        # literal 1/0 like the oracle's, never NULL.
+        return (
+            F.abs(F.coalesce(est, F.lit(0.0)) - exact)
+            <= F.greatest(F.lit(1.0), exact * 0.05)
+        ).cast("long")
 
     per = ev.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),

@@ -212,9 +212,25 @@ def streaming_heavy_hitters_stateful(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_missed"))
     )
+    # A NULL source is a legal group (the stream emits key=None and
+    # batch groupBy keeps it), so every verdict join below must be
+    # null-safe — a plain equi-join would orphan the NULL group and
+    # flip its verdicts to 0 while the oracle asserts 1.
     emitted = (
-        final.join(exact, ["source", "token"], "left")
-        .join(tot, "source")
+        final.join(
+            exact.withColumnRenamed("source", "_src").withColumnRenamed(
+                "token", "_tok"
+            ),
+            F.col("source").eqNullSafe(F.col("_src"))
+            & (F.col("token") == F.col("_tok")),
+            "left",
+        )
+        .drop("_src", "_tok")
+        .join(
+            tot.withColumnRenamed("source", "_src"),
+            F.col("source").eqNullSafe(F.col("_src")),
+        )
+        .drop("_src")
         .withColumn("true_c", F.coalesce("c", F.lit(0)))
         .groupBy("source")
         .agg(
@@ -233,7 +249,12 @@ def streaming_heavy_hitters_stateful(spark: SparkSession, sf_dir: str) -> DataFr
     return (
         tot.join(F.broadcast(heavy_stats), "source", "left")
         .join(F.broadcast(missed), "source", "left")
-        .join(F.broadcast(emitted), "source", "left")
+        .join(
+            F.broadcast(emitted.withColumnRenamed("source", "_src")),
+            F.col("source").eqNullSafe(F.col("_src")),
+            "left",
+        )
+        .drop("_src")
         .select(
             "source",
             F.col("n").alias("n_tokens"),

@@ -635,7 +635,8 @@ _SIM_LSH_ORACLE = """
 SELECT CAST(count(*) AS BIGINT) AS n_vectors,
        CAST(1 AS BIGINT) AS mass_ok,
        CAST(1 AS BIGINT) AS range_ok,
-       CAST(1 AS BIGINT) AS identical_same_bucket
+       CAST(1 AS BIGINT) AS identical_same_bucket,
+       CAST(1 AS BIGINT) AS null_bucket_iff_malformed
 FROM embeddings
 """
 
@@ -654,8 +655,10 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-checkable: the row carries the exact vector count plus
     verdicts for the bucketing invariants that hold on ANY input —
     the bucket histogram accounts for every vector exactly once, all
-    bucket ids sit in [0, 255], and identical embeddings land in the
-    same bucket (the determinism half of LSH recall)."""
+    bucket ids sit in [0, 255], identical embeddings land in the
+    same bucket (the determinism half of LSH recall), and a bucket is
+    NULL exactly when the embedding is malformed (NULL/empty/contains
+    NULL) — the silent-degradation mode the other three are blind to."""
     emb = load_table(spark, sf_dir, "embeddings")
     # Deterministic "random" hyperplane component for (plane p, dim d):
     # sign of sin(p * 64 + d) — fixed, identical on every executor.
@@ -706,10 +709,28 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct(F.coalesce("bucket", F.lit(-1))).alias("nb"))
         .agg(F.coalesce(F.max("nb"), F.lit(1)).alias("max_nb"))
     )
+    # min/max skip NULL and the histogram counts a NULL-bucket group
+    # like any other, so the three verdicts above are blind to a
+    # bucket that silently degraded to NULL (the exact r8 probe
+    # failure mode). Pin it directly: a bucket is NULL iff the
+    # embedding is malformed (NULL array, empty, or containing a
+    # NULL element) — min over rows, vacuously 1 on empty input.
+    well_formed = (
+        F.col("embedding").isNotNull()
+        & (F.size("embedding") > 0)
+        & ~F.exists("embedding", lambda x: x.isNull())
+    )
+    nullness = sig.agg(
+        F.coalesce(
+            F.min((F.col("bucket").isNull() == ~well_formed).cast("long")),
+            F.lit(1),
+        ).alias("null_bucket_iff_malformed")
+    )
     n_vec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     return (
         n_vec.crossJoin(F.broadcast(hist))
         .crossJoin(F.broadcast(grp))
+        .crossJoin(F.broadcast(nullness))
         .select(
             "n_vectors",
             (F.col("bucketed") == F.col("n_vectors")).cast("long").alias("mass_ok"),
@@ -717,6 +738,7 @@ def similarity_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("range_ok"),
             (F.col("max_nb") == 1).cast("long").alias("identical_same_bucket"),
+            "null_bucket_iff_malformed",
         )
     )
 

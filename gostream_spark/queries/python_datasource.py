@@ -230,8 +230,11 @@ def pysink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
+    # Read COMMITTED shards only (manifest-driven, same discipline as
+    # the stop condition above): a raw *.jsonl glob would also pick up
+    # shards a crashed attempt published without reaching its marker.
     back = spark.read.schema("event_id BIGINT, bucket INT, amount BIGINT").json(
-        os.path.join(out, "*.jsonl")
+        committed_shard_paths(out)
     )
     return back.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -239,18 +242,26 @@ def pysink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def open_shards(out: str):
-    """Iterate committed rows (scaffolding for the stream-sink stop
-    condition). MANIFEST-driven: only shards listed by an atomic
-    `_batch-<id>.manifest` marker count — a shard published by a
-    crashed attempt whose marker never landed is invisible here, the
-    same read-side discipline a lakehouse manifest gives."""
+def committed_shard_paths(out: str) -> list:
+    """Paths of COMMITTED shards only: shards listed by an atomic
+    `_batch-<id>.manifest` marker — a shard published by a crashed
+    attempt whose marker never landed is invisible here, the same
+    read-side discipline a lakehouse manifest gives."""
     import glob as _glob
     import os
 
+    paths = []
     for marker in sorted(_glob.glob(os.path.join(out, "_batch-*.manifest"))):
         with open(marker) as f:
-            names = [ln.strip() for ln in f if ln.strip()]
-        for name in names:
-            with open(os.path.join(out, name)) as f:
-                yield from f
+            paths += [
+                os.path.join(out, ln.strip()) for ln in f if ln.strip()
+            ]
+    return paths
+
+
+def open_shards(out: str):
+    """Iterate committed rows (scaffolding for the stream-sink stop
+    condition); manifest-driven via committed_shard_paths."""
+    for path in committed_shard_paths(out):
+        with open(path) as f:
+            yield from f

@@ -168,29 +168,34 @@ def run_until(
     if state_partitions is not None:
         prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime=f"{trigger_ms} milliseconds")
-        .start()
-    )
     try:
-        deadline = time.time() + timeout_sec
-        while True:
-            if predicate(spark.table(name)):
-                break
-            if time.time() > deadline:
-                raise TimeoutError(
-                    f"streaming query {name!r}: predicate not satisfied "
-                    f"after {timeout_sec}s"
-                )
-            if q.exception() is not None:
-                raise q.exception()
-            time.sleep(poll_sec)
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime=f"{trigger_ms} milliseconds")
+            .start()
+        )
+        try:
+            deadline = time.time() + timeout_sec
+            while True:
+                if predicate(spark.table(name)):
+                    break
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"streaming query {name!r}: predicate not satisfied "
+                        f"after {timeout_sec}s"
+                    )
+                if q.exception() is not None:
+                    raise q.exception()
+                time.sleep(poll_sec)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        # Restore OUTSIDE the start()/stop() scope: a failed start()
+        # or a throwing stop() must not leak the tiny override into
+        # the shared session (run_available_now has the same shape).
         if prev_shuffle is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     result = spark.table(name).localCheckpoint(eager=True)

@@ -62,7 +62,13 @@ def test_simhash_style_lsh_covers_corpus(spark, sf_dir):
     n_vecs = load_table(spark, sf_dir, "embeddings").count()
     row = get_query("similarity_lsh_buckets").fn(spark, sf_dir).collect()[0]
     assert row.n_vectors == n_vecs
-    _assert_verdicts([row], "mass_ok", "range_ok", "identical_same_bucket")
+    _assert_verdicts(
+        [row],
+        "mass_ok",
+        "range_ok",
+        "identical_same_bucket",
+        "null_bucket_iff_malformed",
+    )
 
 
 def test_kmeans_census_accounts_for_corpus(spark, sf_dir):
