@@ -306,3 +306,98 @@ def test_degenerate_star_match_oracle(spark, degenerate_star_dir, name):
     finally:
         con.close()
     assert got == want, f"{name}: {got[:4]} != {want[:4]}"
+
+
+# --- NULL-group-key shapes (r8, found by self-review) --------------------
+#
+# groupBy keeps a NULL key as a real group, but a plain equi-join (and
+# DuckDB's count(DISTINCT ...)) silently skips it — so every guarantee
+# query whose verification re-joins per-group stats onto the input must
+# be null-safe on the group key, and every distinct-count must agree on
+# whether the NULL group counts. These fixtures put a NULL in each
+# table's grouping column; none of the generated fixtures ever do.
+
+NULLKEY_DOC_QUERIES = [
+    # NULL text forms a NULL token-set key: excluded from n_tokensets
+    # on both engines, still counted in n_docs
+    "simhash64_xxhash_buckets",
+    # NULL source is a legal stream key (applyInPandasWithState key
+    # tuple (None,)): its verdict joins must match null-safely
+    "streaming_heavy_hitters_stateful",
+]
+NULLKEY_EVENT_QUERIES = [
+    # NULL event_type group must be verified, not dropped by the
+    # stats re-join; all-NULL user_id group => NULL sketch => verdict
+    # must stay a literal 1, not NULL
+    "agg_approx_percentile",
+    "hll_mergeable_rollup",
+]
+NULLKEY_EMB_QUERIES = [
+    # NULL / empty / NULL-element embeddings must bucket to NULL and
+    # be called out by null_bucket_iff_malformed (the other verdicts
+    # are structurally blind to a silently-degraded bucket)
+    "similarity_lsh_buckets",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_nullkey_dir(spark):
+    from datetime import datetime
+
+    d = os.path.join(TMP, f"degen-null-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    ts = datetime(2024, 1, 5, 12, 0, 0)
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha", "en", None, 16),   # NULL source, real text
+            (2, None, "en", "src1", 0),                # NULL text, real source
+            (3, None, "en", None, 0),                  # both NULL
+            (4, "alpha beta alpha", "en", "src1", 16), # same tokens as doc 1
+            (5, "gamma delta", "de", "src2", 11),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    events = spark.createDataFrame(
+        [
+            (1, ts, 100, None, 1.5, "{}"),    # NULL event_type group...
+            (2, ts, 101, None, 2.5, "{}"),    # ...with two users
+            (3, ts, None, "nu", 3.0, "{}"),   # all-NULL user_id group
+            (4, ts, None, "nu", None, "{}"),  # ...and a NULL value
+            (5, ts, 102, "click", 1.0, "{}"),
+        ],
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0], 0),
+            (2, None, 0),                      # NULL embedding
+            (3, [0.5, None, 0.25, 0.0], 1),    # NULL element
+            (4, [], 1),                        # empty array
+            (5, [1.0, 0.0, 0.0, 0.0], 2),      # identical to vec 1
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    for name, df in [("documents", docs), ("events", events), ("embeddings", emb)]:
+        sub = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+        df.coalesce(1).write.mode("overwrite").parquet(sub)
+        part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+        shutil.move(os.path.join(sub, part), os.path.join(d, f"{name}.parquet"))
+        shutil.rmtree(sub, ignore_errors=True)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.mark.parametrize("name", NULLKEY_DOC_QUERIES)
+def test_nullkey_docs_match_oracle(spark, degenerate_nullkey_dir, name):
+    _check(spark, degenerate_nullkey_dir, name, ["documents"])
+
+
+@pytest.mark.parametrize("name", NULLKEY_EVENT_QUERIES)
+def test_nullkey_events_match_oracle(spark, degenerate_nullkey_dir, name):
+    _check(spark, degenerate_nullkey_dir, name, ["events"])
+
+
+@pytest.mark.parametrize("name", NULLKEY_EMB_QUERIES)
+def test_nullkey_embeddings_match_oracle(spark, degenerate_nullkey_dir, name):
+    _check(spark, degenerate_nullkey_dir, name, ["embeddings"])
