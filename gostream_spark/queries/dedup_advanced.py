@@ -377,8 +377,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH64_ORACLE = """
 WITH k AS (
-  SELECT array_to_string(list_sort(list_distinct(string_split(text, ' '))),
-                         chr(31)) AS key
+  SELECT list_sort(list_distinct(string_split(text, ' '))) AS key
   FROM documents)
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT key) AS BIGINT) AS n_tokensets,
@@ -408,9 +407,14 @@ def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.array_distinct(F.split("text", " "))
+    # Token-set key via to_json: JSON string escaping is collision-proof
+    # for ARBITRARY token bytes — a whitespace-split token may legally
+    # contain \\x1f, so any ad-hoc join separator can alias two distinct
+    # token sets into one key and flip dup_same_fp to 0 (ADVICE r8). The
+    # oracle counts DISTINCT on the sorted list value itself.
     hashed = docs.select(
         "doc_id",
-        F.array_join(F.array_sort(toks), "\x1f").alias("key"),
+        F.to_json(F.array_sort(toks)).alias("key"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
     )
     fp = hashed.select("key", simhash64_from_xxhashes(F.col("hs")).alias("fp"))

@@ -88,11 +88,18 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the GUARANTEE shape makes it exact-checkable: the row carries the
     exact corpus and seed-label counts plus verdicts for the Lloyd
     invariants that hold on ANY input — the final assignment is a
-    PARTITION of the corpus (every vector in exactly one cluster,
-    checked over the real census) and refinement never grows the
-    cluster count past the seed count. Fixture-specific quality (mean
-    within-cluster similarity beats the random baseline) stays pinned
-    in tests/test_rows_only.py."""
+    PARTITION of the distinct (null-safe) vec_id keys (every key in
+    exactly one cluster, checked over the real census; the assignment
+    window collapses NULL ids into one key, so keys — not raw rows —
+    are the identity the invariant quantifies over) and refinement
+    never grows the cluster count past the seed count. Both verdicts
+    are VACUOUSLY true when no seed row has a non-empty embedding
+    (ADVICE r8): an all-malformed corpus yields zero centroids by
+    construction, so there is no assignment to check — without the
+    guard the literal-1 oracle would flag a correct no-op as a
+    failure. Fixture-specific quality (mean within-cluster similarity
+    beats the random baseline) stays pinned in
+    tests/test_rows_only.py."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seeds = load_table(spark, sf_dir, "embeddings")
     centroids = _seed_centroids(seeds)
@@ -105,11 +112,21 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_members"), F.lit(0)).alias("assigned"),
         F.count(F.lit(1)).alias("n_clusters"),
     )
+    # Null-safe distinct-key counts: countDistinct skips a NULL vec_id,
+    # but the assignment window keeps it as one real key — without the
+    # +isNull indicator a single NULL id would flip partition_ok on a
+    # legal input (ADVICE r8).
+    def _nskeys(col: str):
+        return F.countDistinct(col) + F.coalesce(
+            F.max(F.col(col).isNull().cast("long")), F.lit(0)
+        )
+
     pstats = final.agg(
-        F.count(F.lit(1)).alias("a_rows"), F.countDistinct("vec_id").alias("a_vecs")
+        F.count(F.lit(1)).alias("a_rows"), _nskeys("vec_id").alias("a_keys")
     )
     sstats = seeds.agg(
         F.count(F.lit(1)).alias("n_vectors"),
+        _nskeys("vec_id").alias("n_keys"),
         F.countDistinct("label").alias("n_seed_labels"),
         # Seed GROUPS include a possible NULL-label group that
         # countDistinct excludes — the cluster-count bound is on groups.
@@ -117,6 +134,12 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("label")
             + F.coalesce(F.max(F.col("label").isNull().cast("long")), F.lit(0))
         ).alias("n_seed_groups"),
+        # Zero rows with a non-empty embedding => _seed_centroids yields
+        # ZERO centroids and the crossJoin assignment is empty by
+        # construction — the partition/cluster verdicts are vacuous.
+        F.coalesce(
+            F.sum((F.size("embedding") > 0).cast("long")), F.lit(0)
+        ).alias("n_seedable"),
     )
     return (
         sstats.crossJoin(F.broadcast(cstats))
@@ -125,15 +148,22 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vectors",
             "n_seed_labels",
             (
-                (F.col("a_rows") == F.col("n_vectors"))
-                & (F.col("a_vecs") == F.col("n_vectors"))
-                & (F.col("assigned") == F.col("n_vectors"))
+                (F.col("n_seedable") == 0)
+                | (
+                    (F.col("a_rows") == F.col("n_keys"))
+                    & (F.col("a_keys") == F.col("n_keys"))
+                    & (F.col("assigned") == F.col("n_keys"))
+                )
             )
             .cast("long")
             .alias("partition_ok"),
             (
                 (F.col("n_clusters") <= F.col("n_seed_groups"))
-                & ((F.col("n_vectors") == 0) | (F.col("n_clusters") >= 1))
+                & (
+                    (F.col("n_vectors") == 0)
+                    | (F.col("n_seedable") == 0)
+                    | (F.col("n_clusters") >= 1)
+                )
             )
             .cast("long")
             .alias("clusters_ok"),

@@ -297,10 +297,9 @@ def _minhash_sig(sh_col: Column, i: int) -> Column:
 _MINHASH_LSH_ORACLE = """
 WITH d AS (SELECT string_split(text, ' ') AS tk FROM documents),
 d3 AS (
-  SELECT array_to_string(list_sort(list_distinct(
+  SELECT list_sort(list_distinct(
            list_transform(range(1, len(tk) - 1),
-                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))),
-         chr(31)) AS key
+                          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS key
   FROM d WHERE len(tk) >= 3),
 s AS (SELECT count(*) AS n_docs, count(DISTINCT key) AS n_sigsets FROM d3)
 SELECT CAST(b.range AS BIGINT) AS band_id,
@@ -344,9 +343,13 @@ def minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     with_sh = docs.filter(n >= 3).select("doc_id", shingles.alias("sh"))
+    # to_json key, not an ad-hoc separator join: a shingle may legally
+    # contain any byte a token can, so JSON escaping is the only
+    # collision-proof string encoding of the set (ADVICE r8); the
+    # oracle counts DISTINCT on the sorted list value itself.
     sig = with_sh.select(
         "doc_id",
-        F.array_join(F.array_sort("sh"), "\x1f").alias("key"),
+        F.to_json(F.array_sort("sh")).alias("key"),
         *[_minhash_sig(F.col("sh"), i).alias(f"mh{i}") for i in range(8)],
     )
     bands = sig.select(

@@ -436,12 +436,21 @@ def _space_saving_fn(
     hh = sorted(
         (t, c) for t, c in counters.items() if c >= thresh
     )
+    # ALWAYS emit a sentinel row (token NULL, est 0) so every
+    # micro-batch's running n_tokens reaches the sink even when no
+    # counter clears ceil(n/200) (near-uniform distributions with
+    # n >> capacity leave every counter ~n/400 < threshold). Without
+    # it the final summary for such a key would be empty or stale and
+    # the downstream stream_total_ok verdict would flip to 0 on a
+    # legal input. Tokens are str.split products (never NULL), so the
+    # NULL token cannot collide with a candidate; est_cnt=0 passes the
+    # overestimate bound vacuously (0 <= true_c + N/m).
     yield pd.DataFrame(
         {
-            "source": [key[0]] * len(hh),
-            "token": [t for t, _ in hh],
-            "est_cnt": [c for _, c in hh],
-            "n_tokens": [n] * len(hh),
+            "source": [key[0]] * (len(hh) + 1),
+            "token": [t for t, _ in hh] + [None],
+            "est_cnt": [c for _, c in hh] + [0],
+            "n_tokens": [n] * (len(hh) + 1),
         }
     )
 

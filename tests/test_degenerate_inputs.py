@@ -337,6 +337,9 @@ NULLKEY_EMB_QUERIES = [
     # be called out by null_bucket_iff_malformed (the other verdicts
     # are structurally blind to a silently-degraded bucket)
     "similarity_lsh_buckets",
+    # malformed embeddings must not flip the Lloyd partition verdict
+    # (ADVICE r8; the all-malformed edge is pinned separately below)
+    "kmeans_refined_clusters",
 ]
 
 
@@ -401,3 +404,43 @@ def test_nullkey_events_match_oracle(spark, degenerate_nullkey_dir, name):
 @pytest.mark.parametrize("name", NULLKEY_EMB_QUERIES)
 def test_nullkey_embeddings_match_oracle(spark, degenerate_nullkey_dir, name):
     _check(spark, degenerate_nullkey_dir, name, ["embeddings"])
+
+
+def test_kmeans_all_malformed_and_null_vec_ids(spark):
+    """ADVICE r8 edges for kmeans_refined_clusters, two fixtures:
+    (a) EVERY embedding malformed (NULL/empty) -> _seed_centroids
+    yields zero centroids, the crossJoin assignment is empty, and the
+    partition/cluster verdicts must be VACUOUSLY true rather than 0
+    against the literal-1 oracle; (b) NULL vec_ids with good
+    embeddings -> the assignment window collapses them into one key,
+    so the partition check must count keys null-safely."""
+    for rows, n_vec, n_lbl in [
+        # (a) all-malformed: NULL and empty embeddings only
+        ([(1, None, 0), (2, [], 1), (3, None, None)], 3, 2),
+        # (b) two NULL vec_ids + one real, all embeddings good
+        (
+            [
+                (None, [1.0, 0.0, 0.0, 0.0], 0),
+                (None, [0.0, 1.0, 0.0, 0.0], 0),
+                (7, [0.0, 0.0, 1.0, 0.0], 1),
+            ],
+            3,
+            2,
+        ),
+    ]:
+        d = os.path.join(TMP, f"degen-kmeans-{uuid.uuid4().hex[:8]}")
+        os.makedirs(d, exist_ok=True)
+        try:
+            emb = spark.createDataFrame(
+                rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+            )
+            sub = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+            emb.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = [f for f in os.listdir(sub) if f.endswith(".parquet")][0]
+            shutil.move(
+                os.path.join(sub, part), os.path.join(d, "embeddings.parquet")
+            )
+            shutil.rmtree(sub, ignore_errors=True)
+            _check(spark, d, "kmeans_refined_clusters", ["embeddings"])
+        finally:
+            shutil.rmtree(d, ignore_errors=True)

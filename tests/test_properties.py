@@ -1131,10 +1131,34 @@ def test_space_saving_hostile_tokens_and_nulls():
     pdf2 = pd.DataFrame({"text": [" ".join(hostile), None, " ".join(hostile)]})
     list(ops._space_saving_fn(("src",), iter([pdf1]), state))
     (out,) = list(ops._space_saving_fn(("src",), iter([pdf2]), state))
-    emitted = dict(zip(out["token"], out["est_cnt"]))
+    emitted = {t: c for t, c in zip(out["token"], out["est_cnt"]) if t is not None}
     assert emitted == {t: 3 for t in hostile}, emitted
+    # Exactly one sentinel row (NULL token, est 0) rides along so the
+    # batch's running n_tokens always reaches the sink (ADVICE r8).
+    assert (out["token"].isna() & (out["est_cnt"] == 0)).sum() == 1
     n_total = out["n_tokens"].iloc[0]
     assert n_total == 3 * len(hostile), n_total
+
+
+def test_space_saving_empty_candidate_batch_still_emits_total():
+    """ADVICE r8: a near-uniform batch where EVERY counter falls below
+    ceil(n/200) must still emit >= 1 row carrying the running token
+    total — otherwise the downstream stream_total_ok verdict reads a
+    stale total and flips to 0 on a perfectly legal input."""
+    import pandas as pd
+
+    from gostream_spark.streaming import ops
+
+    # 2000 distinct tokens, each once: n=2000, threshold ceil(n/200)=10,
+    # every Space-Saving estimate <= 1 + n/400 = 6 < 10 -> zero
+    # candidates, the exact shape the old code emitted nothing for.
+    toks = [f"u{i}" for i in range(2000)]
+    pdf = pd.DataFrame({"text": [" ".join(toks)]})
+    state = _FakeGroupState()
+    (out,) = list(ops._space_saving_fn(("src",), iter([pdf]), state))
+    assert len(out) == 1
+    assert out["token"].iloc[0] is None and out["est_cnt"].iloc[0] == 0
+    assert out["n_tokens"].iloc[0] == 2000
 
 
 @given(
