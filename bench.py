@@ -6,15 +6,36 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 followed by a short truncation-proof summary line; the complete
 payload is also written to bench_out/bench_latest.json (committed) so
 the durable per-query record never depends on the driver's stdout
-tail window.
+tail window. Any pre-existing bench_latest.json is first archived to
+bench_out/history/<content-sha>.json so a driver-invoked run can
+never shadow the builder's committed record (or vice versa).
 
 Each query is executed with a count-style action that materializes
 every row (``df.toLocalIterator`` would serialize; ``write.format
 ("noop")`` is the standard no-overhead sink for benchmarking).
+
+Instrumentation riding in the durable record (not the stdout line):
+- per-query trial list (all timed runs, chronological) so a FLAG row
+  in cross-round comparison carries its own spread instead of a
+  narrative about variance;
+- a per-query CPU probe (xorshift loop) and a session-level CPU
+  sentinel, as before;
+- an IO-touch probe (timed read of a fixed 64 MiB scratch file with
+  the page cache dropped via posix_fadvise(DONTNEED)) at session
+  start and end — the CPU probe is blind to disk/page-cache
+  contention, which is exactly the load class the r8 cross-round
+  deltas could not rule out;
+- for streaming queries, the micro-batch StreamingQueryProgress
+  breakdown per timed trial (triggerExecution / addBatch / state
+  commit ms, input rows, batch count) plus the full per-batch
+  durationMs dicts for the final trial — so a slow streaming reading
+  is attributable to planning vs state commit vs sink work from the
+  archived record alone.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -24,6 +45,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from gostream_spark.registry import all_queries  # noqa: E402
 from gostream_spark.session import get_spark  # noqa: E402
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_IO_PROBE_BYTES = 64 * 1024 * 1024
 
 
 def _probe_once_ms() -> float:
@@ -55,54 +79,196 @@ def _load_sentinel_ms() -> float:
     return round(min(_probe_once_ms() for _ in range(3)), 2)
 
 
+def _io_probe_ms() -> float | None:
+    """Timed sequential read of a fixed 64 MiB scratch file with its
+    page cache dropped first (posix_fadvise DONTNEED — advisory, no
+    privileges needed on Linux). Measures the IO path the CPU sentinel
+    cannot see: a co-tenant hammering the disk or evicting the page
+    cache shows up here while sentinel_ms stays idle. Returns None on
+    platforms without posix_fadvise (the reading would be
+    cache-contaminated and misleading rather than merely noisy)."""
+    if not hasattr(os, "posix_fadvise"):
+        return None
+    path = os.path.join(_REPO, ".tmp", "io_probe.bin")
+    try:
+        if (
+            not os.path.exists(path)
+            or os.path.getsize(path) != _IO_PROBE_BYTES
+        ):
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            block = bytes(range(256)) * 4096  # 1 MiB, content irrelevant
+            with open(path, "wb") as f:
+                for _ in range(_IO_PROBE_BYTES // len(block)):
+                    f.write(block)
+                f.flush()
+                os.fsync(f.fileno())
+        with open(path, "rb") as f:
+            os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
+            t0 = time.perf_counter()
+            while f.read(1024 * 1024):
+                pass
+            return round((time.perf_counter() - t0) * 1000, 2)
+    except OSError:
+        return None
+
+
+def _summarize_progress(captured: list[dict]) -> dict:
+    """Collapse one trial's captured StreamingQueryProgress entries to
+    the numbers that attribute a slow trial: total micro-batches,
+    trigger/addBatch/state-commit milliseconds, input rows."""
+    n_batches = trigger_ms = addbatch_ms = commit_ms = rows = 0
+    for stream in captured:
+        for b in stream.get("batches", []):
+            n_batches += 1
+            d = b.get("durationMs", {}) or {}
+            trigger_ms += d.get("triggerExecution", 0)
+            addbatch_ms += d.get("addBatch", 0)
+            rows += b.get("numInputRows", 0)
+            for op in b.get("stateOperators", []) or []:
+                commit_ms += op.get("commitTimeMs", 0)
+    return {
+        "n_batches": n_batches,
+        "trigger_ms": trigger_ms,
+        "addbatch_ms": addbatch_ms,
+        "state_commit_ms": commit_ms,
+        "input_rows": rows,
+    }
+
+
+def _final_trial_batches(captured: list[dict]) -> list[dict]:
+    """Full per-batch breakdown for the archived record, trimmed to
+    the attribution-relevant fields (the raw progress JSON carries
+    per-source/sink metadata that would bloat the committed file)."""
+    out = []
+    for stream in captured:
+        for b in stream.get("batches", []):
+            out.append(
+                {
+                    "batchId": b.get("batchId"),
+                    "numInputRows": b.get("numInputRows"),
+                    "durationMs": b.get("durationMs"),
+                    "stateOperators": [
+                        {
+                            "operatorName": op.get("operatorName"),
+                            "commitTimeMs": op.get("commitTimeMs"),
+                            "numRowsTotal": op.get("numRowsTotal"),
+                            "numRowsUpdated": op.get("numRowsUpdated"),
+                        }
+                        for op in (b.get("stateOperators") or [])
+                    ],
+                }
+            )
+    return out
+
+
+def _archive_existing(out_dir: str, latest: str) -> None:
+    """Copy-on-start: before this run overwrites bench_latest.json,
+    preserve the existing record under history/<content-sha12>.json.
+    Content-addressed, so re-runs over an already-archived record are
+    no-ops and the history never holds duplicates (VERDICT r8: the
+    driver's r8 run silently shadowed the builder's committed
+    record)."""
+    if not os.path.exists(latest):
+        return
+    try:
+        with open(latest, "rb") as f:
+            content = f.read()
+        sha = hashlib.sha256(content).hexdigest()[:12]
+        hist = os.path.join(out_dir, "history")
+        os.makedirs(hist, exist_ok=True)
+        dest = os.path.join(hist, f"{sha}.json")
+        if not os.path.exists(dest):
+            with open(dest, "wb") as f:
+                f.write(content)
+    except OSError:
+        pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sentinel_ms = _load_sentinel_ms()
+    io_probe_start = _io_probe_ms()
     spark = get_spark(app_name="gostream_spark_bench")
+
+    from gostream_spark.streaming import runner as _runner
 
     queries = {n: q for n, q in all_queries().items() if q.bench}
     timings: dict[str, float] = {}
+    trials_s: dict[str, list[float]] = {}
+    streaming_progress: dict[str, dict] = {}
     queries_list = sorted(queries)
     # Warm each query's plan once (codegen + first-scan page cache) so
     # the timed runs measure steady-state execution, not JVM warm-up;
     # then report the best of three timed runs (local[n] single-JVM
     # timings are GC/scheduler-noisy; the minimum is the stable
-    # estimate of the plan's cost).
+    # estimate of the plan's cost). The full trial list rides in the
+    # durable record so cross-round FLAG rows carry their own spread.
     for name in queries_list:
         queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     load_ms: dict[str, float] = {}
     for name in queries_list:
         load_ms[name] = _probe_once_ms()
-        best = float("inf")
+        trial_list: list[float] = []
+        trial_progress: list[dict] = []
         for _ in range(3):
+            _runner.RECENT_PROGRESS.clear()
             t0 = time.perf_counter()
             queries[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            trial_list.append(round(time.perf_counter() - t0, 3))
+            if _runner.RECENT_PROGRESS:
+                trial_progress.append(
+                    _summarize_progress(_runner.RECENT_PROGRESS)
+                )
+        timings[name] = min(trial_list)
+        trials_s[name] = trial_list
+        if trial_progress:
+            streaming_progress[name] = {
+                "trials": trial_progress,
+                "final_trial_batches": _final_trial_batches(
+                    _runner.RECENT_PROGRESS
+                ),
+            }
+        _runner.RECENT_PROGRESS.clear()
 
+    io_probe_end = _io_probe_ms()
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_trials_s": trials_s,
         "sentinel_ms": sentinel_ms,
         "query_load_ms": load_ms,
+        "io_probe_ms": {"start": io_probe_start, "end": io_probe_end},
+        "streaming_progress": streaming_progress,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     # Durable full record: the driver captures a bounded TAIL of stdout,
     # and r7's single long JSON line was cut mid-dict there, losing ~11
     # queries' timings from the round archive. Write the complete
-    # payload to a committed file FIRST, then print the full line
-    # (parsed when the tail window is big enough) followed by a short
-    # self-contained summary line that survives any tail truncation.
-    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out")
+    # payload to a committed file FIRST (archiving whatever it
+    # replaces), then print the full line (parsed when the tail window
+    # is big enough) followed by a short self-contained summary line
+    # that survives any tail truncation. The stdout line stays
+    # instrumentation-free — the driver's parser contract is the
+    # original shape; everything new rides only in the file.
+    out_dir = os.path.join(_REPO, "bench_out")
     os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "bench_latest.json"), "w") as f:
+    latest = os.path.join(out_dir, "bench_latest.json")
+    _archive_existing(out_dir, latest)
+    with open(latest, "w") as f:
         json.dump(payload, f, indent=2, sort_keys=True)
         f.write("\n")
-    print(json.dumps(payload))
+    stdout_payload = {
+        k: v
+        for k, v in payload.items()
+        if k
+        in ("metric", "value", "unit", "queries", "sentinel_ms",
+            "query_load_ms", "sf")
+    }
+    print(json.dumps(stdout_payload))
     print(
         json.dumps(
             {
@@ -110,6 +276,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "sentinel_ms": sentinel_ms,
+                "io_probe_ms": payload["io_probe_ms"],
                 "sf": payload["sf"],
                 "n_queries": len(timings),
                 "full_record": "bench_out/bench_latest.json",

@@ -24,6 +24,33 @@ _TMP_ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))), ".tmp")
 _counter = itertools.count()
 
+# Per-process capture of completed streams' micro-batch progress
+# (VERDICT r8: driver-side streaming bench readings need attributable
+# batch-level evidence — wall-clock + a CPU probe cannot decompose a
+# slow streaming trial into trigger/addBatch/state-commit time). Every
+# runner below appends one entry per finished query; bench.py clears
+# the list before a timed trial and summarizes it after. Bounded: a
+# query's recentProgress retains at most ~100 batches, and callers
+# clear between trials.
+RECENT_PROGRESS: list[dict] = []
+
+
+def _capture_progress(q) -> None:
+    """Best-effort: stash the finished query's StreamingQueryProgress
+    list (parsed JSON) for the caller. Never raises — progress capture
+    must not fail a result-bearing run."""
+    import json
+
+    try:
+        RECENT_PROGRESS.append(
+            {
+                "name": q.name,
+                "batches": [json.loads(p.json) for p in q.recentProgress],
+            }
+        )
+    except Exception:
+        pass
+
 
 def _scratch(kind: str) -> str:
     _sweep_stale()
@@ -110,6 +137,7 @@ def run_available_now(
                     f"{timeout_sec}s; refusing to return a partial sink"
                 )
         finally:
+            _capture_progress(q)
             q.stop()
     finally:
         # Micro-batches plan ASYNCHRONOUSLY after start() reads the
@@ -191,6 +219,7 @@ def run_until(
                     raise q.exception()
                 time.sleep(poll_sec)
         finally:
+            _capture_progress(q)
             q.stop()
     finally:
         # Restore OUTSIDE the start()/stop() scope: a failed start()
@@ -239,6 +268,7 @@ def run_foreach_batch_parquet(
                 f"{timeout_sec}s; sink holds a PARTIAL batch set"
             )
     finally:
+        _capture_progress(q)
         q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession, out
@@ -289,6 +319,7 @@ def run_foreach_batch_split(
                 f"after {timeout_sec}s; sinks hold a PARTIAL batch set"
             )
     finally:
+        _capture_progress(q)
         q.stop()
     shutil.rmtree(ckpt, ignore_errors=True)
     return sdf.sparkSession, main_out, side_out
