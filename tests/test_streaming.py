@@ -825,6 +825,101 @@ def test_stateful_state_survives_whole_driver_kill(spark, tmp_path, sf_dir, stor
     )
 
 
+@pytest.mark.parametrize("store", ["hdfs", "rocksdb"])
+def test_stream_stream_join_survives_whole_driver_kill(
+    spark, tmp_path, sf_dir, store
+):
+    """Failure injection on SYMMETRIC JOIN STATE across driver loss —
+    the last state surface without a whole-process kill proof (r8
+    covered matview sink, 2PC jsonl sink, applyInPandasWithState on
+    both providers). A watermarked full-outer stream-stream join (the
+    `streaming_stream_stream_full_join` shape) runs in a separate
+    driver (tests/ss_join_restart_harness.py) that halt()s its JVM
+    after batch 2's join-state versions committed but before the sink
+    saw batch 2. A fresh driver on the same checkpoint must replay
+    batch 2 against the post-batch-1 state — loading the crashed
+    attempt's orphaned version instead would double-insert batch 2's
+    rows into both sides' join state and emit duplicate matches. The
+    recovery contract asserted here is EQUIVALENCE: the killed-and-
+    recovered sink must equal an uninterrupted clean run's sink
+    row-for-row over the same deterministic batch sequence (same
+    staged files, maxFilesPerTrigger=1)."""
+    import glob
+    import subprocess
+    import sys
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    out_clean = str(tmp_path / "sink_clean")
+    ckpt_clean = str(tmp_path / "ckpt_clean")
+
+    harness = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ss_join_restart_harness.py"
+    )
+
+    def run(mode: str, o: str, c: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, harness, mode, stage, o, c, store],
+            capture_output=True, text=True, timeout=600,
+        )
+
+    crashed = run("crash", out, ckpt)
+    assert crashed.returncode != 0, (
+        f"crash run must die, got rc=0\n{crashed.stdout}\n{crashed.stderr}"
+    )
+    crashed_dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/b*"))
+    assert crashed_dirs == ["b0", "b1"], (
+        f"halt fired between state commit and sink write for b2; sink "
+        f"must hold exactly b0,b1 — got {crashed_dirs}"
+    )
+    state_files = [
+        p
+        for pat in ("*.delta", "*.snapshot", "*.changelog", "*.zip")
+        for p in glob.glob(f"{ckpt}/state/**/{pat}", recursive=True)
+    ]
+    assert state_files, "crash run must leave committed join-state versions"
+
+    recovered = run("recover", out, ckpt)
+    assert recovered.returncode == 0, (
+        f"recovery run failed rc={recovered.returncode}\n"
+        f"{recovered.stdout}\n{recovered.stderr}"
+    )
+    clean = run("clean", out_clean, ckpt_clean)
+    assert clean.returncode == 0, (
+        f"clean run failed rc={clean.returncode}\n{clean.stdout}\n{clean.stderr}"
+    )
+
+    def sink_rows(root: str) -> list[tuple]:
+        dirs = sorted(glob.glob(f"{root}/b*"))
+        rows = []
+        for d in dirs:
+            rows.extend(
+                (r.purchase_id, r.click_id, r.user_id)
+                for r in spark.read.parquet(d).collect()
+            )
+        return sorted(rows)
+
+    rec_dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/b*"))
+    clean_dirs = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out_clean}/b*")
+    )
+    assert rec_dirs == clean_dirs, (rec_dirs, clean_dirs)
+    got, want = sink_rows(out), sink_rows(out_clean)
+    assert got == want, (
+        f"recovered sink diverges from clean run: {len(got)} vs {len(want)} "
+        f"rows; first diffs={[p for p in got if p not in want][:5]} / "
+        f"{[p for p in want if p not in got][:5]}"
+    )
+
+
 def test_matview_survives_whole_driver_kill(spark, tmp_path, sf_dir):
     """Failure injection on the DRIVER: the incremental-matview stream
     runs in a SEPARATE driver process (tests/matview_restart_harness.py)
