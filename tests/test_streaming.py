@@ -920,6 +920,81 @@ def test_stream_stream_join_survives_whole_driver_kill(
     )
 
 
+def test_state_schema_evolution_is_refused_then_replayed(spark, tmp_path, sf_dir):
+    """Pin what Spark does when a stateful query redeploys with a
+    CHANGED state schema against an existing checkpoint (VERDICT r8
+    #5) — the operational event every long-lived 100 TB deployment
+    eventually hits. Observed and pinned here (Spark 4.1):
+
+    1. v1 (state struct<cnt:long>) runs to completion;
+    2. v2 (additive extension struct<cnt:long,last_event:long>) on the
+       SAME checkpoint with new input fails FAST and CLEAN at state
+       initialization — StreamingQueryException carrying
+       STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE — before any state or
+       sink write for the new batch (the sink holds exactly v1's
+       batches afterwards). No silent corruption, no partial output.
+    3. the playbook: v2 against a FRESH checkpoint replays the
+       retained source and produces correct final counts.
+
+    SCALE.md §state-schema-evolution documents the playbook this test
+    enforces."""
+    import glob
+    import subprocess
+    import sys
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    out2, ckpt2 = str(tmp_path / "sink2"), str(tmp_path / "ckpt2")
+    harness = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "schema_evolution_harness.py"
+    )
+
+    def run(mode: str, o: str, c: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, harness, mode, stage, o, c],
+            capture_output=True, text=True, timeout=600,
+        )
+
+    assert run("v1", out, ckpt).returncode == 0
+    v1_dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/b*"))
+    assert v1_dirs, "v1 must have produced sink batches"
+
+    # New input arrives, then the v2 binary (extended state) deploys
+    # against the old checkpoint.
+    for i in range(2):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    v2 = run("v2", out, ckpt)
+    assert v2.returncode == 5, (v2.returncode, v2.stdout, v2.stderr)
+    assert "STATE_STORE_VALUE_SCHEMA_NOT_COMPATIBLE" in v2.stdout, v2.stdout
+    assert sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/b*")
+    ) == v1_dirs, "refused run must not have written any new sink batch"
+
+    # Playbook: fresh checkpoint, replay the retained source.
+    assert run("v2fresh", out2, ckpt2).returncode == 0
+    latest: dict[int, int] = {}
+    for d in sorted(glob.glob(f"{out2}/b*")):
+        for r in spark.read.parquet(d).collect():
+            latest[r.user_id] = r.n_events
+    staged = spark.read.parquet(stage)
+    truth = {
+        r.user_id: r.n
+        for r in staged.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert latest == truth
+
+
 def test_matview_survives_whole_driver_kill(spark, tmp_path, sf_dir):
     """Failure injection on the DRIVER: the incremental-matview stream
     runs in a SEPARATE driver process (tests/matview_restart_harness.py)
