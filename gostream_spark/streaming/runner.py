@@ -16,6 +16,8 @@ from __future__ import annotations
 import itertools
 import os
 import shutil
+import threading
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,6 +52,44 @@ def _capture_progress(q) -> None:
         )
     except Exception:
         pass
+
+
+# Guards the [conf-pin -> start -> first-batch-commit] window so
+# CONCURRENT streaming queries in one session each consume their OWN
+# state_partitions pin. spark.sql.shuffle.partitions is session-global
+# and a stateful query resolves it during batch-0 planning (recording
+# it in the offset log for every later batch and restart) — without
+# the lock, query B's pin could land between query A's set and A's
+# batch-0 plan. The lock serializes only startup; queries overlap
+# freely from batch 1 on (test_runner_concurrent_queries).
+_pin_lock = threading.Lock()
+
+
+def _start_with_pin(spark, state_partitions: int | None, start_fn):
+    """Start a streaming query under the state-partition pin protocol:
+    no pin -> start directly; pin -> serialize [set conf, start, wait
+    for the first progress event (batch 0 committed, pin durably in
+    the offset log) or early termination], restoring the session conf
+    before releasing. Returns the started query."""
+    if state_partitions is None:
+        return start_fn()
+    with _pin_lock:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = start_fn()
+            # Bounded wait: availableNow on an empty source can finish
+            # with no progress event; a failed query deactivates.
+            deadline = time.time() + 120
+            while (
+                q.lastProgress is None
+                and q.isActive
+                and time.time() < deadline
+            ):
+                time.sleep(0.05)
+            return q
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _scratch(kind: str) -> str:
@@ -106,22 +146,19 @@ def run_available_now(
     partitions follow state cardinality/size, not the batch shuffle
     width. Fresh checkpoint per run, so re-pinning is always safe.
 
-    Concurrency caveat: the pin mutates the SESSION-global
-    spark.sql.shuffle.partitions for the query's lifetime (restored in
-    the finally below). Safe because this harness drives queries
-    sequentially on one session; if concurrent streams or mid-stream
-    batch compilation ever appear, scope the conf per query via a
-    dedicated `spark.newSession()` clone instead.
+    Concurrency-safe: the pin is applied under ``_start_with_pin``'s
+    startup lock — held from conf-set until the query's first batch
+    commits (when the value is durably in the offset log) — so N
+    queries with different pins can run concurrently in one session
+    and each consumes its own (proven by
+    tests/test_streaming.py::test_runner_concurrent_queries).
     """
     name = f"gs_mem_{next(_counter)}_{uuid.uuid4().hex[:8]}"
     ckpt = _scratch("ckpt")
     spark = sdf.sparkSession
-    prev_shuffle = None
-    if state_partitions is not None:
-        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
+
+    def _start():
+        return (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
@@ -129,23 +166,18 @@ def run_available_now(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            finished = q.awaitTermination(timeout_sec)
-            if not finished:
-                raise TimeoutError(
-                    f"streaming query {name!r} still running after "
-                    f"{timeout_sec}s; refusing to return a partial sink"
-                )
-        finally:
-            _capture_progress(q)
-            q.stop()
+
+    q = _start_with_pin(spark, state_partitions, _start)
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        if not finished:
+            raise TimeoutError(
+                f"streaming query {name!r} still running after "
+                f"{timeout_sec}s; refusing to return a partial sink"
+            )
     finally:
-        # Micro-batches plan ASYNCHRONOUSLY after start() reads the
-        # conf, so the override must stay in place until the query has
-        # terminated; this harness drives queries sequentially, so the
-        # temporary session-wide setting cannot leak into another plan.
-        if prev_shuffle is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _capture_progress(q)
+        q.stop()
     # Materialize off the memory sink (localCheckpoint: executor-side
     # blocks, freed by the ContextCleaner once the result is
     # unreferenced), then drop the temp view so event-scale sink
@@ -183,21 +215,16 @@ def run_until(
     ``timeout_sec``.
 
     ``state_partitions`` has the same semantics, sizing rationale, and
-    sequential-harness concurrency caveat as ``run_available_now``'s —
-    and matters MORE here: the continuous trigger runs many more
+    startup-lock concurrency safety as ``run_available_now``'s — and
+    matters MORE here: the continuous trigger runs many more
     micro-batches, each paying the per-partition store floor.
     """
-    import time
-
     name = f"gs_mem_{next(_counter)}_{uuid.uuid4().hex[:8]}"
     ckpt = _scratch("ckpt")
     spark = sdf.sparkSession
-    prev_shuffle = None
-    if state_partitions is not None:
-        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
+
+    def _start():
+        return (
             sdf.writeStream.format("memory")
             .queryName(name)
             .outputMode(output_mode)
@@ -205,28 +232,24 @@ def run_until(
             .trigger(processingTime=f"{trigger_ms} milliseconds")
             .start()
         )
-        try:
-            deadline = time.time() + timeout_sec
-            while True:
-                if predicate(spark.table(name)):
-                    break
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"streaming query {name!r}: predicate not satisfied "
-                        f"after {timeout_sec}s"
-                    )
-                if q.exception() is not None:
-                    raise q.exception()
-                time.sleep(poll_sec)
-        finally:
-            _capture_progress(q)
-            q.stop()
+
+    q = _start_with_pin(spark, state_partitions, _start)
+    try:
+        deadline = time.time() + timeout_sec
+        while True:
+            if predicate(spark.table(name)):
+                break
+            if time.time() > deadline:
+                raise TimeoutError(
+                    f"streaming query {name!r}: predicate not satisfied "
+                    f"after {timeout_sec}s"
+                )
+            if q.exception() is not None:
+                raise q.exception()
+            time.sleep(poll_sec)
     finally:
-        # Restore OUTSIDE the start()/stop() scope: a failed start()
-        # or a throwing stop() must not leak the tiny override into
-        # the shared session (run_available_now has the same shape).
-        if prev_shuffle is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+        _capture_progress(q)
+        q.stop()
     result = spark.table(name).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     shutil.rmtree(ckpt, ignore_errors=True)

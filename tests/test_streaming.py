@@ -920,6 +920,73 @@ def test_stream_stream_join_survives_whole_driver_kill(
     )
 
 
+def test_runner_concurrent_queries(spark, sf_dir):
+    """Retires the r7/r8 runner-concurrency caveat (VERDICT r8 #6):
+    N streaming queries driven CONCURRENTLY through run_available_now
+    in ONE session, with DIFFERENT state_partitions pins, must (a)
+    produce results identical to their sequential runs and (b) each
+    consume its own pin — the startup lock holds the session-global
+    spark.sql.shuffle.partitions from conf-set until the query's
+    first batch commits, so another thread's pin can never land
+    inside that window. Pin consumption is asserted from each
+    query's recorded StreamingQueryProgress state-operator partition
+    count, not just from results (results are partition-count
+    invariant; the pin is the part the race could corrupt)."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from gostream_spark.streaming import file_stream, run_available_now
+    from gostream_spark.streaming.ops import windowed_counts
+    from gostream_spark.streaming.runner import RECENT_PROGRESS
+
+    def make(kind: str):
+        ev = file_stream(spark, sf_dir, "events")
+        if kind == "purchase":
+            ev = ev.filter(F.col("event_type") == "purchase")
+        elif kind == "click":
+            ev = ev.filter(F.col("event_type") == "click")
+        return windowed_counts(ev)
+
+    jobs = [("purchase", 2), ("click", 4), ("all", 8)]
+
+    def run_one(job):
+        kind, pins = job
+        df = run_available_now(
+            make(kind), output_mode="complete", state_partitions=pins
+        )
+        return sorted(map(tuple, df.collect()))
+
+    # Sequential ground truth, also harvesting each pin's recorded
+    # state-operator partition count from the progress capture.
+    def pin_of_last_run() -> int:
+        for stream in reversed(RECENT_PROGRESS):
+            for b in reversed(stream["batches"]):
+                ops = b.get("stateOperators") or []
+                if ops:
+                    return ops[0]["numShufflePartitions"]
+        raise AssertionError("no state operator progress recorded")
+
+    sequential = []
+    for job in jobs:
+        RECENT_PROGRESS.clear()
+        rows = run_one(job)
+        assert pin_of_last_run() == job[1]
+        sequential.append(rows)
+
+    RECENT_PROGRESS.clear()
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        concurrent = list(pool.map(run_one, jobs))
+    assert concurrent == sequential
+    # All three pins were consumed by exactly one query each.
+    pins_seen = sorted(
+        b["stateOperators"][0]["numShufflePartitions"]
+        for stream in RECENT_PROGRESS
+        for b in stream["batches"][-1:]
+        if b.get("stateOperators")
+    )
+    assert pins_seen == [2, 4, 8], json.dumps(pins_seen)
+
+
 def test_state_schema_evolution_is_refused_then_replayed(spark, tmp_path, sf_dir):
     """Pin what Spark does when a stateful query redeploys with a
     CHANGED state schema against an existing checkpoint (VERDICT r8
