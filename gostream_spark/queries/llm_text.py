@@ -350,9 +350,13 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FP_ORACLE = """
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|'))
+       md5(array_to_string(list_transform(
+             list_sort(list_distinct(string_split(text, ' '))),
+             t -> length(t) || ':' || t), ''))
          AS set_fingerprint,
-       substring(md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|')),
+       substring(md5(array_to_string(list_transform(
+             list_sort(list_distinct(string_split(text, ' '))),
+             t -> length(t) || ':' || t), '')),
                  1, 8) AS fp_prefix
 FROM documents
 """
@@ -364,9 +368,21 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorted distinct token set. Near-dup docs that differ only in word
     order or repetition collide, exact-content variants don't; the
     8-hex prefix is the bucketing key for a fingerprint-join dedup at
-    scale."""
+    scale. The canonical string length-prefixes each token
+    (``len:token`` netstring-style) so it is INJECTIVE for arbitrary
+    token bytes — a plain separator join would let a token containing
+    the separator alias two distinct token sets into one fingerprint
+    (the r8-advice collision class), i.e. a false-positive dedup
+    merge; both engines compute the identical prefixed form, so
+    cross-engine md5 equality is preserved byte-for-byte."""
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
-    canon = F.array_join(F.array_sort(F.array_distinct(_toks())), "|")
+    canon = F.array_join(
+        F.transform(
+            F.array_sort(F.array_distinct(_toks())),
+            lambda t: F.concat(F.length(t).cast("string"), F.lit(":"), t),
+        ),
+        "",
+    )
     return docs.select(
         "doc_id",
         F.md5(canon).alias("set_fingerprint"),

@@ -28,7 +28,22 @@ def _load(path: str) -> dict:
         text = f.read()
     d = json.loads(text)
     if "parsed" in d:
-        d = d["parsed"]
+        parsed = d["parsed"] or {}
+        if "queries" not in parsed and d.get("tail"):
+            # The driver's `parsed` is whatever the LAST stdout line
+            # held — since r8 that is the short truncation-proof
+            # summary. Recover the full per-query line from the tail.
+            for line in reversed(d["tail"].splitlines()):
+                line = line.strip()
+                if line.startswith("{"):
+                    try:
+                        cand = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if "queries" in cand:
+                        parsed = cand
+                        break
+        d = parsed
     if "queries" not in d:
         raise SystemExit(f"{path}: no 'queries' key — not a bench record")
     return d
@@ -72,6 +87,24 @@ def main() -> int:
                 "load-contaminated timings in NEW (probe > 2x sentinel): "
                 + ", ".join(f"{q}={m:.0f}ms" for q, m in sorted(hot.items()))
             )
+    # r9 instrumentation (ride in bench_out full records, not the
+    # stdout line): per-query trial lists, IO-touch probes, and
+    # streaming micro-batch breakdowns. A FLAG row prints whatever of
+    # these the records carry, so the flag is self-annotated instead
+    # of narrated after the fact.
+    trials_new = new.get("query_trials_s") or {}
+    trials_old = old.get("query_trials_s") or {}
+    stream_new = new.get("streaming_progress") or {}
+    for label, rec in (("OLD", old), ("NEW", new)):
+        io = rec.get("io_probe_ms")
+        if io:
+            print(f"io probe {label}: start={io.get('start')} ms "
+                  f"end={io.get('end')} ms (uncached 64 MiB read)")
+
+    def _spread(ts: list[float]) -> str:
+        ss = sorted(ts)
+        return f"min={ss[0]:.3f} med={ss[len(ss) // 2]:.3f} max={ss[-1]:.3f}"
+
     flags = 0
     print(f"{'query':34s} {'old':>7s} {'new':>7s} {'raw':>6s} {'adj':>6s}")
     tot_old = tot_new = 0.0
@@ -91,6 +124,19 @@ def main() -> int:
         if mark:
             flags += 1
         print(f"{q:34s} {a:7.3f} {b:7.3f} {raw:5.2f}x {adj:5.2f}x{mark}")
+        if mark:
+            for tag, ts in (("old", trials_old.get(q)), ("new", trials_new.get(q))):
+                if ts:
+                    print(f"{'':8s}trials {tag}: {_spread(ts)}  ({ts})")
+            sp = stream_new.get(q)
+            if sp:
+                for i, t in enumerate(sp.get("trials", [])):
+                    print(
+                        f"{'':8s}stream trial {i}: {t['n_batches']} batches, "
+                        f"trigger={t['trigger_ms']}ms addBatch={t['addbatch_ms']}ms "
+                        f"stateCommit={t['state_commit_ms']}ms "
+                        f"rows={t['input_rows']}"
+                    )
     print(
         f"{'TOTAL (common)':34s} {tot_old:7.3f} {tot_new:7.3f} "
         f"{tot_new / tot_old:5.2f}x {(tot_new / tot_old) / load_ratio:5.2f}x"
