@@ -56,6 +56,12 @@ def main() -> int:
     ap.add_argument("--thresh", type=float, default=1.3)
     args = ap.parse_args()
     old, new = _load(args.old), _load(args.new)
+    if old.get("sf") != new.get("sf"):
+        raise SystemExit(
+            f"sf mismatch: {args.old} is sf={old.get('sf')} but "
+            f"{args.new} is sf={new.get('sf')} — per-query ratios "
+            "across scale factors are meaningless"
+        )
 
     s_old = old.get("sentinel_ms") or IDLE_SENTINEL_MS
     s_new = new.get("sentinel_ms") or IDLE_SENTINEL_MS
