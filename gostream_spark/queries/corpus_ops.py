@@ -912,3 +912,148 @@ def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("content_jaccard"),
         )
     )
+
+
+_EXSUB_K = 5
+
+_EXSUB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), pos AS (
+  SELECT doc_id, unnest(range(1, n - {_EXSUB_K - 2})) AS p
+  FROM d WHERE n >= {_EXSUB_K}
+), occ AS (
+  SELECT o.doc_id, o.p,
+         md5(array_to_string(list_slice(d.toks, o.p, o.p + {_EXSUB_K - 1}),
+                             ' ')) AS k
+  FROM pos o JOIN d USING (doc_id)
+), marks AS (
+  SELECT doc_id, p FROM (
+    SELECT doc_id, p,
+           row_number() OVER (PARTITION BY k ORDER BY doc_id, p) AS rn
+    FROM occ)
+  WHERE rn > 1
+), cover AS (
+  SELECT DISTINCT doc_id, cp FROM (
+    SELECT doc_id, unnest(range(p, p + {_EXSUB_K})) AS cp FROM marks)
+), rem AS (
+  SELECT doc_id, list(cp) AS removed, count(*) AS n_removed
+  FROM cover GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n AS BIGINT) AS n_words,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       CASE WHEN d.toks IS NOT NULL THEN
+         -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+         -- array_join([]) is '' — a fully-removed doc must read ''
+         coalesce(array_to_string(
+           list_filter(
+             list_transform(
+               range(1, d.n + 1),
+               i -> CASE WHEN r.removed IS NULL
+                              OR NOT list_contains(r.removed, i)
+                         THEN d.toks[i] END),
+             x -> x IS NOT NULL),
+           ' '), '')
+       END AS clean_text
+FROM d LEFT JOIN rem r USING (doc_id)
+"""
+
+
+@register(
+    "exact_substr_dedup",
+    oracle=_EXSUB_ORACLE,
+    tags=("L1", "L2", "ext"),
+    bench=True,
+)
+def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN removal — the ExactSubstr pass of
+    "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al., 2021), re-expressed relationally: every word 5-gram
+    occurrence that is not its gram's GLOBAL first occurrence (min by
+    (doc_id, position)) marks its 5-word span for deletion; per doc
+    the marked spans are unioned and the covered words cut, so one
+    copy of every duplicated passage survives corpus-wide (a passage
+    longer than 5 words is covered by its overlapping windows) and
+    repeats WITHIN a doc lose their later occurrences too. Unlike
+    ``dup_ngram_fraction`` (a per-doc boilerplate SCORE) this emits
+    the cleaned corpus itself: (doc_id, n_words, n_removed,
+    clean_text).
+
+    Scale shape (the suffix-array pass of the paper is a single-node
+    construction; this is the shuffle form a 100 TB corpus needs):
+    occurrences shuffle once on the gram's 128-bit md5 DIGEST (16
+    bytes, not the ~30-byte gram; collisions only merge gram classes
+    IDENTICALLY on both engines, and 2^64 birthday scale is beyond
+    any corpus); the keeper is min(struct(doc_id, pos)) — a
+    PARTIAL-AGGREGATABLE min, so a viral boilerplate gram repeated
+    in millions of docs collapses to one row per map task before the
+    exchange (a row_number window would hand that gram's whole
+    occurrence list to a single reducer — the skew the Zipf head
+    guarantees). Span union + text reconstruction are row-local
+    array ops (no per-doc shuffle beyond the cover groupBy). Output
+    text rebuilds via index-filter + array_join, preserving empty
+    tokens exactly as DuckDB's list path does."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.when(toks.isNotNull(), F.size(toks)).alias("n"),
+    )
+    k = _EXSUB_K
+    occ = (
+        d.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - k + 1),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.unhex(
+                            F.md5(F.array_join(F.slice("toks", p, k), " "))
+                        ).alias("k"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", F.col("o.p").alias("p"), F.col("o.k").alias("k"))
+    )
+    keeper = occ.groupBy("k").agg(F.min(F.struct("doc_id", "p")).alias("keep"))
+    marks = (
+        occ.join(keeper, "k")
+        .filter(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("p") != F.col("keep.p"))
+        )
+        .select("doc_id", "p")
+    )
+    cover = marks.select(
+        "doc_id", F.explode(F.sequence("p", F.col("p") + k - 1)).alias("cp")
+    ).distinct()
+    rem = cover.groupBy("doc_id").agg(
+        F.collect_set("cp").alias("removed"),
+        F.count(F.lit(1)).alias("n_removed"),
+    )
+    removed = F.coalesce("removed", F.array().cast("array<int>"))
+    return (
+        d.join(rem, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_words"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+            F.when(
+                F.col("toks").isNotNull(),
+                F.array_join(
+                    F.filter(
+                        "toks",
+                        lambda t, i: ~F.array_contains(removed, i + F.lit(1)),
+                    ),
+                    " ",
+                ),
+            ).alias("clean_text"),
+        )
+    )

@@ -1371,3 +1371,77 @@ def test_mmr_quantizer_matches_half_away_from_zero(n, half):
         decimal.Decimal(repr(x)).quantize(0, rounding=decimal.ROUND_HALF_UP)
     )
     assert got == want, (x, got, want)
+
+
+@given(
+    docs=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d"]),
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**_SETTINGS)
+def test_exact_substr_dedup_equals_bruteforce(spark, tmp_path_factory, docs):
+    """ExactSubstr span removal must match a direct Python replay of
+    its definition — global first occurrence per 5-gram kept, every
+    other occurrence's 5-word span cut, per-doc spans unioned — on
+    random corpora from a 4-token vocabulary (dense gram collisions:
+    cross-doc dups, within-doc repeats, overlapping spans, full
+    wipe-outs, sub-5-token docs, NULL text all arise)."""
+    import os
+    import shutil
+    import uuid
+
+    from gostream_spark.queries.corpus_ops import exact_substr_dedup
+
+    K = 5
+    d = str(tmp_path_factory.mktemp(f"exsub{uuid.uuid4().hex[:6]}"))
+    rows = [
+        (i, None if t is None else " ".join(t), "en", "s", 0)
+        for i, t in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    stage = os.path.join(d, "stage")
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(stage, part), os.path.join(d, "documents.parquet"))
+
+    # Brute-force reference
+    toks = {i: (None if t is None else " ".join(t).split(" ")) for i, t in enumerate(docs)}
+    occ = []
+    for did in sorted(toks):
+        t = toks[did]
+        if t is None:
+            continue
+        for p in range(1, len(t) - K + 2):
+            occ.append((did, p, " ".join(t[p - 1 : p - 1 + K])))
+    first = {}
+    for did, p, g in sorted(occ):
+        first.setdefault(g, (did, p))
+    removed = {did: set() for did in toks}
+    for did, p, g in occ:
+        if first[g] != (did, p):
+            removed[did].update(range(p, p + K))
+    want = {}
+    for did, t in toks.items():
+        if t is None:
+            want[did] = (None, 0, None)
+        else:
+            rem = removed[did]
+            kept = [tok for i, tok in enumerate(t, 1) if i not in rem]
+            want[did] = (len(t), len(rem), " ".join(kept))
+
+    got = {
+        r.doc_id: (r.n_words, r.n_removed, r.clean_text)
+        for r in exact_substr_dedup(spark, d).collect()
+    }
+    assert got == want, (got, want)
