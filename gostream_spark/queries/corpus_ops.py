@@ -1033,11 +1033,13 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cover = marks.select(
         "doc_id", F.explode(F.sequence("p", F.col("p") + k - 1)).alias("cp")
-    ).distinct()
-    rem = cover.groupBy("doc_id").agg(
-        F.collect_set("cp").alias("removed"),
-        F.count(F.lit(1)).alias("n_removed"),
     )
+    # collect_set both dedups overlapping spans AND partial-aggregates
+    # map-side (set union), so no separate distinct shuffle is needed;
+    # the set is bounded by the doc's word count.
+    rem = cover.groupBy("doc_id").agg(
+        F.collect_set("cp").alias("removed")
+    ).withColumn("n_removed", F.size("removed"))
     removed = F.coalesce("removed", F.array().cast("array<int>"))
     return (
         d.join(rem, "doc_id", "left")
