@@ -35,6 +35,7 @@ _ROCKSDB = (
 def main() -> int:
     mode, stage, out, ckpt = sys.argv[1:5]
     store = sys.argv[5] if len(sys.argv) > 5 else "hdfs"
+    partitions = sys.argv[6] if len(sys.argv) > 6 else "4"
 
     from pyspark.sql import SparkSession
 
@@ -43,7 +44,7 @@ def main() -> int:
     builder = (
         SparkSession.builder.master("local[2]")
         .appName(f"stateful_restart_{mode}")
-        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.shuffle.partitions", partitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

@@ -1135,3 +1135,76 @@ def test_matview_survives_whole_driver_kill(spark, tmp_path, sf_dir):
     }
     assert got == truth, (got, truth)
     assert not glob.glob(f"{mv_root}/.staging-*"), "staging orphans must be swept"
+
+
+def test_stateful_restart_rescale_keeps_checkpoint_state_partitions(
+    spark, tmp_path, sf_dir
+):
+    """A redeploy that changes spark.sql.shuffle.partitions must NOT
+    change a recovering stateful query's state partitioning: Spark
+    pins the value in the checkpoint's offset-log conf at batch 0 and
+    restores it on every restart (the property the runner's
+    state_partitions pin relies on — runner.py documents it; this
+    test makes it a pinned fact instead of an assertion). A crash run
+    at 4 shuffle partitions halt()s mid-stream, then the recovery
+    driver starts with 9 — results must equal the batch ground truth
+    AND the checkpoint's state directory must still hold exactly
+    partitions 0..3, with no partition-4+ store ever created. The pin
+    lives in offset-log metadata, so one provider (HDFS-backed
+    default) suffices."""
+    import glob
+    import subprocess
+    import sys
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    stage = str(tmp_path / "stage")
+    for i in range(4):
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(stage)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    harness = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "stateful_restart_harness.py"
+    )
+
+    def run(mode: str, partitions: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [sys.executable, harness, mode, stage, out, ckpt, "hdfs", partitions],
+            capture_output=True, text=True, timeout=600,
+        )
+
+    crashed = run("crash", "4")
+    assert crashed.returncode != 0, (
+        f"crash run must die, got rc=0\n{crashed.stdout}\n{crashed.stderr}"
+    )
+
+    recovered = run("recover", "9")
+    assert recovered.returncode == 0, (
+        f"recovery under rescaled conf failed rc={recovered.returncode}\n"
+        f"{recovered.stdout}\n{recovered.stderr}"
+    )
+
+    # State layout proof: ckpt/state/<op>/<partitionId> — the pinned
+    # width survives the conf change.
+    part_dirs = {
+        os.path.basename(p)
+        for p in glob.glob(f"{ckpt}/state/0/*")
+        if os.path.basename(p).isdigit()
+    }
+    assert part_dirs == {"0", "1", "2", "3"}, part_dirs
+
+    # Semantics proof: per-key cumulative counts equal ground truth.
+    latest: dict[int, int] = {}
+    for d in sorted(glob.glob(f"{out}/b*")):
+        for r in spark.read.parquet(d).collect():
+            latest[r.user_id] = r.n_events
+    truth = {
+        r.user_id: r.n_events
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .collect()
+    }
+    assert latest == truth
