@@ -922,8 +922,13 @@ WITH d AS (
          len(string_split(text, ' ')) AS n
   FROM documents
 ), pos AS (
+  -- NULL doc_id rows sit out the pass (kept verbatim downstream):
+  -- a NULL key cannot take a deterministic place in the keeper
+  -- order (Spark struct-min sorts NULLS FIRST, SQL ORDER BY ASC
+  -- defaults NULLS LAST), so excluding it is the only
+  -- cross-engine-stable semantics for a malformed id
   SELECT doc_id, unnest(range(1, n - {_EXSUB_K - 2})) AS p
-  FROM d WHERE n >= {_EXSUB_K}
+  FROM d WHERE n >= {_EXSUB_K} AND doc_id IS NOT NULL
 ), occ AS (
   SELECT o.doc_id, o.p,
          md5(array_to_string(list_slice(d.toks, o.p, o.p + {_EXSUB_K - 1}),
@@ -1005,7 +1010,7 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     k = _EXSUB_K
     occ = (
-        d.filter(F.col("n") >= k)
+        d.filter((F.col("n") >= k) & F.col("doc_id").isNotNull())
         .select(
             "doc_id",
             F.explode(

@@ -444,3 +444,48 @@ def test_kmeans_all_malformed_and_null_vec_ids(spark):
             _check(spark, d, "kmeans_refined_clusters", ["embeddings"])
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_exact_substr_dedup_null_doc_id_sits_out(spark):
+    """A NULL doc_id cannot take a deterministic place in the keeper
+    order (Spark struct-min sorts NULLS FIRST, SQL ORDER BY defaults
+    NULLS LAST), so the operator excludes such rows from the dedup
+    pass on BOTH engines and passes their text through verbatim;
+    their grams must neither claim keepership nor be cut. Here the
+    NULL-id doc shares its whole text with docs 1 and 2: doc 1 stays
+    the keeper, doc 2 is fully cut, the NULL-id doc is untouched."""
+    import os
+    import shutil
+    import uuid
+
+    d = os.path.join(TMP, f"degen-exsub-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    text = "a b c d e f"
+    docs = spark.createDataFrame(
+        [
+            (1, text, "en", "s", 11),
+            (None, text, "en", "s", 11),
+            (2, text, "en", "s", 11),
+            (3, "x y z", "en", "s", 5),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    stage = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+    docs.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(stage, part), os.path.join(d, "documents.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        _check(spark, d, "exact_substr_dedup", ["documents"])
+        from gostream_spark.queries.corpus_ops import exact_substr_dedup
+
+        rows = {
+            r.doc_id: (r.n_removed, r.clean_text)
+            for r in exact_substr_dedup(spark, d).collect()
+        }
+        assert rows[1] == (0, text)
+        assert rows[2] == (6, "")
+        assert rows[None] == (0, text)
+        assert rows[3] == (0, "x y z")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
