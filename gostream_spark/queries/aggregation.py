@@ -142,11 +142,17 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- A6 first/last/collect ---------------------------------------------
 
 _A6_ORACLE = """
+WITH keyed AS (
+  SELECT c_mktsegment, c_name, c_nationkey,
+         CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+           * 10000000 + c_custkey AS balkey
+  FROM customer
+)
 SELECT c_mktsegment,
-       arg_max(c_name, c_acctbal) AS richest_customer,
-       arg_min(c_name, c_acctbal) AS poorest_customer,
+       arg_max(c_name, balkey) AS richest_customer,
+       arg_min(c_name, balkey) AS poorest_customer,
        array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations
-FROM customer GROUP BY c_mktsegment
+FROM keyed GROUP BY c_mktsegment
 """
 
 
@@ -157,11 +163,20 @@ def agg_first_last_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms instead: ``max_by``/``min_by`` (value at extremum) and
     ``sort_array(collect_set(...))`` (canonicalized set). The set is
     emitted as a joined string because Spark arrays and DuckDB lists
-    stringify differently (parity.py)."""
+    stringify differently (parity.py). The extremum key folds the
+    tie-break INTO the ordering value (exact cents * 1e7 + custkey,
+    the ``agg_arg_extremes`` discipline) — on a tied balance each
+    engine's arg-extreme is otherwise free to pick a different
+    customer (the sf0.01 fixture already contains one tied
+    ``c_acctbal`` pair)."""
     customer = load_table(spark, sf_dir, "customer")
-    return customer.groupBy("c_mktsegment").agg(
-        F.max_by("c_name", "c_acctbal").alias("richest_customer"),
-        F.min_by("c_name", "c_acctbal").alias("poorest_customer"),
+    balkey = (
+        F.round(dec2("c_acctbal") * 100, 0).cast("bigint") * F.lit(10000000)
+        + F.col("c_custkey")
+    )
+    return customer.withColumn("balkey", balkey).groupBy("c_mktsegment").agg(
+        F.max_by("c_name", "balkey").alias("richest_customer"),
+        F.min_by("c_name", "balkey").alias("poorest_customer"),
         F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias("nations"),
     )
 

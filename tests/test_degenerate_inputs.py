@@ -489,3 +489,42 @@ def test_exact_substr_dedup_null_doc_id_sits_out(spark):
         assert rows[3] == (0, "x y z")
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_agg_first_last_collect_tied_balance_extremum(spark):
+    """Two customers tied at the segment-max (and two at the min)
+    balance: without the folded tie-break each engine's arg-extreme
+    is free to pick either name. The sf0.01 fixture already contains
+    a tied c_acctbal pair, so this is a live hazard, not a
+    hypothetical; the fold must make both engines pick the higher
+    custkey on max and the lower on min."""
+    import os
+    import shutil
+    import uuid
+
+    d = os.path.join(TMP, f"degen-tiedbal-{uuid.uuid4().hex[:8]}")
+    os.makedirs(d, exist_ok=True)
+    cust = spark.createDataFrame(
+        [
+            (1, "alice", 10, "SEG", 500.0),
+            (2, "bob", 11, "SEG", 500.0),     # tied max; custkey 2 wins
+            (3, "carol", 12, "SEG", -10.0),
+            (4, "dave", 13, "SEG", -10.0),    # tied min; custkey 3 wins min
+        ],
+        "c_custkey LONG, c_name STRING, c_nationkey LONG, "
+        "c_mktsegment STRING, c_acctbal DOUBLE",
+    )
+    stage = os.path.join(TMP, f"stage-{uuid.uuid4().hex[:8]}")
+    cust.coalesce(1).write.mode("overwrite").parquet(stage)
+    part = [f for f in os.listdir(stage) if f.endswith(".parquet")][0]
+    shutil.move(os.path.join(stage, part), os.path.join(d, "customer.parquet"))
+    shutil.rmtree(stage, ignore_errors=True)
+    try:
+        _check(spark, d, "agg_first_last_collect", ["customer"])
+        from gostream_spark.queries.aggregation import agg_first_last_collect
+
+        (row,) = agg_first_last_collect(spark, d).collect()
+        assert row.richest_customer == "bob"
+        assert row.poorest_customer == "carol"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
