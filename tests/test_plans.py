@@ -746,3 +746,20 @@ def test_semdedup_scaled_pairs_stay_inside_fine_clusters(spark, sf_dir):
     # the pair join keys on BOTH the coarse and the fine cluster id
     joined = plan.replace(" ", "")
     assert "sub_cluster" in joined and "label" in joined
+
+
+def test_exact_substr_dedup_digest_shuffles_and_pruned_scan(spark, sf_dir):
+    # ExactSubstr span removal: candidates pair only through the gram
+    # DIGEST equi-join (never a cartesian / nested-loop); the keeper
+    # is a partial-aggregatable min — the plan must show a partial
+    # aggregate BEFORE the gram exchange so a viral boilerplate gram
+    # collapses map-side; every documents scan reads only
+    # (doc_id, text).
+    plan = _plan(spark, sf_dir, "exact_substr_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    import re
+
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m.group(1) == "doc_id:bigint,text:string", m.group(1)
