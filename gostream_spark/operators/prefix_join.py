@@ -15,7 +15,7 @@ random inputs in tests/test_properties.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,29 +27,63 @@ def prefix_rows(g: DataFrame, t_num: int, t_den: int) -> DataFrame:
     suffices for the smaller side of any qualifying pair. ``s`` is
     xxhash64-keyed — exactness-safe for candidate matching because a
     collision can only ADD a candidate (killed in verification),
-    never lose one, and the shuffle carries fixed-width longs."""
+    never lose one, and the shuffle carries fixed-width longs.
+
+    The canonical rank is computed ROW-LOCALLY: the exploded
+    occurrence stream joins doc-frequency (one hash join, AQE
+    skew-splittable), regroups per doc (hash shuffle, NO sort — the
+    r9 profile showed the doc-partitioned rank window's full
+    shuffle+sort of the occurrence stream was the dominant cost, not
+    the candidate join), then each doc ``array_sort``s its own
+    (df, s) structs inside codegen and ``slice``s the probe prefix
+    BEFORE re-exploding — only prefix tokens reach the self-join
+    exchange. Struct comparison is field-order (df asc, s asc), the
+    same total order the window used, so prefixes are bit-identical;
+    s stays a raw string until after the sort because hashing first
+    could (with negligible but nonzero probability) merge two
+    distinct elements into one order class and break the cross-doc
+    consistency the prefix lemma requires."""
     ub_den = t_num + t_den
-    e = g.select("doc_id", "n", F.explode("sh").alias("s"))
+    # explode_outer, NOT explode: plain explode makes Catalyst infer
+    # ``size(sh) > 0 AND isnotnull(sh)`` on the generator INPUT,
+    # alias-substitute the (expensive) shingle expression into that
+    # predicate, and push it below the caller's spread_for_compute
+    # exchange — evaluating the whole shingle pipeline serially in
+    # the single-task scan stage and then again above (the same
+    # pathology documented at queries/llm_similarity.py:592).
+    # explode_outer infers nothing about its input; the null filter
+    # below references the generator OUTPUT, which cannot be pushed
+    # below the Generate.
+    e = (
+        g.select("doc_id", "n", F.explode_outer("sh").alias("s"))
+        .filter(F.col("s").isNotNull())
+    )
     dfreq = e.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    w_pos = Window.partitionBy("doc_id").orderBy("df", "s")
-    return (
+    probe_len = (
+        F.col("n") - F.expr(f"({t_num}*n + {t_den - 1}) DIV {t_den}") + 1
+    )
+    pref = (
         e.join(dfreq, "s")
-        .withColumn("pos", F.row_number().over(w_pos))
-        .filter(
-            F.col("pos")
-            <= F.col("n")
-            - F.expr(f"({t_num}*n + {t_den - 1}) DIV {t_den}")
-            + 1
-        )
+        .groupBy("doc_id", "n")
+        .agg(F.collect_list(F.struct("df", "s")).alias("ds"))
         .select(
             "doc_id",
-            F.xxhash64("s").alias("s"),
             "n",
-            "pos",
-            F.expr(
-                f"pos <= n - (2*{t_num}*n + {ub_den - 1}) DIV {ub_den} + 1"
-            ).alias("in_idx"),
+            F.slice(F.array_sort("ds"), F.lit(1), probe_len).alias("pref"),
         )
+    )
+    return pref.select(
+        "doc_id",
+        "n",
+        F.posexplode("pref").alias("i", "x"),
+    ).select(
+        "doc_id",
+        F.xxhash64("x.s").alias("s"),
+        "n",
+        (F.col("i") + 1).alias("pos"),
+        F.expr(
+            f"i + 1 <= n - (2*{t_num}*n + {ub_den - 1}) DIV {ub_den} + 1"
+        ).alias("in_idx"),
     )
 
 
@@ -129,7 +163,21 @@ def prefix_filtered_jaccard_pairs(
     ``(t_den + t_num) * inter >= t_num * (n_a + n_b)`` — zero
     float-boundary risk. All thresholds use integer ceil division.
     """
-    cand = candidate_pairs(g, t_num, t_den).distinct()
+    # The explicit-N repartition on the pair key does double duty: it
+    # IS the distinct's required distribution (so it replaces, not
+    # adds to, the dedup exchange — ENSURE_REQUIREMENTS is satisfied
+    # and no second shuffle appears), and its user-specified width is
+    # exempt from AQE coalescing, which at small fixtures would fold
+    # the whole verification (array_intersect over every candidate
+    # pair) onto ONE task. defaultParallelism scales with the
+    # cluster, so at the 100 TB point this is the same width the
+    # exchange would get anyway.
+    width = g.sparkSession.sparkContext.defaultParallelism
+    cand = (
+        candidate_pairs(g, t_num, t_den)
+        .repartition(width, "doc_a", "doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     ga = g.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),

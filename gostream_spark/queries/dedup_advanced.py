@@ -835,15 +835,20 @@ def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines).
 
     Plan: shingle doc-frequency (one shuffle), per-doc canonical rank
-    (one doc_id-partitioned window), prefix x prefix equi-join on the
-    shingle, distinct candidate pairs, then two hash joins back to
-    the shingle-array table for row-local exact verification. The
+    computed ROW-LOCALLY (regroup by doc with NO sort, then
+    array_sort the (df, shingle) structs inside codegen and slice the
+    prefix before re-exploding — the r9 profile showed the previous
+    doc-partitioned rank window's full shuffle+sort of the exploded
+    occurrence stream was the dominant cost), prefix x prefix
+    equi-join on the shingle, distinct candidate pairs at
+    cluster-width partitioning, then two hash joins back to the
+    shingle-array table for row-local exact verification. The
     threshold is the knob: higher t -> shorter prefixes -> fewer
     candidates, with exactness ALWAYS preserved — unlike MinHash
     banding (`minhash_lsh_buckets`), which trades recall for the same
     pruning.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     n_t = F.size(toks)
     # Clamp the slice length: the n_t >= 3 row filter does not stop
@@ -863,7 +868,14 @@ def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, yz: F.concat(x, F.lit(" "), yz),
         )
     )
+    # coalesce makes n non-nullable: otherwise the downstream join
+    # conditions on n infer isnotnull(n), which Catalyst
+    # alias-substitutes into the full shingle expression and pushes
+    # below the spread_for_compute exchange — re-evaluating the
+    # shingle pipeline serially in the single-task scan stage.
     g = docs.filter(n_t >= 3).select(
-        "doc_id", shingles.alias("sh"), F.size(shingles).cast("long").alias("n")
+        "doc_id",
+        shingles.alias("sh"),
+        F.coalesce(F.size(shingles), F.lit(0)).cast("long").alias("n"),
     )
     return prefix_filtered_jaccard_pairs(g, _PP_T_NUM, _PP_T_DEN)

@@ -414,6 +414,20 @@ def test_prefix_filter_pairs_no_cartesian_no_corpus_broadcast(spark, sf_dir):
     # candidates form through the prefix equi-join, never a cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r10: the canonical prefix rank is row-local (array_sort of the
+    # (df, shingle) structs after one dfreq join) — the exploded
+    # occurrence stream is never window-sorted per doc
+    assert "Window" not in plan
+    # r10: the expensive shingle projection must evaluate ABOVE the
+    # spread_for_compute exchange, never serially in the single-task
+    # scan stage below it (explode_outer + non-nullable n block the
+    # inferred-constraint pushdown that used to re-evaluate it there).
+    # The exchange only exists when spread_for_compute fires (scan
+    # splits < parallelism); on wide-split layouts there is nothing
+    # below which pushdown could hide.
+    if "RoundRobinPartitioning" in plan:
+        below_rr = plan.split("RoundRobinPartitioning", 1)[1]
+        assert "zip_with" not in below_rr.split("Scan parquet")[0]
 
 
 def test_subquery_shapes_decorrelate_to_joins(spark, sf_dir):

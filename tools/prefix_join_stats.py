@@ -54,7 +54,9 @@ def _g(spark, sf_dir):
         )
     )
     return docs.filter(n_t >= 3).select(
-        "doc_id", shingles.alias("sh"), F.size(shingles).cast("long").alias("n")
+        "doc_id",
+        shingles.alias("sh"),
+        F.coalesce(F.size(shingles), F.lit(0)).cast("long").alias("n"),
     )
 
 
