@@ -163,16 +163,23 @@ def agg_first_last_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms instead: ``max_by``/``min_by`` (value at extremum) and
     ``sort_array(collect_set(...))`` (canonicalized set). The set is
     emitted as a joined string because Spark arrays and DuckDB lists
-    stringify differently (parity.py). The extremum key folds the
-    tie-break INTO the ordering value (exact cents * 1e7 + custkey,
+    stringify differently (parity.py). The extremum key builds the
+    tie-break INTO the ordering value (exact cents, then custkey —
     the ``agg_arg_extremes`` discipline) — on a tied balance each
     engine's arg-extreme is otherwise free to pick a different
     customer (the sf0.01 fixture already contains one tied
     ``c_acctbal`` pair)."""
     customer = load_table(spark, sf_dir, "customer")
-    balkey = (
-        F.round(dec2("c_acctbal") * 100, 0).cast("bigint") * F.lit(10000000)
-        + F.col("c_custkey")
+    # Engine-side ordering key is a STRUCT (cents, custkey) — struct
+    # comparison is lexicographic, so it orders identically to the
+    # oracle's folded BIGINT (cents * 1e7 + custkey) wherever the fold
+    # is in range, and unlike the fold it cannot overflow at ANY scale
+    # (r9 advice: custkey >= 1e7, i.e. TPC-H sf >= ~67, would overflow
+    # the folded slot and silently mis-order). The fold stays only in
+    # the DuckDB oracle, which runs at fixture scale where it is exact.
+    balkey = F.struct(
+        F.round(dec2("c_acctbal") * 100, 0).cast("bigint").alias("cents"),
+        F.col("c_custkey").alias("k"),
     )
     return customer.withColumn("balkey", balkey).groupBy("c_mktsegment").agg(
         F.max_by("c_name", "balkey").alias("richest_customer"),

@@ -104,13 +104,17 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer's biggest/smallest (Spark `max_by`/`min_by`, DuckDB
     `arg_max`/`arg_min`). One hash aggregate, no join or window —
     the cheap alternative to a row_number() top-1 when only the
-    extreme row's single attribute is needed. The ordering key folds
-    the tie-break INTO the value (exact cents * 1e7 + orderkey) so
+    extreme row's single attribute is needed. The ordering key builds
+    the tie-break INTO the value (exact cents, then orderkey) so
     both engines pick the same row even on equal totals."""
     orders = load_table(spark, sf_dir, "orders")
-    ordkey = (
-        F.round(dec2("o_totalprice") * 100, 0).cast("bigint") * F.lit(10000000)
-        + F.col("o_orderkey")
+    # STRUCT ordering key (cents, orderkey): lexicographically equal
+    # to the oracle's folded BIGINT wherever the fold is in range, and
+    # overflow-free at any scale (a folded slot wide enough for cents
+    # * W + orderkey runs out of BIGINT near sf ~15k — r9 advice).
+    ordkey = F.struct(
+        F.round(dec2("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("k"),
     )
     keyed = orders.select("o_custkey", "o_orderkey", "o_totalprice", ordkey.alias("ordkey"))
     return (

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import itertools
 import os
+from collections import deque
 import shutil
 import threading
 import time
@@ -31,10 +32,12 @@ _counter = itertools.count()
 # batch-level evidence — wall-clock + a CPU probe cannot decompose a
 # slow streaming trial into trigger/addBatch/state-commit time). Every
 # runner below appends one entry per finished query; bench.py clears
-# the list before a timed trial and summarizes it after. Bounded: a
-# query's recentProgress retains at most ~100 batches, and callers
-# clear between trials.
-RECENT_PROGRESS: list[dict] = []
+# the deque before a timed trial and summarizes it after. The maxlen
+# bounds memory in long-lived non-bench processes (r9 advice: a full
+# pytest session runs hundreds of streaming queries and nothing else
+# clears the capture) — consumers only ever read the most recent
+# trial's streams, so evicting the oldest entries loses nothing.
+RECENT_PROGRESS: deque[dict] = deque(maxlen=64)
 
 
 def _capture_progress(q) -> None:
@@ -67,15 +70,29 @@ _pin_lock = threading.Lock()
 
 def _start_with_pin(spark, state_partitions: int | None, start_fn):
     """Start a streaming query under the state-partition pin protocol:
-    no pin -> start directly; pin -> serialize [set conf, start, wait
-    for the first progress event (batch 0 committed, pin durably in
-    the offset log) or early termination], restoring the session conf
-    before releasing. Returns the started query."""
-    if state_partitions is None:
-        return start_fn()
+    serialize [set conf (pinned only), start, wait for the first
+    progress event (batch 0 committed, partition count durably in the
+    offset log) or early termination], restoring the session conf
+    before releasing. Returns the started query.
+
+    UNPINNED starts take the lock too (r9 advice): batch-0 planning
+    reads the session-global spark.sql.shuffle.partitions, so an
+    unpinned query started concurrently with a pinned one could
+    otherwise plan batch 0 while the conf holds the OTHER query's pin
+    and durably record the wrong partition count in its offset log.
+    Holding the lock until the first progress event keeps every
+    query's batch-0 plan inside its own conf window; queries overlap
+    freely from batch 1 on. Caveat (documented, accepted): the 120 s
+    bounded wait can release the lock before a pathologically slow
+    batch 0 plans — at that point the window is no longer guaranteed,
+    but a batch 0 slower than 120 s has already failed the latency
+    bar this runner is sized for."""
     with _pin_lock:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        if state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(state_partitions)
+            )
         try:
             q = start_fn()
             # Bounded wait: availableNow on an empty source can finish

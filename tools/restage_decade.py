@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Re-stage documents/embeddings at ~10x sf0.1 ("sf1") to measure the
+dedup/text family's NEXT decade (VERDICT r9 #3: every scale claim so
+far rests on the sf0.01->0.1 step, where fixed floors still dominate).
+
+    python tools/restage_decade.py                  # writes .tmp/decadedata/sf1
+    python tools/decade_probe.py                    # sf0.1 vs sf1 step table
+    python tools/sweep.py --root /root/repo/.tmp/decadedata --sf 1 \
+        --only docs_dedup_exact,minhash_bottomk_bands   # oracle re-check
+
+Construction: R replicas of sf0.1 (default 10), each written as its
+own parquet shard (so the scan has R splits — at a real decade the
+input would arrive as many files; a single fat file would re-test the
+single-task floor instead of the operator):
+
+- ``doc_id' = doc_id + k * 10_000_000`` — disjoint id spaces.
+- every TOKEN gets a per-replica suffix (``_0`` .. ``_R-1``), so
+  shingle/token vocabularies are disjoint across replicas: the corpus
+  becomes R independent sf0.1-statistics corpora glued together, and
+  a throughput decade (work ~10x, output ~10x) is what a linear
+  operator must show. Replicating text VERBATIM instead would make
+  every doc a 10-way exact duplicate — output pairs would grow
+  ~100x by construction and the table would measure output explosion,
+  not operator scaling. (That regime is still worth a look — pass
+  --verbatim for it — but the decade table uses salted text.)
+- ``n_chars`` is recomputed from the salted text.
+- embeddings: ``vec_id`` offset the same way; each float is nudged by
+  a value-and-replica keyed hash (magnitude ~1e-3) so replicas are
+  near- but not exact-duplicates — clustering geometry survives,
+  degenerate exact ties do not inflate the cluster structure.
+
+Everything is deterministic (hash-based, no RNG), so reruns and
+cross-engine oracle checks reproduce bit-identically. The other
+eight tables are symlinked from sf0.1 so any query that loads a side
+table still resolves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from gostream_spark.io import TABLES  # noqa: E402
+
+ID_OFFSET = 10_000_000
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, ".tmp", "decadedata", "sf1")
+    )
+    ap.add_argument(
+        "--verbatim",
+        action="store_true",
+        help="replicate text verbatim (exact-duplicate stress regime) "
+        "instead of salting tokens per replica",
+    )
+    args = ap.parse_args()
+    shutil.rmtree(args.out, ignore_errors=True)
+    con = duckdb.connect()
+
+    ddir = os.path.join(args.out, "documents.parquet")
+    os.makedirs(ddir)
+    for k in range(args.replicas):
+        text = (
+            "text"
+            if args.verbatim
+            else f"regexp_replace(text, '(\\S+)', '\\1_{k}', 'g')"
+        )
+        con.execute(
+            f"COPY (SELECT doc_id + {k * ID_OFFSET} AS doc_id, "
+            f"{text} AS text, lang, source, "
+            f"CAST(length({text}) AS BIGINT) AS n_chars "
+            f"FROM read_parquet('{args.src}/documents.parquet')) "
+            f"TO '{ddir}/replica-{k}.parquet' (FORMAT PARQUET)"
+        )
+
+    edir = os.path.join(args.out, "embeddings.parquet")
+    os.makedirs(edir)
+    for k in range(args.replicas):
+        vec = (
+            "embedding"
+            if args.verbatim or k == 0
+            else f"list_transform(embedding, x -> CAST(x + "
+            f"(CAST(hash(CAST(floor(x * 1048576) AS BIGINT) + {k}) % 2001 "
+            f"AS BIGINT) - 1000) * 1e-6 AS FLOAT))"
+        )
+        con.execute(
+            f"COPY (SELECT vec_id + {k * ID_OFFSET} AS vec_id, "
+            f"{vec} AS embedding, label "
+            f"FROM read_parquet('{args.src}/embeddings.parquet')) "
+            f"TO '{edir}/replica-{k}.parquet' (FORMAT PARQUET)"
+        )
+
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        os.symlink(f"{args.src}/{t}.parquet", f"{args.out}/{t}.parquet")
+
+    n_docs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{ddir}/*.parquet')"
+    ).fetchone()[0]
+    n_vecs = con.execute(
+        f"SELECT count(*) FROM read_parquet('{edir}/*.parquet')"
+    ).fetchone()[0]
+    print(f"staged {args.out}: documents={n_docs} embeddings={n_vecs}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
