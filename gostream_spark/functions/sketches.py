@@ -140,15 +140,40 @@ def simhash64_from_xxhashes(hashes: Column) -> Column:
     reasoning as ``simhash_from_md5s``). Spark-internal hash ⇒ no
     DuckDB oracle; the invariants are pinned by guarantee tests."""
 
-    def bit(p: int) -> Column:
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc + (F.shiftright(h, p).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
-        )
-        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    fp = F.lit(0).cast("long")
-    for p in range(64):
-        fp = fp.bitwiseOR(F.shiftleft(bit(p), p))
-    return fp
+    # ONE fold carrying a 64-wide vote vector, not 64 independent
+    # F.aggregate folds (r10 cold audit): the 64-fold form builds a
+    # Catalyst tree ~64x this size (seconds of planning/codegen per
+    # run) and re-walks the token array once per bit. Semantics are
+    # identical — votes[p] = sum over tokens of +/-1 by hash bit p,
+    # fingerprint bit p set iff votes[p] > 0.
+    positions = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        hashes,
+        F.expr("array_repeat(0, 64)"),
+        lambda acc, h: F.zip_with(
+            acc,
+            positions,
+            # call_function: the python shiftright/shiftleft wrappers
+            # type-check numBits as a literal int, but the underlying
+            # SQL expressions take any integral column — here the
+            # shift amount is the lambda-bound bit position.
+            lambda a, p: a
+            + (
+                F.call_function("shiftright", h, p).bitwiseAND(F.lit(1)) * 2
+                - 1
+            ).cast("int"),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            positions,
+            lambda v, p: F.call_function(
+                "shiftleft",
+                F.when(v > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+                p,
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )

@@ -43,7 +43,11 @@ def pagerank(
     — callers wanting them ranked add the dangling-mass
     redistribution term instead of passing them here silently."""
     id_col = nodes.columns[0]
-    n = nodes.select(F.col(id_col).alias("id"))
+    # Checkpoint the node set once: it is typically DERIVED from the
+    # edge list (distinct union of endpoints), and the left join below
+    # re-evaluates it every iteration — without this, each of the
+    # n_iter rounds replays that distinct shuffle.
+    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=True)
     a, b = edges.columns
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -51,23 +55,32 @@ def pagerank(
     out_edges = sym.join(deg, "src").localCheckpoint(eager=True)
 
     ranks = n.withColumn("rank", F.lit(1.0))
-    for _ in range(n_iter):
-        contrib = (
+    for i in range(n_iter):
+        # No per-iteration reinstatement join against n: the caller
+        # contract (every node appears in edges) plus the symmetric
+        # union means every node has in-degree >= 1, so the contrib
+        # aggregate already emits one row per node — joining n back
+        # each round would only re-add a join stage per iteration.
+        ranks = (
             out_edges.join(ranks.withColumnRenamed("id", "src"), "src")
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
-            .withColumnRenamed("dst", "id")
-        )
-        ranks = (
-            n.join(contrib, "id", "left")
             .select(
-                "id",
+                F.col("dst").alias("id"),
                 (
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0))
+                    F.lit(1.0 - damping) + F.lit(damping) * F.col("in_mass")
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        # Truncate lineage every third round, not every round: an
+        # EAGER checkpoint is a full materializing job, and at small
+        # scale the per-job floor — not the joins — dominated the
+        # operator's wall clock (r10 cold audit: 10 checkpoints made
+        # this the slowest cold query in the registry). Three rounds
+        # of pending lineage keep the plan a small constant size while
+        # cutting the serial job count ~3x; the final iteration always
+        # checkpoints so callers never re-execute the whole loop.
+        if i % 3 == 2 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks

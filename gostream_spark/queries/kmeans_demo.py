@@ -102,11 +102,19 @@ def kmeans_refined_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_rows_only.py."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seeds = load_table(spark, sf_dir, "embeddings")
-    centroids = _seed_centroids(seeds)
+    # Materialize the k <= 10 centroid rows each round (localCheckpoint
+    # of a tiny table): without it the three _assign calls compound
+    # into ONE lazy plan that re-executes every earlier iteration's
+    # crossJoin+window inside each later one — the r10 cold audit put
+    # this query at ~4 s warm, almost all of it replayed lineage.
+    centroids = _seed_centroids(seeds).localCheckpoint(eager=True)
     for _ in range(2):
         assigned = _assign(emb, centroids)
-        centroids = _recompute(assigned)
-    final = _assign(emb, centroids)
+        centroids = _recompute(assigned).localCheckpoint(eager=True)
+    # The final assignment feeds BOTH the census and the partition
+    # stats; checkpoint it once so the crossJoin+window isn't executed
+    # twice (separate DataFrame subtrees don't share work).
+    final = _assign(emb, centroids).localCheckpoint(eager=True)
     census = final.groupBy("c_id").agg(F.count(F.lit(1)).alias("n_members"))
     cstats = census.agg(
         F.coalesce(F.sum("n_members"), F.lit(0)).alias("assigned"),

@@ -76,7 +76,7 @@ FROM src GROUP BY bucket
 @register("pysource_stream_counts", oracle=_STREAM_ORACLE, tags=("S2", "T8", "ext"))
 def pysource_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read through the custom Python DataSource
-    (``SimpleDataSourceStreamReader``): row-position offsets, 500-row
+    (``SimpleDataSourceStreamReader``): row-position offsets, 1000-row
     micro-batches, deterministic replay between offsets. Complete-mode
     per-bucket aggregation over the memory sink, driven by the
     ``run_until`` processing-time harness (Python stream sources do
@@ -92,7 +92,7 @@ def pysource_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("gostream_synth")
         .option("rows", _STREAM_ROWS)
-        .option("batch", 500)
+        .option("batch", 1000)
         .load()
     )
     agg = stream.groupBy("bucket").agg(
@@ -202,7 +202,7 @@ def pysink_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.format("gostream_synth")
         .option("rows", _STREAM_ROWS)
-        .option("batch", 500)
+        .option("batch", 1000)
         .load()
         .select("event_id", "bucket", "amount")
     )

@@ -81,7 +81,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = file_stream(spark, sf_dir, "events")
     doubled = ev.union(file_stream(spark, sf_dir, "events"))
     deduped = dedup_stream(doubled, keys=["event_id"])
-    result = run_available_now(deduped, output_mode="append")
+    # State sized to the fixture's dedup keyspace, not the 32-wide
+    # batch default: each state partition pays the per-micro-batch
+    # store open/commit floor (r10 cold audit put this query > 3 s).
+    result = run_available_now(
+        deduped, output_mode="append", state_partitions=8
+    )
     return result.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
@@ -696,7 +701,10 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         file_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
     )
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
-    result = run_available_now(deduped, output_mode="append")
+    # Same state sizing rationale as streaming_dedup (r10 cold audit).
+    result = run_available_now(
+        deduped, output_mode="append", state_partitions=8
+    )
     return result.agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Per-query COLD cost at sf0.01 — the driver's correctness gate runs
+a 50-query sample in one session, each query ONCE, so what matters
+for staying green-and-fast under ANY future sample is every query's
+first-run cost in a warm session (VERDICT r9 #4: the r9 sample left
+all streaming rows driver-unsampled; keep their cold cost low enough
+that any sample stays cheap).
+
+    python tools/cold_audit.py                  # all queries, markdown table of slowest
+    python tools/cold_audit.py --threshold 3    # list queries over 3s
+    python tools/cold_audit.py --only streaming # name-substring filter
+
+Protocol: one generic warm job (JVM up), then every query once,
+chronological, timing the first (only) run. Session-level JIT means
+EARLY queries absorb codegen warm-up exactly like the driver's run —
+so this over-reports the first few names a little; rerun with
+--shuffle-seed to rotate order if a reading looks order-charged.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from gostream_spark.registry import all_queries  # noqa: E402
+from gostream_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--threshold", type=float, default=3.0)
+    ap.add_argument("--only", default=None, help="name-substring filter")
+    ap.add_argument(
+        "--shuffle-seed",
+        type=int,
+        default=None,
+        help="deterministically rotate run order (order-charge check)",
+    )
+    opts = ap.parse_args()
+    spark = get_spark(app_name="cold_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    names = sorted(qs)
+    if opts.only:
+        names = [n for n in names if opts.only in n]
+    if opts.shuffle_seed is not None:
+        k = opts.shuffle_seed % len(names)
+        names = names[k:] + names[:k]
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+    times: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        qs[n].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[n] = time.perf_counter() - t0
+    total = sum(times.values())
+    over = {n: t for n, t in times.items() if t > opts.threshold}
+    print(
+        f"cold audit sf0.01: {len(times)} queries, total {total:.1f}s, "
+        f"mean {total / len(times):.2f}s, over {opts.threshold}s: {len(over)}"
+    )
+    print()
+    print(f"| Query | cold sf0.01 |")
+    print("|---|---|")
+    for n, t in sorted(times.items(), key=lambda kv: -kv[1])[:20]:
+        flag = " **> threshold**" if t > opts.threshold else ""
+        print(f"| `{n}` | {t:.2f}s{flag} |")
+
+
+if __name__ == "__main__":
+    main()
