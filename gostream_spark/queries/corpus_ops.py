@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions.sketches import top_token_run_max
-from gostream_spark.io import load_table
+from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.registry import register
 
 _HEXDIGITS = "0123456789abcdef"
@@ -1001,7 +1001,11 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     array ops (no per-doc shuffle beyond the cover groupBy). Output
     text rebuilds via index-filter + array_join, preserving empty
     tokens exactly as DuckDB's list path does."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread_for_compute: the per-occurrence md5 gram digests are the
+    # CPU of this operator, and a single-file fixture scan would
+    # otherwise evaluate them all in one task (no-op at real-split
+    # layouts — see io.py).
+    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     d = docs.select(
         "doc_id",
@@ -1009,11 +1013,17 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(toks.isNotNull(), F.size(toks)).alias("n"),
     )
     k = _EXSUB_K
+    # explode_outer, NOT explode: plain explode makes Catalyst infer
+    # size(<gram transform>) > 0 on the generator input — evaluating
+    # the ENTIRE md5 digest pipeline a second time inside the inferred
+    # Filter (and, below the spread exchange, serially). explode_outer
+    # infers nothing; the generator-output null filter is not pushable
+    # below the Generate. (Same pathology as operators/prefix_join.)
     occ = (
         d.filter((F.col("n") >= k) & F.col("doc_id").isNotNull())
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(1), F.col("n") - k + 1),
                     lambda p: F.struct(
@@ -1025,6 +1035,7 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("o"),
         )
+        .filter(F.col("o").isNotNull())
         .select("doc_id", F.col("o.p").alias("p"), F.col("o.k").alias("k"))
     )
     keeper = occ.groupBy("k").agg(F.min(F.struct("doc_id", "p")).alias("keep"))
