@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gostream_spark.io import load_table
+from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.registry import register
 
 _NGRAM = 5
@@ -85,9 +85,9 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks 2-3x). ``floor`` of a single exact-dividend IEEE
     division keeps the ratio integer-deterministic across
     engines."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("toks")
-    )
+    docs = spread_for_compute(
+        load_table(spark, sf_dir, "documents"), spark
+    ).select("doc_id", F.split("text", " ").alias("toks"))
     n = F.size("toks")
     grams = F.array_distinct(
         F.transform(
@@ -95,10 +95,22 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice("toks", i + 1, _NGRAM)),
         )
     )
+    # explode_outer + non-nullable digest (r10, same pathology as
+    # operators/prefix_join): plain explode would infer size(grams)>0
+    # below the spread exchange (serial gram re-eval in the scan
+    # task), and the nullable unhex made the gram join infer
+    # isnotnull(unhex(md5(...))) — a vacuous filter that computed
+    # every digest TWICE. concat_ws never returns null, so the
+    # coalesce arm is dead; it exists only to make the type
+    # non-nullable.
     g = (
         docs.filter(n >= _NGRAM)
-        .select("doc_id", F.explode(grams).alias("gram_str"))
-        .select("doc_id", F.unhex(F.md5("gram_str")).alias("gram"))
+        .select("doc_id", F.explode_outer(grams).alias("gram_str"))
+        .filter(F.col("gram_str").isNotNull())
+        .select(
+            "doc_id",
+            F.coalesce(F.unhex(F.md5("gram_str")), F.lit(b"")).alias("gram"),
+        )
     )
     gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
     per_doc = (
