@@ -460,6 +460,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     one explode scan + one doc_id aggregate + one per-source top-1."""
     docs = load_table(spark, sf_dir, "documents")
     is_target = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    # Non-nullable bucket (dead coalesce arm — split elements are never
+    # null): otherwise the broadcast join infers isnotnull(bucket) and
+    # evaluates the per-token md5 a second time inside the inferred
+    # filter (r10 registry audit).
     toks = docs.select(
         "doc_id",
         "source",
@@ -467,9 +471,12 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "source",
-        (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-            % _DSIR_BUCKETS
+        F.coalesce(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % _DSIR_BUCKETS,
+            F.lit(0),
         ).alias("bucket"),
     )
     stats = toks.groupBy("bucket").agg(

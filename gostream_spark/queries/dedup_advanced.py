@@ -242,12 +242,29 @@ def _bottomk_band_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_sh = docs.filter(n >= 3).select("doc_id", shingles.alias("sh"))
     m = bottomk_sketch(F.col("sh"), 8)
-    sig = with_sh.filter(F.size("sh") >= 8).select("doc_id", m.alias("m"))
+    sig = with_sh.select("doc_id", m.alias("m"))
+    # Docs with < 8 distinct shingles are excluded via NULL bands, not
+    # a ``size(sh) >= 8`` filter: that filter would be
+    # alias-substituted below the spread_for_compute exchange and
+    # re-evaluate the whole shingle+sketch pipeline serially in the
+    # scan task (the r10 registry audit found it duplicated in every
+    # consumer branch). Same mechanism as ``minhash_bottomk_bands``
+    # (llm_similarity.py): try_element_at past a short sketch yields
+    # NULL -> md5/concat propagate it, the m[8] guard nulls EVERY
+    # band of a short sketch, and the NOT NULL predicate references
+    # the stack() GENERATOR's output, which cannot be pushed below
+    # the Generate.
     bands = sig.select(
         "doc_id",
         *[
-            F.md5(
-                F.concat(F.element_at("m", 2 * b + 1), F.element_at("m", 2 * b + 2))
+            F.when(
+                F.try_element_at("m", F.lit(8)).isNotNull(),
+                F.md5(
+                    F.concat(
+                        F.try_element_at("m", F.lit(2 * b + 1)),
+                        F.try_element_at("m", F.lit(2 * b + 2)),
+                    )
+                ),
             ).alias(f"band{b}")
             for b in range(4)
         ],
@@ -255,7 +272,7 @@ def _bottomk_band_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stacked = bands.selectExpr(
         "doc_id",
         "stack(4, 0, band0, 1, band1, 2, band2, 3, band3) AS (band_id, band_hash)",
-    )
+    ).filter(F.col("band_hash").isNotNull())
     hub = F.min("doc_id").over(Window.partitionBy("band_id", "band_hash"))
     return (
         stacked.withColumn("hub", hub)
@@ -335,8 +352,17 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-join, linear); all-pairs never materializes. At 64 bits /
     distance k the same scheme uses table rotations instead of flips
     — identical plan shape."""
+    # The explicit text-NOT-NULL filter is semantics-preserving (a
+    # NULL text yields a NULL fingerprint whose probe keys never
+    # match, in both engines) and makes the coalesce below a dead
+    # arm; together they stop Catalyst inferring
+    # isnotnull(<full simhash fold>) from the probe-key join — which
+    # evaluated the per-doc fingerprint aggregate a SECOND time
+    # inside the scan filter (r10 registry audit).
     docs = spread_for_compute(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0),
+        load_table(spark, sf_dir, "documents").filter(
+            (F.col("doc_id") % 5 == 0) & F.col("text").isNotNull()
+        ),
         spark,
     )
     toks = F.array_distinct(F.split("text", " "))
@@ -344,7 +370,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.transform(toks, lambda t: F.md5(t)).alias("md5s")
     )
     fp = hexed.select(
-        "doc_id", simhash_from_md5s(F.col("md5s"), _SIMHASH_BITS).alias("simhash")
+        "doc_id",
+        F.coalesce(
+            simhash_from_md5s(F.col("md5s"), _SIMHASH_BITS), F.lit(0)
+        ).alias("simhash"),
     )
     probe_keys = F.array(
         F.col("simhash"),
@@ -412,12 +441,21 @@ def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contain \\x1f, so any ad-hoc join separator can alias two distinct
     # token sets into one key and flip dup_same_fp to 0 (ADVICE r8). The
     # oracle counts DISTINCT on the sorted list value itself.
+    # has_key carries the key's nullness as a CHEAP boolean (key is
+    # NULL iff text is NULL): filtering on key.isNotNull() directly
+    # would be alias-substituted into isnotnull(to_json(array_sort(
+    # ...))) and pushed below the spread exchange, evaluating the
+    # whole key expression a second time serially in the scan task
+    # (r10 registry audit).
     hashed = docs.select(
         "doc_id",
+        F.col("text").isNotNull().alias("has_key"),
         F.to_json(F.array_sort(toks)).alias("key"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("hs"),
     )
-    fp = hashed.select("key", simhash64_from_xxhashes(F.col("hs")).alias("fp"))
+    fp = hashed.select(
+        "has_key", "key", simhash64_from_xxhashes(F.col("hs")).alias("fp")
+    )
     # The oracle's count(DISTINCT key) skips a NULL key (all-NULL-text
     # docs), so the bucket invariants uniformly exclude the NULL-key
     # group on this side too — n_docs alone counts every row, matching
@@ -425,11 +463,11 @@ def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = fp.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(
-            F.when(F.col("key").isNotNull(), F.col("fp"))
+            F.when(F.col("has_key"), F.col("fp"))
         ).alias("n_fps"),
     )
     grp = (
-        fp.filter(F.col("key").isNotNull())
+        fp.filter(F.col("has_key"))
         .groupBy("key")
         .agg(F.countDistinct("fp").alias("nfp"))
         .agg(

@@ -38,6 +38,34 @@ EXECUTING_NAMES = {
 CARTESIAN_OK = {
     "join_cross",  # 5x25 dims
 }
+
+# Expensive expressions inside Filter operators — the r10 finding:
+# Catalyst infers constraints (isnotnull, size>0) from joins and
+# generators, alias-substitutes the COLUMN DEFINITION into them, and
+# pushes the result toward the scan — re-evaluating per-token digest
+# pipelines or whole sketch folds a second time (serially, when below
+# a spread_for_compute exchange). Fix patterns used in the tree:
+# explode_outer + generator-output null filter, non-nullable columns
+# via dead-arm coalesce, cheap has_key booleans. The tokens below are
+# the repo's expensive-kernel fingerprints.
+EXPENSIVE_IN_FILTER = (
+    "md5(",
+    "sha2(",
+    "xxhash64(",
+    "zip_with(",
+    "aggregate(",
+    "array_sort(",
+    "sort_array(",
+    "unhex(",
+)
+# Single-eval-by-construction exceptions (the expression IS the
+# filter's job, evaluated once per row, never duplicated upstream):
+EXPENSIVE_FILTER_OK = {
+    "sample_stratified",  # md5 IS the deterministic Bernoulli draw
+    "training_mix_pipeline",  # quality-gate HOF deliberately fused into the scan filter
+    "cross_corpus_dedup",  # one extra md5 per DOC (not per token) — negligible vs its joins
+    "cross_source_duplication_matrix",  # same: per-doc md5, null-text semantics pinned by degenerate tests
+}
 # nested-loop joins with a literal 1-row / broadcast side are fine;
 # we flag only CartesianProduct (both sides unbounded).
 
@@ -80,6 +108,17 @@ def main() -> int:
                 findings.append(f"{name}: global window: {line.strip()[:100]}")
         if "BatchEvalPython" in plan:
             findings.append(f"{name}: row-at-a-time BatchEvalPython")
+        if name not in EXPENSIVE_FILTER_OK:
+            for line in plan.splitlines():
+                s = line.strip().lstrip("*+:- (0123456789)")
+                if s.startswith("Filter") and any(
+                    t in s for t in EXPENSIVE_IN_FILTER
+                ):
+                    findings.append(
+                        f"{name}: expensive expr re-evaluated in Filter: "
+                        f"{s[:100]}"
+                    )
+                    break
     print(f"scanned {n_scanned} query plans at {SF_DIR}")
     for f in findings:
         print("FLAG", f)
