@@ -25,7 +25,25 @@ from gostream_spark.io import TABLES  # noqa: E402  (canonical fixture list)
 from tools.canon import canon_value  # noqa: E402  (driver-style comparator)
 
 
+def _sweep_stale_duckdb_spill() -> None:
+    """DuckDB in-memory connections spill large oracle intermediates
+    to ``<cwd>/.tmp/duckdb_temp_storage-*.tmp`` and clean up on close
+    — but a killed/timed-out run leaks them (observed r10: 58 GB of
+    orphans after interrupted sf0.1/sf1 sweeps). Any such file not
+    touched for an hour belongs to no live run; remove it."""
+    import glob
+    import time
+
+    for p in glob.glob(".tmp/duckdb_temp_storage-*.tmp"):
+        try:
+            if time.time() - os.path.getmtime(p) > 3600:
+                os.remove(p)
+        except OSError:
+            pass
+
+
 def main() -> int:
+    _sweep_stale_duckdb_spill()
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="0.01")
     ap.add_argument("--only", default=None, help="comma-separated query names")
