@@ -41,13 +41,19 @@ def pagerank(
     sum(rank) == number of nodes at every iteration (the conservation
     invariant tests pin). Isolated nodes would leak their damped mass
     — callers wanting them ranked add the dangling-mass
-    redistribution term instead of passing them here silently."""
+    redistribution term instead of passing them here silently.
+
+    POSTCONDITION (stronger than the signature suggests): the output
+    id set is exactly the set of edge endpoints. A node present in
+    ``nodes`` but absent from ``edges`` violates the contract above
+    and is silently DROPPED — there is no per-iteration reinstatement
+    join, so contract-violating ids never re-enter the aggregate.
+    tests/test_rows_only.py pins output-ids == edge-endpoints."""
     id_col = nodes.columns[0]
-    # Checkpoint the node set once: it is typically DERIVED from the
-    # edge list (distinct union of endpoints), and the left join below
-    # re-evaluates it every iteration — without this, each of the
-    # n_iter rounds replays that distinct shuffle.
-    n = nodes.select(F.col(id_col).alias("id")).localCheckpoint(eager=True)
+    # No checkpoint on the node set: it is consumed exactly once (the
+    # initial uniform ranks below); everything after iteration 1 is
+    # derived from out_edges, which IS checkpointed.
+    n = nodes.select(F.col(id_col).alias("id"))
     a, b = edges.columns
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -63,8 +63,16 @@ def _capture_progress(q) -> None:
 # and a stateful query resolves it during batch-0 planning (recording
 # it in the offset log for every later batch and restart) — without
 # the lock, query B's pin could land between query A's set and A's
-# batch-0 plan. The lock serializes only startup; queries overlap
-# freely from batch 1 on (test_runner_concurrent_queries).
+# batch-0 plan. The lock serializes only startup; continuous-trigger
+# queries overlap freely from batch 1 on
+# (test_runner_concurrent_queries). Caveat: for availableNow
+# SINGLE-batch queries, lastProgress only appears after the query's
+# only batch commits, so the lock is held for that query's entire run
+# (bounded by the 120 s wait) and concurrent availableNow starts are
+# effectively serialized — accepted, since every registered
+# availableNow query commits its batch in well under the bound and
+# correctness (each batch-0 plan inside its own conf window) is what
+# the lock exists for.
 _pin_lock = threading.Lock()
 
 

@@ -319,6 +319,10 @@ def test_pagerank_conserves_mass_and_ranks_hubs(spark, sf_dir):
         .join(deg, "doc_id")
         .collect()
     )
+    # Postcondition pin: output ids == edge endpoints (the inner join
+    # with deg keeps only endpoint ids, so equality here means nothing
+    # was dropped and nothing extra was emitted).
+    assert len(ranks) == row.n_nodes
     max_deg = max(r.degree for r in ranks)
     if max_deg > 1:
         best = max(ranks, key=lambda r: r.rank)

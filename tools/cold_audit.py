@@ -40,7 +40,7 @@ def main() -> None:
         "--shuffle-seed",
         type=int,
         default=None,
-        help="deterministically rotate run order (order-charge check)",
+        help="seed a true random permutation of run order (order-charge check)",
     )
     opts = ap.parse_args()
     spark = get_spark(app_name="cold_audit")
@@ -50,8 +50,9 @@ def main() -> None:
     if opts.only:
         names = [n for n in names if opts.only in n]
     if opts.shuffle_seed is not None:
-        k = opts.shuffle_seed % len(names)
-        names = names[k:] + names[:k]
+        import random
+
+        random.Random(opts.shuffle_seed).shuffle(names)
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
     times: dict[str, float] = {}
     for n in names:

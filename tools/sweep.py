@@ -30,11 +30,15 @@ def _sweep_stale_duckdb_spill() -> None:
     to ``<cwd>/.tmp/duckdb_temp_storage-*.tmp`` and clean up on close
     — but a killed/timed-out run leaks them (observed r10: 58 GB of
     orphans after interrupted sf0.1/sf1 sweeps). Any such file not
-    touched for an hour belongs to no live run; remove it."""
+    touched for an hour belongs to no live run; remove it. The glob
+    is anchored to the REPO root (where sweep runs spill), not the
+    CWD, so invoking sweep.py from elsewhere still reaps — and never
+    touches an unrelated project's .tmp."""
     import glob
     import time
 
-    for p in glob.glob(".tmp/duckdb_temp_storage-*.tmp"):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for p in glob.glob(os.path.join(repo, ".tmp", "duckdb_temp_storage-*.tmp")):
         try:
             if time.time() - os.path.getmtime(p) > 3600:
                 os.remove(p)
