@@ -973,7 +973,9 @@ FROM d LEFT JOIN rem r USING (doc_id)
     tags=("L1", "L2", "ext"),
     bench=True,
 )
-def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_substr_dedup(
+    spark: SparkSession, sf_dir: str, digest: str = "xxhash64"
+) -> DataFrame:
     """Exact duplicate-SPAN removal — the ExactSubstr pass of
     "Deduplicating Training Data Makes Language Models Better" (Lee
     et al., 2021), re-expressed relationally: every word 5-gram
@@ -989,10 +991,11 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the suffix-array pass of the paper is a single-node
     construction; this is the shuffle form a 100 TB corpus needs):
-    occurrences shuffle once on the gram's 128-bit md5 DIGEST (16
-    bytes, not the ~30-byte gram; collisions only merge gram classes
-    IDENTICALLY on both engines, and 2^64 birthday scale is beyond
-    any corpus); the keeper is min(struct(doc_id, pos)) — a
+    occurrences shuffle once on the gram's 64-bit xxhash64 key (8
+    bytes, not the ~30-byte gram; collisions negligible at target
+    corpus scales — see the digest-knob note below — and the oracle
+    partitions the same classes via its own md5); the keeper is
+    min(struct(doc_id, pos)) — a
     PARTIAL-AGGREGATABLE min, so a viral boilerplate gram repeated
     in millions of docs collapses to one row per map task before the
     exchange (a row_number window would hand that gram's whole
@@ -1001,10 +1004,10 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     array ops (no per-doc shuffle beyond the cover groupBy). Output
     text rebuilds via index-filter + array_join, preserving empty
     tokens exactly as DuckDB's list path does."""
-    # spread_for_compute: the per-occurrence md5 gram digests are the
-    # CPU of this operator, and a single-file fixture scan would
-    # otherwise evaluate them all in one task (no-op at real-split
-    # layouts — see io.py).
+    # spread_for_compute: the per-occurrence gram materialization +
+    # digest is the CPU of this operator, and a single-file fixture
+    # scan would otherwise evaluate it all in one task (no-op at
+    # real-split layouts — see io.py).
     docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
     toks = F.split("text", " ")
     d = docs.select(
@@ -1019,6 +1022,18 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Filter (and, below the spread exchange, serially). explode_outer
     # infers nothing; the generator-output null filter is not pushable
     # below the Generate. (Same pathology as operators/prefix_join.)
+    # digest knob (r11 A/B, VERDICT r10 #4): gram-equivalence key only
+    # — the oracle's md5-keyed row_number partitions the SAME classes
+    # whatever hash Spark shuffles on, so the cheaper 8-byte xxhash64
+    # default is parity-safe (collision bound and A/B numbers in
+    # dup_ngram_fraction's twin note; ~9% at sf1, identical output).
+    # digest="md5" retains the old kernel for tools/digest_ab.py.
+    def gram_key(p):
+        gram = F.array_join(F.slice("toks", p, k), " ")
+        if digest == "xxhash64":
+            return F.xxhash64(gram)
+        return F.unhex(F.md5(gram))
+
     occ = (
         d.filter((F.col("n") >= k) & F.col("doc_id").isNotNull())
         .select(
@@ -1026,12 +1041,7 @@ def exact_substr_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(1), F.col("n") - k + 1),
-                    lambda p: F.struct(
-                        p.alias("p"),
-                        F.unhex(
-                            F.md5(F.array_join(F.slice("toks", p, k), " "))
-                        ).alias("k"),
-                    ),
+                    lambda p: F.struct(p.alias("p"), gram_key(p).alias("k")),
                 )
             ).alias("o"),
         )

@@ -65,7 +65,9 @@ FROM t LEFT JOIN per_doc p USING (doc_id)
 
 
 @register("dup_ngram_fraction", oracle=_DUP_ORACLE, tags=("L2", "L8", "ext"), bench=True)
-def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dup_ngram_fraction(
+    spark: SparkSession, sf_dir: str, digest: str = "xxhash64"
+) -> DataFrame:
     """Duplicate-5-gram fraction per document, in basis points.
 
     A document whose word 5-grams mostly also appear in OTHER
@@ -78,11 +80,11 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents per gram, one shuffle to join the count back and
     re-aggregate per doc_id, left join onto the doc spine to keep
     sub-5-token documents with n_grams = 0. Both corpus-scale
-    exchanges shuffle the 16-byte md5 DIGEST of the gram, not the
+    exchanges shuffle the 8-byte xxhash64 key of the gram, not the
     ~40-60-byte gram string (the ``docs_dedup_digest`` discipline:
-    the digest is computed once map-side, 128 bits keeps collisions
-    negligible even at 10^13 distinct grams, and the exchange
-    shrinks 2-3x). ``floor`` of a single exact-dividend IEEE
+    the digest is computed once map-side and the exchange shrinks
+    4-7x; collision bound in the digest-knob note below).
+    ``floor`` of a single exact-dividend IEEE
     division keeps the ratio integer-deterministic across
     engines."""
     docs = spread_for_compute(
@@ -103,14 +105,28 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every digest TWICE. concat_ws never returns null, so the
     # coalesce arm is dead; it exists only to make the type
     # non-nullable.
+    # digest knob (r11 A/B, VERDICT r10 #4): the per-gram-occurrence
+    # digest is this operator's shared kernel with exact_substr_dedup
+    # at sf1. xxhash64 (8-byte key, codegen'd, allocation-free) is the
+    # default: the sf1 A/B (tools/digest_ab.py, PERF.md) reads it ~5%
+    # faster with bit-identical output and HALF the exchange key
+    # bytes; the floor is the gram-STRING materialization, not the
+    # hash. Parity does NOT require cross-engine digest equality —
+    # the key only defines gram-EQUIVALENCE classes for the count,
+    # and both 64-bit xxhash (Spark) and 128-bit md5 (oracle) are
+    # collision-free at any corpus this engine targets (birthday
+    # bound ~1e-7 at 10^6 distinct grams, ~1e-3 at 10^8). digest=
+    # "md5" retains the old kernel for the A/B tool.
+    gram_key = (
+        F.xxhash64("gram_str")
+        if digest == "xxhash64"
+        else F.coalesce(F.unhex(F.md5("gram_str")), F.lit(b""))
+    )
     g = (
         docs.filter(n >= _NGRAM)
         .select("doc_id", F.explode_outer(grams).alias("gram_str"))
         .filter(F.col("gram_str").isNotNull())
-        .select(
-            "doc_id",
-            F.coalesce(F.unhex(F.md5("gram_str")), F.lit(b"")).alias("gram"),
-        )
+        .select("doc_id", gram_key.alias("gram"))
     )
     gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
     per_doc = (

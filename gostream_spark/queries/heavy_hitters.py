@@ -60,36 +60,53 @@ _PHI_INV = 200
 _MG_CAPACITY = 2 * _PHI_INV
 
 
-def _misra_gries_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-partition Misra-Gries summary over whitespace tokens.
+def _mg_candidates_fn(capacity: int):
+    """Build the per-partition Misra-Gries summary closure for a given
+    counter capacity (k = 2/phi). Parameterized so the decade probe
+    can run the operator at a scale-appropriate phi; the registered
+    query uses the default ``_MG_CAPACITY``."""
 
-    Streams the partition's Arrow batches through one bounded dict of
-    at most ``_MG_CAPACITY`` counters (tokenizing inside the worker so
-    only compact text rows — not one row per token — cross the Arrow
-    boundary), then emits the surviving candidate tokens. Memory is
-    O(k) however large the partition is.
-    """
-    counters: dict[str, int] = {}
-    for pdf in batches:
-        for toks in pdf["text"].str.split(" "):
-            for tok in toks:
-                if tok in counters:
-                    counters[tok] += 1
-                elif len(counters) < _MG_CAPACITY:
-                    counters[tok] = 1
-                else:
-                    # Decrement-all step; drop zeroed counters.
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-    yield pd.DataFrame({"token": list(counters.keys())})
+    def _misra_gries_candidates(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        """Per-partition Misra-Gries summary over whitespace tokens.
+
+        Streams the partition's Arrow batches through one bounded dict
+        of at most ``capacity`` counters (tokenizing inside the worker
+        so only compact text rows — not one row per token — cross the
+        Arrow boundary), then emits the surviving candidate tokens.
+        Memory is O(k) however large the partition is.
+        """
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for toks in pdf["text"].str.split(" "):
+                for tok in toks:
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < capacity:
+                        counters[tok] = 1
+                    else:
+                        # Decrement-all step; drop zeroed counters.
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    return _misra_gries_candidates
 
 
-_HH_ORACLE = f"""
+_misra_gries_candidates = _mg_candidates_fn(_MG_CAPACITY)
+
+
+def hh_oracle(phi_inv: int = _PHI_INV) -> str:
+    """DuckDB oracle for ``heavy_hitter_tokens`` at a given phi —
+    shared between the registered entry (default phi) and the decade
+    probe's scale-parameterized re-check."""
+    return f"""
 WITH toks AS (
   SELECT unnest(string_split(text, ' ')) AS token FROM documents
 ), tot AS (
@@ -99,12 +116,17 @@ WITH toks AS (
 )
 SELECT c.token, CAST(c.cnt AS BIGINT) AS cnt
 FROM cnt c, tot
-WHERE c.cnt >= ceil(tot.n / {_PHI_INV}.0)
+WHERE c.cnt >= ceil(tot.n / {phi_inv}.0)
 """
 
 
+_HH_ORACLE = hh_oracle()
+
+
 @register("heavy_hitter_tokens", oracle=_HH_ORACLE, tags=("L8", "A1", "ext"), bench=True)
-def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+def heavy_hitter_tokens(
+    spark: SparkSession, sf_dir: str, phi_inv: int = _PHI_INV
+) -> DataFrame:
     """Exact phi-heavy-hitter tokens (count >= 0.5% of all tokens) via
     Misra-Gries candidates + exact verification — see module docstring
     for the guarantee argument and the 100 TB shape.
@@ -115,10 +137,17 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens JVM-side, joins the candidate set (no forced broadcast —
     corpus-derived), counts, and compares to ceil(N/200) from a 1-row
     global count (broadcast-safe constant size).
+
+    phi_inv (probe knob, default 200): the decade fixture salts every
+    token into 10 disjoint per-replica variants, so a fixed 0.5%
+    threshold reports nothing at 10x — the probe passes a
+    scale-matched phi (from the fixture manifest) so the operator
+    does its full two-pass work and the output decades with the
+    input; oracle parity holds at any phi via ``hh_oracle``.
     """
     docs = load_table(spark, sf_dir, "documents").select("text")
     candidates = docs.mapInPandas(
-        _misra_gries_candidates, schema="token string"
+        _mg_candidates_fn(2 * phi_inv), schema="token string"
     ).distinct()
 
     tokens = docs.select(
@@ -132,7 +161,7 @@ def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         counts.crossJoin(F.broadcast(total))
-        .filter(F.col("cnt") >= F.ceil(F.col("n") / F.lit(float(_PHI_INV))))
+        .filter(F.col("cnt") >= F.ceil(F.col("n") / F.lit(float(phi_inv))))
         .select("token", "cnt")
     )
 

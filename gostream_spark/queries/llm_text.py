@@ -149,12 +149,18 @@ def top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- L7 TF-IDF top terms ------------------------------------------------
 
-_L7_ORACLE = """
+def tfidf_oracle(stopwords: tuple[str, ...] = STOPWORDS) -> str:
+    """DuckDB oracle for ``tfidf_top_terms`` for an arbitrary stopword
+    tuple — shared between the registered entry (default stopwords)
+    and the decade probe, which passes the salted fixture's manifest
+    stopwords so the filter stays real on the salted vocabulary."""
+    not_in = ", ".join(f"'{w}'" for w in stopwords)
+    return f"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
 ), tf AS (
   SELECT doc_id, token, count(*) AS tf FROM tok
-  WHERE token NOT IN ('the', 'a') GROUP BY doc_id, token
+  WHERE token NOT IN ({not_in}) GROUP BY doc_id, token
 ), byterm AS (
   SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf FROM tf GROUP BY token
 ), n AS (SELECT count(*) AS n_docs FROM documents)
@@ -168,15 +174,25 @@ SELECT token, df, total_tf, score, rn FROM (
 """
 
 
+_L7_ORACLE = tfidf_oracle()
+
+
 @register("tfidf_top_terms", oracle=_L7_ORACLE, tags=("L7",))
-def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tfidf_top_terms(
+    spark: SparkSession,
+    sf_dir: str,
+    stopwords: tuple[str, ...] = STOPWORDS,
+) -> DataFrame:
     """L7: TF-IDF — term frequency × inverse document frequency, top
     20 terms corpus-wide. Two hash aggregates ((doc,term) then term);
     the corpus size joins in as a broadcast scalar. Skewed hot terms
-    are already collapsed map-side by the partial aggregate."""
+    are already collapsed map-side by the partial aggregate.
+    stopwords (probe knob): the decade fixture salts the vocabulary,
+    so the probe passes the per-replica salted stopword set from the
+    fixture manifest."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(_toks()).alias("token")).filter(
-        ~F.col("token").isin(*STOPWORDS)
+        ~F.col("token").isin(*stopwords)
     )
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     byterm = tf.groupBy("token").agg(

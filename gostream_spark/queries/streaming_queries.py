@@ -43,7 +43,11 @@ FROM events GROUP BY 1, 2
     tags=("S2", "T1", "T4", "T7", "T8"),
     bench=True,
 )
-def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming T1: file-stream source → 1h watermark → daily
     tumbling counts → memory sink in COMPLETE mode, availableNow.
     With the whole fixture available, the final complete-mode table
@@ -55,8 +59,14 @@ def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 partitions -> 1.24 s, 8 -> ~0.85 s, 4 -> 0.81 s locally at
     sf0.1; RocksDB-vs-HDFSBacked was a wash at this state size). At
     scale, state partitioning follows state cardinality, not the
-    batch shuffle width."""
-    ev = file_stream(spark, sf_dir, "events")
+    batch shuffle width.
+
+    max_files_per_trigger (probe knob, default None = all files in
+    one batch): replay a sharded fixture N files per micro-batch so
+    tools/streaming_decade_probe.py can observe state accumulating
+    across batches; semantics are unchanged (availableNow drains
+    everything either way)."""
+    ev = file_stream(spark, sf_dir, "events", max_files_per_trigger)
     result = run_available_now(
         windowed_counts(ev), output_mode="complete", state_partitions=8
     )
@@ -73,13 +83,20 @@ SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events
 
 
 @register("streaming_dedup", oracle=_DEDUP_ORACLE, tags=("S2", "T4", "T5"))
-def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming T5: the stream unioned with itself (every event twice)
     → watermarked dropDuplicates on event_id → append-mode memory
     sink. The dedup must collapse the union back to the original
-    event set."""
-    ev = file_stream(spark, sf_dir, "events")
-    doubled = ev.union(file_stream(spark, sf_dir, "events"))
+    event set. max_files_per_trigger: probe replay knob (see
+    streaming_tumbling_counts)."""
+    ev = file_stream(spark, sf_dir, "events", max_files_per_trigger)
+    doubled = ev.union(
+        file_stream(spark, sf_dir, "events", max_files_per_trigger)
+    )
     deduped = dedup_stream(doubled, keys=["event_id"])
     # State sized to the fixture's dedup keyspace, not the 32-wide
     # batch default: each state partition pays the per-micro-batch
@@ -124,14 +141,32 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 
 
 @register("streaming_stateful_counts", oracle=_STATEFUL_ORACLE, tags=("S2", "T6", "T8"))
-def streaming_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_stateful_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming T6: per-user running counts held in explicit group
     state (the stateful bolt), update-mode memory sink. The sink holds
     one row per (key, update); the latest update per key — i.e. the
-    max running count — must equal the batch per-user count."""
-    ev = file_stream(spark, sf_dir, "events")
+    max running count — must equal the batch per-user count.
+    max_files_per_trigger: probe replay knob (see
+    streaming_tumbling_counts).
+
+    state_partitions=8 (r11): previously unpinned, so the state
+    shuffle inherited the session's 32 — and 32 concurrent
+    Arrow-Python state tasks oversubscribe a 32-core executor that is
+    also running the JVM side, queuing tasks and inflating both wall
+    and the per-batch summed state metrics (decade curve at 32: commit
+    11–77 s summed, wall 24.2 s; at 8: commit flat 0.4–0.8 s, wall
+    16.4 s on identical input — PERF.md streaming decade). The state
+    keyspace (user_id, 15k keys at 10x) is nowhere near needing 32
+    partitions; per-partition Python update time is unchanged."""
+    ev = file_stream(spark, sf_dir, "events", max_files_per_trigger)
     updates = running_count_stateful(ev)
-    result = run_available_now(updates, output_mode="update")
+    result = run_available_now(
+        updates, output_mode="update", state_partitions=8
+    )
     return result.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
@@ -148,14 +183,19 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
 
 
 @register("streaming_stream_stream_join", oracle=_SS_JOIN_ORACLE, tags=("S2", "J10", "T4"))
-def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """J10 executed as a REAL stream-stream join: both sides
     watermarked, the time-range condition bounds the join state Spark
     must hold (clicks older than purchase-watermark - 1h are evicted).
     With all input available, the appended matches equal the batch
-    join — the oracle asserts exactly that."""
+    join — the oracle asserts exactly that. max_files_per_trigger:
+    probe replay knob (see streaming_tumbling_counts)."""
     p = (
-        file_stream(spark, sf_dir, "events")
+        file_stream(spark, sf_dir, "events", max_files_per_trigger)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purchase_id"),
@@ -165,7 +205,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("p_ts", "1 hour")
     )
     c = (
-        file_stream(spark, sf_dir, "events")
+        file_stream(spark, sf_dir, "events", max_files_per_trigger)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -259,16 +299,24 @@ def _t3_oracle() -> str:
 
 
 @register("streaming_session_counts", oracle=_t3_oracle(), tags=("S2", "T3", "T4", "T7"))
-def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_session_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming T3: file-stream source → watermark → 30-minute-gap
     session windows per user → complete-mode memory sink, availableNow.
     Session state merges across micro-batches (adjacent sessions
     collapse when a bridging event arrives); with all input available
     the final table must equal the batch sessionization — the same
-    lag-gap oracle SQL as the batch twin `session_window`."""
+    lag-gap oracle SQL as the batch twin `session_window`.
+    max_files_per_trigger: probe replay knob (see
+    streaming_tumbling_counts)."""
     from gostream_spark.operators import session_windowed
 
-    ev = file_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    ev = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger
+    ).withWatermark("ts", "1 hour")
     sess = session_windowed(
         ev,
         "ts",

@@ -366,7 +366,18 @@ def quantized_topk_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BM25_TERMS = ("data", "merge", "stream")
 
-_BM25_ORACLE = """
+
+def bm25_oracle(terms: tuple[str, ...] = _BM25_TERMS) -> str:
+    """DuckDB oracle for ``bm25_topk`` for an arbitrary term tuple —
+    shared between the registered entry (default terms) and the decade
+    probe, which queries the salted fixture with manifest terms."""
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    cases = ",\n         ".join(
+        f"max(CASE WHEN token = '{t}' THEN sc END) AS s{i + 1}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(f"coalesce(s{i + 1}, 0)" for i in range(len(terms)))
+    return f"""
 WITH sized AS (
   SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
 stats AS (
@@ -375,7 +386,7 @@ tok AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
 tf AS (
   SELECT doc_id, token, count(*) AS tf FROM tok
-  WHERE token IN ('data', 'merge', 'stream') GROUP BY 1, 2),
+  WHERE token IN ({in_list}) GROUP BY 1, 2),
 dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
 scored AS (
   SELECT t.doc_id, t.token,
@@ -386,22 +397,27 @@ scored AS (
   FROM tf t JOIN dfreq USING (token) JOIN sized s USING (doc_id), stats),
 per_doc AS (
   SELECT doc_id,
-         max(CASE WHEN token = 'data' THEN sc END) AS s1,
-         max(CASE WHEN token = 'merge' THEN sc END) AS s2,
-         max(CASE WHEN token = 'stream' THEN sc END) AS s3
+         {cases}
   FROM scored GROUP BY doc_id)
 SELECT doc_id, bm25, rn FROM (
   SELECT doc_id,
-         round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 6) AS bm25,
+         round({total}, 6) AS bm25,
          row_number() OVER (
-           ORDER BY round(coalesce(s1, 0) + coalesce(s2, 0) + coalesce(s3, 0), 6)
+           ORDER BY round({total}, 6)
              DESC, doc_id) AS rn
   FROM per_doc) WHERE rn <= 20
 """
 
 
+_BM25_ORACLE = bm25_oracle()
+
+
 @register("bm25_topk", oracle=_BM25_ORACLE, tags=("L3", "L7", "ext"), bench=True)
-def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = _BM25_TERMS,
+) -> DataFrame:
     """Okapi BM25 lexical retrieval (k1=1.2, b=0.75) — the text-side
     counterpart of `similarity_topk`: top-20 docs for a fixed 3-term
     query, with document-length normalization (the part plain TF-IDF
@@ -416,7 +432,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     are tiny and broadcast; scoring is row-local; top-k is
     TakeOrdered. In a full search engine the tf table IS the inverted
     index — materialize it bucketed by term and the per-query cost is
-    a term-bucket lookup, not a corpus scan."""
+    a term-bucket lookup, not a corpus scan.
+
+    terms (probe knob, default the registered 3-term query): the
+    decade fixture salts the vocabulary per replica, so the probe
+    passes the manifest's replica-0-salted terms — fixed query, 10x
+    corpus — to get a non-degenerate retrieval decade reading; oracle
+    parity holds for any term tuple via ``bm25_oracle``."""
     docs = load_table(spark, sf_dir, "documents")
     sized = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
     stats = sized.agg(
@@ -424,7 +446,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").isin(*_BM25_TERMS))
+        .filter(F.col("token").isin(*terms))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -445,11 +467,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = scored.groupBy("doc_id").agg(
         *[
             F.max(F.when(F.col("token") == t, F.col("sc"))).alias(f"s{i + 1}")
-            for i, t in enumerate(_BM25_TERMS)
+            for i, t in enumerate(terms)
         ]
     )
     bm25 = F.round(
-        sum(F.coalesce(F.col(f"s{i + 1}"), F.lit(0)) for i in range(len(_BM25_TERMS))),
+        sum(F.coalesce(F.col(f"s{i + 1}"), F.lit(0)) for i in range(len(terms))),
         6,
     )
     return topk_ranked(

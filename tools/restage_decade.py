@@ -28,6 +28,19 @@ single-task floor instead of the operator):
   a value-and-replica keyed hash (magnitude ~1e-3) so replicas are
   near- but not exact-duplicates — clustering geometry survives,
   degenerate exact ties do not inflate the cluster structure.
+- events (r11, the streaming-state decade): ``event_id``/``user_id``
+  offset per replica so every stateful operator's key space is
+  disjoint across replicas (dedup state, per-user counts, session
+  windows, join state all grow ~10x), and ``ts`` is SHIFTED forward
+  by ``k * (span + 1h)`` so the decade is a genuinely 10x-LONGER
+  stream: replayed one replica-file per micro-batch, event time is
+  monotone across batches, watermarks advance normally, and no row
+  is late-dropped (replicating timestamps verbatim would make every
+  batch after the first arrive entirely below the watermark —
+  dropDuplicates/session state would silently discard it and the
+  probe would measure the empty-batch floor, not state growth).
+  The shift also decades the tumbling-window keyspace (10x distinct
+  days), the one streaming state that id-salting alone leaves flat.
 
 Everything is deterministic (hash-based, no RNG), so reruns and
 cross-engine oracle checks reproduce bit-identically. The other
@@ -102,8 +115,24 @@ def main() -> int:
             f"TO '{edir}/replica-{k}.parquet' (FORMAT PARQUET)"
         )
 
+    evdir = os.path.join(args.out, "events.parquet")
+    os.makedirs(evdir)
+    span_sec = con.execute(
+        "SELECT CAST(ceil(epoch(max(ts) - min(ts))) AS BIGINT) + 3600 "
+        f"FROM read_parquet('{args.src}/events.parquet')"
+    ).fetchone()[0]
+    for k in range(args.replicas):
+        con.execute(
+            f"COPY (SELECT event_id + {k * ID_OFFSET} AS event_id, "
+            f"ts + to_seconds({k * span_sec}) AS ts, "
+            f"user_id + {k * ID_OFFSET} AS user_id, "
+            f"event_type, value, props "
+            f"FROM read_parquet('{args.src}/events.parquet')) "
+            f"TO '{evdir}/replica-{k}.parquet' (FORMAT PARQUET)"
+        )
+
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events"):
             continue
         os.symlink(f"{args.src}/{t}.parquet", f"{args.out}/{t}.parquet")
 
@@ -113,7 +142,48 @@ def main() -> int:
     n_vecs = con.execute(
         f"SELECT count(*) FROM read_parquet('{edir}/*.parquet')"
     ).fetchone()[0]
-    print(f"staged {args.out}: documents={n_docs} embeddings={n_vecs}")
+    n_ev = con.execute(
+        f"SELECT count(*) FROM read_parquet('{evdir}/*.parquet')"
+    ).fetchone()[0]
+
+    # Query-literal manifest (VERDICT r10 #2): token-literal and
+    # frequency-threshold queries degenerate on the salted corpus —
+    # `bm25_topk` scores salted terms against unsalted query literals
+    # (0 rows), `heavy_hitter_tokens`' fixed 0.5% threshold spreads
+    # each token over R disjoint variants. The manifest carries the
+    # scale-matched parameters decade_probe.py feeds the (default-
+    # preserving) query knobs: replica-0-salted retrieval terms (fixed
+    # query, Rx corpus), the all-replica salted stopword set, and
+    # phi_inv scaled by R (a token that is phi-heavy within its
+    # replica is phi/R-heavy corpus-wide).
+    import json
+
+    from gostream_spark.queries.heavy_hitters import _PHI_INV
+    from gostream_spark.queries.llm_text import STOPWORDS
+    from gostream_spark.queries.training_assembly import _BM25_TERMS
+
+    manifest = {
+        "replicas": args.replicas,
+        "salted": not args.verbatim,
+        "bm25_terms": [
+            t if args.verbatim else f"{t}_0" for t in _BM25_TERMS
+        ],
+        "stopwords": (
+            list(STOPWORDS)
+            if args.verbatim
+            else [
+                f"{w}_{k}" for w in STOPWORDS for k in range(args.replicas)
+            ]
+        ),
+        "phi_inv": _PHI_INV * (1 if args.verbatim else args.replicas),
+    }
+    with open(os.path.join(args.out, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+
+    print(
+        f"staged {args.out}: documents={n_docs} embeddings={n_vecs} "
+        f"events={n_ev}"
+    )
     return 0
 
 

@@ -76,11 +76,22 @@ def main() -> int:
 
     from gostream_spark import registry
 
+    # Driver-gate session shape (local[4], pinnable shuffle width) —
+    # but with an explicit driver heap: the PySpark default is 1g,
+    # which the r11 sf1 streaming sweep OOMed (1M-row dedup/session/
+    # join state + memory sinks in the single local JVM). Heap size
+    # never changes query semantics, so raising it keeps gate
+    # fidelity; stress sweeps at 10x fixtures set the env vars.
+    cores = os.environ.get("SPARK_GRAFT_SWEEP_CPUS", "4")
     builder = (
-        SparkSession.builder.master("local[4]")
+        SparkSession.builder.master(f"local[{cores}]")
         .config("spark.sql.shuffle.partitions", args.partitions)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
     )
     if args.max_partition_bytes:
         builder = builder.config(
