@@ -42,10 +42,15 @@ def pysource_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two range filters, so each of the 8 input partitions
     GENERATES only its slice of [5000, 15000) — rows outside the
     range never exist, the source-level analogue of parquet
-    row-group pruning. One shuffle (the final 5-group agg)."""
+    row-group pruning. One shuffle (the final 5-group agg).
+    Explicit .schema(SCHEMA): skips the Python schema-inference
+    worker, same rationale as the streaming twins (r11)."""
+    from gostream_spark.pysource import SCHEMA
+
     ensure_registered(spark)
     src = (
         spark.read.format("gostream_synth")
+        .schema(SCHEMA)
         .option("rows", _ROWS)
         .option("numPartitions", 8)
         .load()
