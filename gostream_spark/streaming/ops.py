@@ -49,10 +49,21 @@ def windowed_counts(
 def dedup_stream(
     events: DataFrame, keys: list[str], watermark: str = "1 hour"
 ) -> DataFrame:
-    """T5: streaming dedup — keeps the first arrival per key; the
-    watermark lets Spark expire seen-key state, making infinite-stream
-    dedup feasible (state is bounded by keys within the watermark
-    horizon)."""
+    """T5: streaming dedup — keeps the first arrival per key.
+
+    STATE CAVEAT (measured, r11): with ``dropDuplicates(keys)`` Spark
+    only expires dedup state when an EVENT-TIME column is among the
+    keys — with pure id keys (this helper's normal use) the seen-key
+    state grows monotonically with distinct keys forever. The decade
+    probe shows exactly that: state rows 100k → 2M across a 20-shard
+    replay, never evicted, while the watermark here only gates LATE
+    input rows. For watermark-BOUNDED dedup state choose one of:
+    include the event-time column in ``keys`` (exact-duplicate
+    semantics), or ``dropDuplicatesWithinWatermark`` (the registered
+    ``streaming_dedup_within_watermark`` twin) — the right production
+    form when duplicates arrive within a bounded horizon. This
+    unbounded form remains correct when the key space itself is
+    bounded (e.g. replay-window dedup over a keyed retention set)."""
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
