@@ -1208,3 +1208,89 @@ def test_stateful_restart_rescale_keeps_checkpoint_state_partitions(
         .collect()
     }
     assert latest == truth
+
+
+def test_join_state_plateaus_and_dedup_state_grows_under_shifted_replay(
+    spark, tmp_path, sf_dir
+):
+    """Permanent pin for the two state-lifecycle facts the r11 decade
+    probe measured (PERF.md "Streaming-state decade"):
+
+    - stream-stream join state is WATERMARK-BOUNDED: replaying a
+      time-shifted 3-shard stream one shard per micro-batch, each
+      shard's join state is evicted once the next shard advances the
+      watermark past it — the final data batch holds ~one shard's
+      state, not the cumulative total (rate-bounded, not
+      history-bounded).
+    - plain dropDuplicates(id_keys) state is NOT watermark-evicted
+      (no event-time column among the keys): it grows monotonically
+      to the full distinct-key count.
+
+    The fixture is restage_decade.py in miniature: per-shard disjoint
+    event/user ids, ts shifted by span+2h per shard so event time is
+    monotone across replay batches."""
+    from gostream_spark.registry import get_query
+    from gostream_spark.streaming.runner import RECENT_PROGRESS
+
+    ev = spark.read.parquet(f"{sf_dir.rstrip('/')}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    shift_sec = int((hi - lo).total_seconds()) + 2 * 3600
+    root = tmp_path / "shifted-decade"
+    tdir = str(root / "events.parquet")
+    for k in range(3):
+        (
+            ev.select(
+                (F.col("event_id") + k * 10_000_000).alias("event_id"),
+                (F.col("ts") + F.expr(f"INTERVAL {k * shift_sec} SECOND")).alias(
+                    "ts"
+                ),
+                (F.col("user_id") + k * 10_000_000).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tdir)
+        )
+
+    def state_rows_per_batch(name):
+        RECENT_PROGRESS.clear()
+        get_query(name).fn(
+            spark, str(root), max_files_per_trigger=1
+        ).count()
+        rows = [
+            (
+                b["batchId"],
+                b.get("numInputRows", 0),
+                sum(o.get("numRowsTotal", 0) for o in (b.get("stateOperators") or [])),
+            )
+            for s in RECENT_PROGRESS
+            for b in s["batches"]
+        ]
+        RECENT_PROGRESS.clear()
+        return rows
+
+    join_rows = state_rows_per_batch("streaming_stream_stream_join")
+    data_batches = [r for r in join_rows if r[1] > 0]
+    assert len(data_batches) >= 3, join_rows
+    first_state = data_batches[0][2]
+    last_state = data_batches[-1][2]
+    assert first_state > 0
+    # Plateau: the final data batch holds ~one shard's state, NOT the
+    # 3-shard cumulative (allow slack for the handful of boundary rows
+    # still inside the watermark).
+    assert last_state < 2 * first_state, join_rows
+
+    dedup_rows = state_rows_per_batch("streaming_dedup")
+    dedup_data = [r for r in dedup_rows if r[1] > 0]
+    assert len(dedup_data) >= 3, dedup_rows
+    n_ids = ev.count()
+    # Monotone growth to the full distinct-key count — the documented
+    # dropDuplicates-by-id semantics (no watermark eviction).
+    states = [r[2] for r in dedup_data]
+    assert states == sorted(states), dedup_rows
+    assert states[-1] == 3 * n_ids, dedup_rows
+    shutil.rmtree(str(root), ignore_errors=True)
