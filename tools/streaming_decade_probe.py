@@ -99,6 +99,9 @@ def _batch_metrics(streams: list[dict]) -> list[dict]:
                         o.get("allUpdatesTimeMs", 0) for o in ops
                     ),
                     "commit_ms": sum(o.get("commitTimeMs", 0) for o in ops),
+                    "state_bytes": sum(
+                        o.get("memoryUsedBytes", 0) for o in ops
+                    ),
                 }
             )
     return rows
@@ -112,6 +115,7 @@ def _summarize(batches: list[dict]) -> dict:
         "update_ms": sum(b["update_ms"] for b in batches),
         "commit_ms": sum(b["commit_ms"] for b in batches),
         "state_rows": max((b["state_rows"] for b in batches), default=0),
+        "state_bytes": max((b["state_bytes"] for b in batches), default=0),
     }
 
 
@@ -144,9 +148,9 @@ def main() -> None:
     print("### step: 1x vs 10x, unmodified replay (all files per batch)")
     print(
         "| Query | sf | wall | batches | input rows | addBatch ms "
-        "| update ms | commit ms | state rows |"
+        "| update ms | commit ms | state rows | state MiB | B/row |"
     )
-    print("|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|")
     for n in names:
         for label, sf_dir in (("sf0.1", SF01), ("sf1", opts.sf1_dir)):
             _drain_progress()
@@ -154,11 +158,15 @@ def main() -> None:
             qs[n].fn(spark, sf_dir).count()
             wall = time.perf_counter() - t0
             s = _summarize(_batch_metrics(_drain_progress()))
+            bpr = (
+                s["state_bytes"] / s["state_rows"] if s["state_rows"] else 0
+            )
             print(
                 f"| `{n}` | {label} | {wall:.2f}s | {s['n_batches']} "
                 f"| {s['input_rows']} | {s['add_batch_ms']} "
                 f"| {s['update_ms']} | {s['commit_ms']} "
-                f"| {s['state_rows']} |"
+                f"| {s['state_rows']} "
+                f"| {s['state_bytes'] / 1048576:.1f} | {bpr:.0f} |"
             )
 
     if opts.no_curve:
