@@ -272,14 +272,21 @@ GROUP BY 1, 2
 
 
 @register("streaming_sliding_counts", oracle=_SLIDING_STREAM_ORACLE, tags=("S2", "T2", "T4", "T7"))
-def streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_sliding_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming T2: file-stream source → watermark → 6h windows
     sliding hourly → complete-mode memory sink, availableNow. Each
     event expands into 6 window states map-side and collapses in the
     partial aggregate; with all input available the final table must
     equal the batch hop expansion the oracle computes (the batch twin
-    is `sliding_window`)."""
-    ev = file_stream(spark, sf_dir, "events").withWatermark("ts", "10 hours")
+    is `sliding_window`). max_files_per_trigger: probe replay knob
+    (see streaming_tumbling_counts)."""
+    ev = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger
+    ).withWatermark("ts", "10 hours")
     agg = ev.groupBy(
         F.window("ts", "6 hours", "1 hour").alias("w"), "event_type"
     ).agg(F.count(F.lit(1)).alias("event_cnt"))
@@ -735,7 +742,11 @@ SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM events
     oracle=_DEDUP_WW_ORACLE,
     tags=("S2", "T4", "T5"),
 )
-def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """T5 via ``dropDuplicatesWithinWatermark``: unlike plain
     streaming dropDuplicates (whose key state grows forever), each
     key's state is dropped once the watermark passes its event time +
@@ -743,10 +754,17 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     unbounded keyspace, i.e. the one you actually run at 100 TB/day.
     The self-unioned stream (every event twice, duplicates arriving
     within the 1h delay) must collapse back to the original event
-    set."""
-    ev = file_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+    set. max_files_per_trigger: probe replay knob (see
+    streaming_tumbling_counts) — the decade probe uses it to MEASURE
+    the bounded-state claim against plain streaming_dedup's monotone
+    growth."""
+    ev = file_stream(
+        spark, sf_dir, "events", max_files_per_trigger
+    ).withWatermark("ts", "1 hour")
     doubled = ev.union(
-        file_stream(spark, sf_dir, "events").withWatermark("ts", "1 hour")
+        file_stream(
+            spark, sf_dir, "events", max_files_per_trigger
+        ).withWatermark("ts", "1 hour")
     )
     deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
     # Same state sizing rationale as streaming_dedup (r10 cold audit).

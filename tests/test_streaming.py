@@ -1293,4 +1293,14 @@ def test_join_state_plateaus_and_dedup_state_grows_under_shifted_replay(
     states = [r[2] for r in dedup_data]
     assert states == sorted(states), dedup_rows
     assert states[-1] == 3 * n_ids, dedup_rows
+
+    # The withinWatermark twin on the SAME replay must plateau: each
+    # shard's key state is dropped once the next shard's watermark
+    # passes event time + delay, so the final data batch holds ~one
+    # shard's keys — the bounded-dedup contrast that makes the plain
+    # form's growth above a semantics pin, not an accident.
+    ww_rows = state_rows_per_batch("streaming_dedup_within_watermark")
+    ww_data = [r for r in ww_rows if r[1] > 0]
+    assert len(ww_data) >= 3, ww_rows
+    assert ww_data[-1][2] < 2 * ww_data[0][2], ww_rows
     shutil.rmtree(str(root), ignore_errors=True)

@@ -61,7 +61,9 @@ SF1 = os.path.join(REPO, ".tmp", "decadedata", "sf1")
 # replay knob.
 PROBE_QUERIES = [
     "streaming_tumbling_counts",
+    "streaming_sliding_counts",
     "streaming_dedup",
+    "streaming_dedup_within_watermark",
     "streaming_stateful_counts",
     "streaming_session_counts",
     "streaming_stream_stream_join",
