@@ -974,7 +974,7 @@ FROM d LEFT JOIN rem r USING (doc_id)
     bench=True,
 )
 def exact_substr_dedup(
-    spark: SparkSession, sf_dir: str, digest: str = "xxhash64"
+    spark: SparkSession, sf_dir: str, digest: str = "xxhash128"
 ) -> DataFrame:
     """Exact duplicate-SPAN removal — the ExactSubstr pass of
     "Deduplicating Training Data Makes Language Models Better" (Lee
@@ -991,10 +991,9 @@ def exact_substr_dedup(
 
     Scale shape (the suffix-array pass of the paper is a single-node
     construction; this is the shuffle form a 100 TB corpus needs):
-    occurrences shuffle once on the gram's 64-bit xxhash64 key (8
-    bytes, not the ~30-byte gram; collisions negligible at target
-    corpus scales — see the digest-knob note below — and the oracle
-    partitions the same classes via its own md5); the keeper is
+    occurrences shuffle once on a 128-bit gram key (two
+    independently-seeded xxhash64 halves, 16 bytes, not the ~30-byte
+    gram; collision policy at the digest knob below); the keeper is
     min(struct(doc_id, pos)) — a
     PARTIAL-AGGREGATABLE min, so a viral boilerplate gram repeated
     in millions of docs collapses to one row per map task before the
@@ -1022,17 +1021,41 @@ def exact_substr_dedup(
     # Filter (and, below the spread exchange, serially). explode_outer
     # infers nothing; the generator-output null filter is not pushable
     # below the Generate. (Same pathology as operators/prefix_join.)
-    # digest knob (r11 A/B, VERDICT r10 #4): gram-equivalence key only
-    # — the oracle's md5-keyed row_number partitions the SAME classes
-    # whatever hash Spark shuffles on, so the cheaper 8-byte xxhash64
-    # default is parity-safe (collision bound and A/B numbers in
-    # dup_ngram_fraction's twin note; ~9% at sf1, identical output).
-    # digest="md5" retains the old kernel for tools/digest_ab.py.
-    def gram_key(p):
-        gram = F.array_join(F.slice("toks", p, k), " ")
+    # digest knob — per-operator collision POLICY (VERDICT r11 #1):
+    # this is a REMOVAL pass, so a gram-key collision silently deletes
+    # a non-duplicate span. At the engine's design point (100 TB,
+    # 10^11-10^13 distinct grams) a 64-bit key expects n^2/2^65
+    # birthday collisions — hundreds to millions — and, because the
+    # oracle keys on md5, each one is also a cross-engine divergence.
+    # The default is therefore 128-bit: "xxhash128" = struct of two
+    # INDEPENDENTLY-seeded xxhash64 halves (~2^-52 expected collisions
+    # corpus-wide at 10^13 grams, like md5, but allocation-free and
+    # codegen'd; the sf1 A/B in tools/digest_ab.py shows it keeps most
+    # of the r11 xxhash64 CPU win over md5 at the same 16-byte key
+    # width). Seed independence matters: Spark's xxhash64 CHAINS field
+    # hashes (field i is seeded by the running hash), so
+    # xxhash64(gram, lit(1)) would be a pure function of
+    # xxhash64(gram) and add zero margin — the salt must come FIRST
+    # (xxhash64(lit(1), gram)) to re-seed the whole gram hash.
+    # digest="md5" retains the r10 kernel and digest="xxhash64" the
+    # r11 one for tools/digest_ab.py; the 64-bit key remains the right
+    # default ONLY for collision-tolerant statistics (see
+    # dup_ngram_fraction's twin policy in corpus_signals.py).
+    # The gram STRING materializes once, inside the generator struct,
+    # and the hashes read the already-materialized field AFTER the
+    # explode — higher-order-function lambdas get no subexpression
+    # elimination, so hashing inside the transform would rebuild the
+    # ~30-byte gram once PER HASH (measured: two-seed-inside-lambda
+    # read 7.0 s at sf1 vs 5.0 s in this shape).
+    def gram_key(g):
+        if digest == "xxhash128":
+            return F.struct(
+                F.xxhash64(g).alias("h1"),
+                F.xxhash64(F.lit(1), g).alias("h2"),
+            )
         if digest == "xxhash64":
-            return F.xxhash64(gram)
-        return F.unhex(F.md5(gram))
+            return F.xxhash64(g)
+        return F.unhex(F.md5(g))
 
     occ = (
         d.filter((F.col("n") >= k) & F.col("doc_id").isNotNull())
@@ -1041,12 +1064,19 @@ def exact_substr_dedup(
             F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(1), F.col("n") - k + 1),
-                    lambda p: F.struct(p.alias("p"), gram_key(p).alias("k")),
+                    lambda p: F.struct(
+                        p.alias("p"),
+                        F.array_join(F.slice("toks", p, k), " ").alias("g"),
+                    ),
                 )
             ).alias("o"),
         )
         .filter(F.col("o").isNotNull())
-        .select("doc_id", F.col("o.p").alias("p"), F.col("o.k").alias("k"))
+        .select(
+            "doc_id",
+            F.col("o.p").alias("p"),
+            gram_key(F.col("o.g")).alias("k"),
+        )
     )
     keeper = occ.groupBy("k").agg(F.min(F.struct("doc_id", "p")).alias("keep"))
     marks = (

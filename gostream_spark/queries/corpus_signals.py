@@ -105,18 +105,23 @@ def dup_ngram_fraction(
     # every digest TWICE. concat_ws never returns null, so the
     # coalesce arm is dead; it exists only to make the type
     # non-nullable.
-    # digest knob (r11 A/B, VERDICT r10 #4): the per-gram-occurrence
-    # digest is this operator's shared kernel with exact_substr_dedup
-    # at sf1. xxhash64 (8-byte key, codegen'd, allocation-free) is the
-    # default: the sf1 A/B (tools/digest_ab.py, PERF.md) reads it ~5%
-    # faster with bit-identical output and HALF the exchange key
-    # bytes; the floor is the gram-STRING materialization, not the
-    # hash. Parity does NOT require cross-engine digest equality —
-    # the key only defines gram-EQUIVALENCE classes for the count,
-    # and both 64-bit xxhash (Spark) and 128-bit md5 (oracle) are
-    # collision-free at any corpus this engine targets (birthday
-    # bound ~1e-7 at 10^6 distinct grams, ~1e-3 at 10^8). digest=
-    # "md5" retains the old kernel for the A/B tool.
+    # digest knob — per-operator collision POLICY (VERDICT r11 #1/#2):
+    # xxhash64 (8-byte key, codegen'd, allocation-free) stays the
+    # default HERE because this operator emits a per-doc STATISTIC,
+    # not a removal decision: a 64-bit collision merges two gram
+    # classes and inflates dup_bp of the affected docs by at most one
+    # gram each. Honest bound, at the engine's own design scales: the
+    # birthday expectation is n^2/2^65 colliding PAIRS — ~0.3 at 10^9
+    # distinct grams, ~300 at 10^11, ~3e6 at 10^13 — i.e. at the
+    # 100 TB point a few parts-per-10^7 of gram classes are merged,
+    # which moves dup_bp (a floor to basis points over thousands of
+    # grams per doc) by 0 for virtually every document. That error is
+    # accepted for the 5% CPU cut and half-width exchange key
+    # (tools/digest_ab.py, PERF.md). The SAME key is NOT acceptable
+    # where a collision deletes data — exact_substr_dedup's removal
+    # pass defaults to a 128-bit two-seed key (policy note at its
+    # knob, corpus_ops.py). digest="md5" retains the old kernel for
+    # the A/B tool.
     gram_key = (
         F.xxhash64("gram_str")
         if digest == "xxhash64"

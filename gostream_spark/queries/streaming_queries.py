@@ -97,7 +97,9 @@ def streaming_dedup(
     doubled = ev.union(
         file_stream(spark, sf_dir, "events", max_files_per_trigger)
     )
-    deduped = dedup_stream(doubled, keys=["event_id"])
+    # unbounded_state: the fixture's event_id keyspace is the bounded
+    # replay set, the regime the r12 API guard admits explicitly.
+    deduped = dedup_stream(doubled, keys=["event_id"], unbounded_state=True)
     # State sized to the fixture's dedup keyspace, not the 32-wide
     # batch default: each state partition pays the per-micro-batch
     # store open/commit floor (r10 cold audit put this query > 3 s).

@@ -47,24 +47,42 @@ def windowed_counts(
 
 
 def dedup_stream(
-    events: DataFrame, keys: list[str], watermark: str = "1 hour"
+    events: DataFrame,
+    keys: list[str],
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    unbounded_state: bool = False,
 ) -> DataFrame:
     """T5: streaming dedup — keeps the first arrival per key.
 
-    STATE CAVEAT (measured, r11): with ``dropDuplicates(keys)`` Spark
-    only expires dedup state when an EVENT-TIME column is among the
-    keys — with pure id keys (this helper's normal use) the seen-key
-    state grows monotonically with distinct keys forever. The decade
-    probe shows exactly that: state rows 100k → 2M across a 20-shard
-    replay, never evicted, while the watermark here only gates LATE
-    input rows. For watermark-BOUNDED dedup state choose one of:
-    include the event-time column in ``keys`` (exact-duplicate
-    semantics), or ``dropDuplicatesWithinWatermark`` (the registered
-    ``streaming_dedup_within_watermark`` twin) — the right production
-    form when duplicates arrive within a bounded horizon. This
-    unbounded form remains correct when the key space itself is
-    bounded (e.g. replay-window dedup over a keyed retention set)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+    STATE GUARD (measured r11, API-enforced r12): with
+    ``dropDuplicates(keys)`` Spark only expires dedup state when an
+    EVENT-TIME column is among the keys — with pure id keys the
+    seen-key state grows monotonically with distinct keys forever.
+    The decade probe measured exactly that: state rows 100k → 2M
+    across a 20-shard replay, never evicted, while the watermark here
+    only gates LATE input rows. Because that failure mode is silent
+    until an executor OOMs weeks into a production run, this helper
+    REFUSES the unbounded form unless the caller passes
+    ``unbounded_state=True`` (correct when the key space itself is
+    bounded, e.g. replay-window dedup over a keyed retention set).
+    For watermark-BOUNDED state instead: include ``ts_col`` in
+    ``keys`` (exact-duplicate semantics — state rows evict with the
+    watermark), or use ``dropDuplicatesWithinWatermark`` (the
+    registered ``streaming_dedup_within_watermark`` twin; measured
+    plateau ~100k vs the plain form's 1M-and-climbing on the same
+    replay) when duplicates arrive within a bounded horizon."""
+    if ts_col not in keys and not unbounded_state:
+        raise ValueError(
+            f"dedup_stream(keys={keys!r}) without the event-time column "
+            f"{ts_col!r} among the keys accumulates seen-key state "
+            "FOREVER (watermark evicts nothing; measured 1M-rows-"
+            "monotone on the decade replay). Either add the event-time "
+            "column to keys, use dropDuplicatesWithinWatermark for "
+            "bounded-horizon duplicates, or pass unbounded_state=True "
+            "to assert the key space itself is bounded."
+        )
+    return events.withWatermark(ts_col, watermark).dropDuplicates(keys)
 
 
 def enrich_stream(events: DataFrame, dim: DataFrame, on, how: str = "inner") -> DataFrame:

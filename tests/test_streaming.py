@@ -62,12 +62,38 @@ def test_dedup_state_spans_batches(spark):
         ],
     )
     out = run_available_now(
-        dedup_stream(_stream_dir(spark, d), keys=["event_id"], watermark="10 hours"),
+        dedup_stream(
+            _stream_dir(spark, d),
+            keys=["event_id"],
+            watermark="10 hours",
+            unbounded_state=True,
+        ),
         output_mode="append",
     )
     ids = sorted(r.event_id for r in out.select("event_id").collect())
     assert ids == [1, 2, 3, 4, 5]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dedup_stream_guards_unbounded_state(spark):
+    """T5 API guard (r12, VERDICT r11 #2): dedup_stream without an
+    event-time key accumulates seen-key state forever (measured: 1M
+    rows monotone on the decade replay) — the helper must refuse that
+    form unless the caller asserts a bounded key space. The guard is
+    plan-construction-time (eager), so no query needs to start."""
+    ev = (
+        spark.readStream.format("rate")
+        .load()
+        .withColumnRenamed("timestamp", "ts")
+        .withColumn("event_id", F.col("value"))
+    )
+    # pure-id keys, no opt-in: refused, with the bounded alternatives named
+    with pytest.raises(ValueError, match="unbounded_state=True"):
+        dedup_stream(ev, keys=["event_id"])
+    # event-time column among the keys: watermark-evicted state, admitted
+    assert dedup_stream(ev, keys=["event_id", "ts"]).isStreaming
+    # explicit bounded-keyspace assertion: admitted
+    assert dedup_stream(ev, keys=["event_id"], unbounded_state=True).isStreaming
 
 
 def test_watermark_drops_late_rows(spark):
@@ -1239,6 +1265,7 @@ def test_join_state_plateaus_and_dedup_state_grows_under_shifted_replay(
     shift_sec = int((hi - lo).total_seconds()) + 2 * 3600
     root = tmp_path / "shifted-decade"
     tdir = str(root / "events.parquet")
+    seen_parts: set[str] = set()
     for k in range(3):
         (
             ev.select(
@@ -1255,6 +1282,14 @@ def test_join_state_plateaus_and_dedup_state_grows_under_shifted_replay(
             .write.mode("append")
             .parquet(tdir)
         )
+        # FileStreamSource replays oldest-mtime-first; sequential writes
+        # can TIE on coarse filesystem timestamps, which would reorder
+        # batches and break the event-time monotonicity the assertions
+        # below depend on. Pin strictly increasing mtimes per shard.
+        for p in glob.glob(f"{tdir}/part-*"):
+            if p not in seen_parts:
+                seen_parts.add(p)
+                os.utime(p, (1_700_000_000 + k, 1_700_000_000 + k))
 
     def state_rows_per_batch(name):
         RECENT_PROGRESS.clear()

@@ -3,8 +3,7 @@
 DuckDB oracle side by side, compare stringified sorted rows, and
 report failures. This is the one-command local replica of the
 driver's correctness gate (the stricter exact form lives in
-tests/parity.py; this one mirrors the recipe in
-.claude/skills/verify/SKILL.md).
+tests/parity.py; this one mirrors the driver's gate recipe).
 
     python tools/sweep.py                 # sf0.01 (the driver's gate scale)
     python tools/sweep.py --sf 0.1        # 10x stress sweep
