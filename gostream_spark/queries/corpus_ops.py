@@ -1030,9 +1030,11 @@ def exact_substr_dedup(
     # The default is therefore 128-bit: "xxhash128" = struct of two
     # INDEPENDENTLY-seeded xxhash64 halves (~2^-52 expected collisions
     # corpus-wide at 10^13 grams, like md5, but allocation-free and
-    # codegen'd; the sf1 A/B in tools/digest_ab.py shows it keeps most
-    # of the r11 xxhash64 CPU win over md5 at the same 16-byte key
-    # width). Seed independence matters: Spark's xxhash64 CHAINS field
+    # codegen'd; the r12 sf1 A/B in tools/digest_ab.py reads it at
+    # 3.94 s vs md5 4.20 s vs xxhash64 3.46 s — it keeps ~1/3 of the
+    # 64-bit CPU win at the same 16-byte key width; the other 2/3 was
+    # the 8-byte key a removal pass cannot safely have — and it is
+    # bit-identical to both other arms). Seed independence matters: Spark's xxhash64 CHAINS field
     # hashes (field i is seeded by the running hash), so
     # xxhash64(gram, lit(1)) would be a pure function of
     # xxhash64(gram) and add zero margin — the salt must come FIRST
