@@ -1,0 +1,244 @@
+#!/usr/bin/env python
+"""Beyond-memory state-store crossover probe (VERDICT r11 #6).
+
+The r11 store-provider A/B ran at 1M state rows comfortably IN-HEAP,
+where the HDFS-backed map store wins (RocksDB read 1.1-1.2x slower).
+The 100 TB playbook — "flip the provider when per-partition state
+approaches executor memory" — therefore had a measured LOSS region
+but only an asserted WIN region. This probe measures the win region:
+replay the salted decade fixture through `streaming_dedup` (union of
+the stream with itself -> dropDuplicates(event_id); state rows =
+distinct event ids = 100k x replicas; driven into a streaming NOOP
+sink — _run_dedup_noop explains why not the registered query's
+memory sink) in a FRESH subprocess per arm,
+with a deliberately small JVM heap, and record where the HDFS-backed
+provider degrades (GC thrash / OOM) while RocksDB — whose working set
+lives in NATIVE memory and on local disk, outside -Xmx — stays flat.
+
+    python tools/restage_decade.py                     # sf1 (1M keys)
+    python tools/restage_decade.py --replicas 20 \\
+        --out .tmp/decadedata/sf2                      # sf2 (2M keys)
+    python tools/restage_decade.py --replicas 40 \\
+        --out .tmp/decadedata/sf4                      # sf4 (4M keys)
+    python tools/state_capacity_probe.py --heaps 8g,1300m
+
+Each arm = (fixture, provider, heap) in its own interpreter/JVM so
+-Xmx and the state-store singleton caches cannot leak across arms.
+The child reports one JSON line: wall, summed addBatch/commit ms,
+peak state rows/bytes (StreamingQueryProgress.stateOperators), JVM
+GC time, Runtime.maxMemory (verifies the heap pin took), and outcome
+ok | error(msg) — an OOMed JVM surfaces as error/timeout. The RocksDB
+arm also enables changelog checkpointing, the form a long-running
+100 TB deployment would use (delta-commit to the checkpoint log
+instead of full SST upload).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+FIXTURES = [
+    ("sf1", os.path.join(REPO, ".tmp", "decadedata", "sf1")),
+    ("sf2", os.path.join(REPO, ".tmp", "decadedata", "sf2")),
+    ("sf3", os.path.join(REPO, ".tmp", "decadedata", "sf3")),
+    ("sf4", os.path.join(REPO, ".tmp", "decadedata", "sf4")),
+]
+
+
+def _gc_ms(spark) -> int:
+    beans = (
+        spark.sparkContext._jvm.java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans()
+    )
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+
+def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
+    """The probe pipeline: streaming_dedup's exact state shape (stream
+    unioned with itself -> dropDuplicates(event_id), state rows =
+    distinct event ids) but driven into a streaming NOOP sink instead
+    of the registered query's memory sink. The memory sink would hold
+    every deduped row on the driver (~4M rows at sf4 — GBs of heap
+    that BOTH providers pay equally), which at a small -Xmx would OOM
+    the arm on sink memory and mask the state-store crossover this
+    probe exists to measure. State-partition pin 8 matches the
+    registered query (session conf is pinned into the offset log at
+    the first batch; one query per child process, so no lock needed).
+    Returns per-batch progress dicts."""
+    import json as _json
+    import tempfile
+
+    from gostream_spark.streaming.ops import dedup_stream
+    from gostream_spark.streaming.source import file_stream
+
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ev = file_stream(spark, sf_dir, "events", mpt)
+    doubled = ev.union(file_stream(spark, sf_dir, "events", mpt))
+    dd = dedup_stream(doubled, keys=["event_id"], unbounded_state=True)
+    ckpt = tempfile.mkdtemp(prefix="gs-capacity-ckpt-")
+    q = (
+        dd.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(2100):
+            raise TimeoutError("probe stream still running after 2100s")
+        return [_json.loads(p.json) for p in q.recentProgress]
+    finally:
+        q.stop()
+
+
+def child(sf_dir: str, provider: str) -> None:
+    from gostream_spark.session import get_spark
+
+    spark = get_spark(app_name="state_capacity_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB
+        )
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
+    _run_dedup_noop(spark, "/root/testdata/sf0.01", None)  # JIT warm-up
+    rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+    gc0, t0 = _gc_ms(spark), time.perf_counter()
+    out: dict = {
+        "provider": provider,
+        "max_heap_mib": int(rt.maxMemory() / 1048576),
+    }
+    try:
+        progress = _run_dedup_noop(spark, sf_dir, 1)
+        wall = time.perf_counter() - t0
+        batches = [
+            {
+                "add": (b.get("durationMs") or {}).get("addBatch", 0),
+                "commit": sum(
+                    o.get("commitTimeMs", 0)
+                    for o in (b.get("stateOperators") or [])
+                ),
+                "rows": sum(
+                    o.get("numRowsTotal", 0)
+                    for o in (b.get("stateOperators") or [])
+                ),
+                "bytes": sum(
+                    o.get("memoryUsedBytes", 0)
+                    for o in (b.get("stateOperators") or [])
+                ),
+            }
+            for b in progress
+        ]
+        out.update(
+            outcome="ok",
+            wall_s=round(wall, 2),
+            gc_ms=_gc_ms(spark) - gc0,
+            add_batch_ms=sum(b["add"] for b in batches),
+            commit_ms=sum(b["commit"] for b in batches),
+            state_rows=max((b["rows"] for b in batches), default=0),
+            state_mib=round(
+                max((b["bytes"] for b in batches), default=0) / 1048576, 1
+            ),
+            n_batches=len(batches),
+        )
+    except Exception as e:  # noqa: BLE001 — OOM arms die many ways
+        out.update(
+            outcome="error",
+            wall_s=round(time.perf_counter() - t0, 2),
+            gc_ms=_gc_ms(spark) - gc0 if spark._jvm else 0,
+            error=f"{type(e).__name__}: {str(e)[:300]}",
+        )
+    print("CAPACITY_JSON " + json.dumps(out), flush=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--child", action="store_true")
+    ap.add_argument("--sf-dir")
+    ap.add_argument("--provider", choices=("hdfs", "rocksdb"))
+    ap.add_argument("--heaps", default="8g,1300m")
+    ap.add_argument("--timeout", type=int, default=2400)
+    opts = ap.parse_args()
+    if opts.child:
+        child(opts.sf_dir, opts.provider)
+        return
+
+    heaps = [h.strip() for h in opts.heaps.split(",") if h.strip()]
+    print(
+        "| fixture | heap | provider | outcome | wall | gc s | addBatch s "
+        "| commit s | state rows | state MiB |"
+    )
+    print("|---|---|---|---|---|---|---|---|---|---|")
+    for label, sf_dir in FIXTURES:
+        if not os.path.isdir(sf_dir):
+            continue
+        for heap in heaps:
+            for provider in ("hdfs", "rocksdb"):
+                env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=heap)
+                try:
+                    p = subprocess.run(
+                        [
+                            sys.executable,
+                            os.path.abspath(__file__),
+                            "--child",
+                            "--sf-dir",
+                            sf_dir,
+                            "--provider",
+                            provider,
+                        ],
+                        capture_output=True,
+                        text=True,
+                        timeout=opts.timeout,
+                        env=env,
+                        cwd=REPO,
+                    )
+                    line = next(
+                        (
+                            ln
+                            for ln in p.stdout.splitlines()
+                            if ln.startswith("CAPACITY_JSON ")
+                        ),
+                        None,
+                    )
+                    if line:
+                        r = json.loads(line[len("CAPACITY_JSON "):])
+                    else:  # JVM died before reporting (hard OOM)
+                        tail = (p.stderr or p.stdout).strip().splitlines()
+                        r = {
+                            "outcome": "died",
+                            "error": (tail[-1][:200] if tail else "no output"),
+                        }
+                except subprocess.TimeoutExpired:
+                    r = {"outcome": f"timeout>{opts.timeout}s"}
+                cells = (
+                    f"| {label} | {heap} | {provider} | {r['outcome']} "
+                    f"| {r.get('wall_s', '-')}s "
+                    f"| {r.get('gc_ms', 0) / 1000:.1f} "
+                    f"| {r.get('add_batch_ms', 0) / 1000:.1f} "
+                    f"| {r.get('commit_ms', 0) / 1000:.1f} "
+                    f"| {r.get('state_rows', '-')} "
+                    f"| {r.get('state_mib', '-')} |"
+                )
+                print(cells, flush=True)
+                if r.get("error"):
+                    print(f"  <!-- {label}/{heap}/{provider}: {r['error']} -->")
+
+
+if __name__ == "__main__":
+    main()
