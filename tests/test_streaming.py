@@ -4,6 +4,7 @@ dropping (T4) and cross-batch dedup state (T5)."""
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import time
