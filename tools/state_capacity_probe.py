@@ -66,6 +66,15 @@ def _gc_ms(spark) -> int:
     return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
 
 
+class _StallTimeout(TimeoutError):
+    """Stream still running at the probe deadline; carries the partial
+    per-batch progress so a stalled arm still reports its curve."""
+
+    def __init__(self, msg: str, progress: list[dict]):
+        super().__init__(msg)
+        self.progress = progress
+
+
 def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
     """The probe pipeline: streaming_dedup's exact state shape (stream
     unioned with itself -> dropDuplicates(event_id), state rows =
@@ -97,7 +106,14 @@ def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
     )
     try:
         if not q.awaitTermination(2100):
-            raise TimeoutError("probe stream still running after 2100s")
+            # Keep the per-batch curve: the r12 sf4/1300m stall showed
+            # batches committing at full speed right up to the cliff,
+            # and that reading had to be reconstructed from checkpoint
+            # offset mtimes because the progress list was lost here.
+            partial = [_json.loads(p.json) for p in q.recentProgress]
+            raise _StallTimeout(
+                "probe stream still running after 2100s", partial
+            )
         return [_json.loads(p.json) for p in q.recentProgress]
     finally:
         q.stop()
@@ -164,6 +180,23 @@ def child(sf_dir: str, provider: str) -> None:
             gc_ms=_gc_ms(spark) - gc0 if spark._jvm else 0,
             error=f"{type(e).__name__}: {str(e)[:300]}",
         )
+        if isinstance(e, _StallTimeout) and e.progress:
+            tail = [
+                {
+                    "batch": b.get("batchId"),
+                    "add_ms": (b.get("durationMs") or {}).get("addBatch", 0),
+                    "rows": sum(
+                        o.get("numRowsTotal", 0)
+                        for o in (b.get("stateOperators") or [])
+                    ),
+                }
+                for b in e.progress
+            ]
+            out.update(
+                n_batches=len(e.progress),
+                state_rows=max((b["rows"] for b in tail), default=0),
+                batch_tail=tail[-8:],
+            )
     print("CAPACITY_JSON " + json.dumps(out), flush=True)
 
 
