@@ -62,6 +62,48 @@ def main() -> None:
     spark.range(64).repartition(4).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+    # Python-DataSource worker-MODULE pool warm (r12): Spark 4.1 runs
+    # each DataSource phase in its own worker module
+    # (create/plan-read/source-runner/sink-runner/write), each with
+    # its own interpreter pool, reused per module after first use —
+    # measured 8.9 s first stream vs 3.65 s second identical stream in
+    # one session (addBatch 4.5 s -> 1.25 s). Like the daemon warm
+    # above, pool startup is SESSION cost: a deployment pays it once
+    # per executor lifetime, not per stream. Warm with a micro
+    # roundtrip so the audited python-stream queries report their
+    # per-stream marginal cost.
+    import shutil
+    import tempfile
+    import uuid
+
+    from gostream_spark.pysource import SCHEMA, ensure_registered
+
+    ensure_registered(spark)
+    spark.read.format("gostream_synth").schema(SCHEMA).option(
+        "rows", 16
+    ).load().count()
+    _wout = tempfile.mkdtemp(prefix="gs-cold-warm-")
+    _wq = (
+        spark.readStream.format("gostream_synth")
+        .schema(SCHEMA)
+        .option("rows", 16)
+        .option("batch", 16)
+        .load()
+        .writeStream.format("gostream_jsonl")
+        .option("path", _wout)
+        .option(
+            "checkpointLocation", os.path.join(_wout, f"ckpt-{uuid.uuid4().hex}")
+        )
+        .trigger(processingTime="100 milliseconds")
+        .start()
+    )
+    _deadline = time.time() + 60
+    while time.time() < _deadline and not any(
+        f.startswith("_batch") for f in os.listdir(_wout)
+    ):
+        time.sleep(0.05)
+    _wq.stop()
+    shutil.rmtree(_wout, ignore_errors=True)
     times: dict[str, float] = {}
     for n in names:
         t0 = time.perf_counter()
