@@ -1028,7 +1028,8 @@ def exact_substr_dedup(
     # birthday collisions — hundreds to millions — and, because the
     # oracle keys on md5, each one is also a cross-engine divergence.
     # The default is therefore 128-bit: "xxhash128" = struct of two
-    # INDEPENDENTLY-seeded xxhash64 halves (~2^-52 expected collisions
+    # INDEPENDENTLY-seeded xxhash64 halves (n^2/2^129 ~ 1.5e-13
+    # expected collisions
     # corpus-wide at 10^13 grams, like md5, but allocation-free and
     # codegen'd; the r12 sf1 A/B in tools/digest_ab.py reads it at
     # 3.94 s vs md5 4.20 s vs xxhash64 3.46 s — it keeps ~1/3 of the
