@@ -111,7 +111,7 @@ def dup_ngram_fraction(
     # not a removal decision: a 64-bit collision merges two gram
     # classes and inflates dup_bp of the affected docs by at most one
     # gram each. Honest bound, at the engine's own design scales: the
-    # birthday expectation is n^2/2^65 colliding PAIRS — ~0.3 at 10^9
+    # birthday expectation is n^2/2^65 colliding PAIRS — ~0.03 at 10^9
     # distinct grams, ~300 at 10^11, ~3e6 at 10^13 — i.e. at the
     # 100 TB point a few parts-per-10^7 of gram classes are merged,
     # which moves dup_bp (a floor to basis points over thousands of
