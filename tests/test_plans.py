@@ -777,3 +777,15 @@ def test_exact_substr_dedup_digest_shuffles_and_pruned_scan(spark, sf_dir):
 
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert m.group(1) == "doc_id:bigint,text:string", m.group(1)
+    # Collision-policy pin (r12, VERDICT r11 #1): the removal pass must
+    # key grams on the TWO-SEED 128-bit struct — h1 = xxhash64(g) and
+    # h2 = xxhash64(1, g) with the salt literal FIRST (Spark chains
+    # field hashes, so a trailing salt would make h2 a pure function
+    # of h1 and add zero collision margin). A 64-bit single-hash key
+    # silently deletes non-duplicate spans at the 1e11+-distinct-gram
+    # design point; this pin fails if the default ever regresses.
+    gram_keys = re.findall(
+        r"struct\(h1, xxhash64\(([^)]*)\), h2, xxhash64\(1, ([^)]*)\)\)",
+        plan,
+    )
+    assert gram_keys, f"two-seed 128-bit gram key missing from plan"
