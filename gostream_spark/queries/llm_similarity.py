@@ -1167,7 +1167,20 @@ SELECT label, vec_id, keeper, cos FROM best WHERE rn = 1
 """
 
 
-@register("semantic_dedup_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("L2", "L4", "L5", "ext"), bench=True)
+# bench=False since r13: this fixed-k quadratic CONTROL arm is demoted
+# from the bench headline. The r12 root-cause (BASELINE.md "Root-cause
+# addendum") showed whole-bench-session JVM state inflates its
+# pair-scoring stage to 4-6 s in EVERY driver run (idle A/B: 2.6 s,
+# zero code regression), i.e. 13% of the headline was measuring an
+# artifact of bench-session ordering, not the operator. The demotion
+# rule is re-keyed to the DRIVER-session reading (>4 s, observed twice:
+# r11 4.13 s, r12 4.26 s) rather than the idle probe the root-cause
+# proved will never fire. The query stays registered and exact-oracle
+# checked; its ongoing regression watch is the idle three-trial probe
+# recorded per-round in BASELINE.md, and `semantic_dedup_scaled`
+# (capacity-capped clusters — the deployment twin) represents the
+# SemDeDup family in the headline.
+@register("semantic_dedup_semdedup", oracle=_SEMDEDUP_ORACLE, tags=("L2", "L4", "L5", "ext"), bench=False)
 def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication that only compares embeddings INSIDE the same
