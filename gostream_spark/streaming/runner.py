@@ -20,6 +20,7 @@ import shutil
 import threading
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -54,6 +55,108 @@ def _capture_progress(q) -> None:
             }
         )
     except Exception:
+        pass
+
+
+# --- State-memory pressure guard (VERDICT r12 #3) --------------------
+#
+# The measured in-heap state-store failure mode (PERF.md flip-point
+# probe) is a BISTABLE cliff: batches commit at full speed through
+# ~0.7x heap, then one commit either stalls forever or completes +20%
+# with 3.5x GC — per-batch latency gives NO early warning. The only
+# usable gauge is `stateOperators.memoryUsedBytes`, which grows
+# linearly (160-235 B/row) with no saturation. This guard turns the
+# measured flip rule — migrate to RocksDBStateStoreProvider once state
+# passes ~0.5x heap — into a runtime check: every runner below polls
+# the query's progress while it runs and emits ONE RuntimeWarning per
+# query past the threshold. Default-on (`state_memory_guard=True`);
+# it is advisory only and never fails a result-bearing run.
+#
+# Scope notes: `memoryUsedBytes` is the loaded-store figure reported
+# by the provider — for the default HDFS-backed map store that is the
+# on-heap state this cliff is about; for RocksDB it reports native
+# memtable/cache usage, which does NOT contend with -Xmx, so the
+# comparison is conservative there (a warning under RocksDB means
+# "budget memoryOverhead", not "you will OOM"). `Runtime.maxMemory`
+# is the DRIVER heap; in local[n] (this harness) driver==executor so
+# it is exact, on a real cluster executors size their own heaps and
+# this guard's driver-side reading is a same-order proxy — the flip
+# decision there should read the same two numbers from executor
+# metrics.
+# Env-overridable (GOSTREAM_STATE_GUARD_THRESHOLD): deployments that
+# want an earlier heads-up than the measured 0.5x flip point can
+# lower it without code changes; it also lets a harness force-fire
+# the guard on a small fixture to validate the wiring end-to-end.
+STATE_MEMORY_GUARD_THRESHOLD = float(
+    os.environ.get("GOSTREAM_STATE_GUARD_THRESHOLD", "0.5")
+)
+
+
+def state_pressure_warning(
+    progress: dict | None,
+    max_heap_bytes: int,
+    threshold: float = STATE_MEMORY_GUARD_THRESHOLD,
+) -> str | None:
+    """Pure core of the guard (unit-testable on synthetic payloads):
+    given one parsed StreamingQueryProgress dict, return a warning
+    message if total stateOperators.memoryUsedBytes exceeds
+    ``threshold`` x ``max_heap_bytes``, else None."""
+    if not progress or max_heap_bytes <= 0:
+        return None
+    used = sum(
+        o.get("memoryUsedBytes", 0) or 0
+        for o in (progress.get("stateOperators") or [])
+    )
+    if used <= threshold * max_heap_bytes:
+        return None
+    rows = sum(
+        o.get("numRowsTotal", 0) or 0
+        for o in (progress.get("stateOperators") or [])
+    )
+    return (
+        f"streaming state is {used / 1048576:.0f} MiB = "
+        f"{used / max_heap_bytes:.0%} of the {max_heap_bytes / 1048576:.0f}"
+        f" MiB JVM heap ({rows} state rows), past the "
+        f"{threshold:.0%} flip point. The in-heap state store fails as "
+        "a no-warning bistable cliff at ~0.7x heap (PERF.md flip-point "
+        "probe); switch spark.sql.streaming.stateStore.providerClass "
+        "to RocksDBStateStoreProvider (+changelog checkpointing) and "
+        "budget spark.executor.memoryOverhead for its native footprint."
+    )
+
+
+def _max_heap_bytes(spark) -> int:
+    """Best-effort JVM max heap; 0 (guard disabled) if the gateway is
+    unavailable."""
+    try:
+        return int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            .maxMemory()
+        )
+    except Exception:  # noqa: BLE001 — guard must never fail a run
+        return 0
+
+
+def _poll_state_guard(q, max_heap_bytes: int, warned: set) -> None:
+    """Check the query's latest progress against the flip threshold;
+    warn once per query. Never raises."""
+    if not max_heap_bytes or q.name in warned:
+        return
+    try:
+        import json
+
+        lp = q.lastProgress
+        msg = state_pressure_warning(
+            json.loads(lp) if isinstance(lp, str) else lp, max_heap_bytes
+        )
+        if msg:
+            warned.add(q.name)
+            warnings.warn(
+                f"[state-memory guard] query {q.name!r}: {msg}",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+    except Exception:  # noqa: BLE001
         pass
 
 
@@ -148,6 +251,7 @@ def run_available_now(
     output_mode: str = "append",
     timeout_sec: int = 300,
     state_partitions: int | None = None,
+    state_memory_guard: bool = True,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion into a memory sink (S4)
     and return the sink's contents as a batch DataFrame.
@@ -171,6 +275,12 @@ def run_available_now(
     partitions follow state cardinality/size, not the batch shuffle
     width. Fresh checkpoint per run, so re-pinning is always safe.
 
+    ``state_memory_guard`` (default on) polls the query's progress
+    while it runs and emits one RuntimeWarning if state passes
+    ``STATE_MEMORY_GUARD_THRESHOLD`` (0.5x) of the JVM heap — the
+    measured provider-flip point (see the guard's module comment).
+    Advisory only; never fails the run.
+
     Concurrency-safe: the pin is applied under ``_start_with_pin``'s
     startup lock — held from conf-set until the query's first batch
     commits (when the value is durably in the offset log) — so N
@@ -193,8 +303,19 @@ def run_available_now(
         )
 
     q = _start_with_pin(spark, state_partitions, _start)
+    max_heap = _max_heap_bytes(spark) if state_memory_guard else 0
+    warned: set = set()
     try:
-        finished = q.awaitTermination(timeout_sec)
+        # Await in short slices so the state-memory guard sees each
+        # committed batch's progress while the query is still running
+        # (the cliff gives no latency early-warning — the gauge has to
+        # be read before the stalling commit, not after termination).
+        deadline = time.time() + timeout_sec
+        finished = q.awaitTermination(2)
+        while not finished and time.time() < deadline:
+            _poll_state_guard(q, max_heap, warned)
+            finished = q.awaitTermination(2)
+        _poll_state_guard(q, max_heap, warned)
         if not finished:
             raise TimeoutError(
                 f"streaming query {name!r} still running after "
@@ -222,6 +343,7 @@ def run_until(
     poll_sec: float = 0.25,
     trigger_ms: int = 100,
     state_partitions: int | None = None,
+    state_memory_guard: bool = True,
 ) -> DataFrame:
     """Drive a streaming DataFrame with a continuous processing-time
     trigger until ``predicate(sink_df) -> bool`` holds, then stop and
@@ -259,6 +381,8 @@ def run_until(
         )
 
     q = _start_with_pin(spark, state_partitions, _start)
+    max_heap = _max_heap_bytes(spark) if state_memory_guard else 0
+    warned: set = set()
     try:
         deadline = time.time() + timeout_sec
         while True:
@@ -271,6 +395,7 @@ def run_until(
                 )
             if q.exception() is not None:
                 raise q.exception()
+            _poll_state_guard(q, max_heap, warned)
             time.sleep(poll_sec)
     finally:
         _capture_progress(q)

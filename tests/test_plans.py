@@ -784,8 +784,27 @@ def test_exact_substr_dedup_digest_shuffles_and_pruned_scan(spark, sf_dir):
     # of h1 and add zero collision margin). A 64-bit single-hash key
     # silently deletes non-duplicate spans at the 1e11+-distinct-gram
     # design point; this pin fails if the default ever regresses.
+    # Shape note (ADVICE r12): the gram argument is a bare field ref
+    # today, but a legitimate plan change (projection collapse inlining
+    # array_join(...)) would nest parentheses inside xxhash64(...), so
+    # the inner groups are lazy `.*?` anchored on the `, h2,` / `))`
+    # delimiters rather than `[^)]*`, and each property is asserted
+    # separately so a failure names what actually regressed.
+    assert plan.count("xxhash64") >= 2, (
+        "two-seed gram key regressed: fewer than two xxhash64 calls in "
+        "the plan — the 128-bit struct(h1, h2) key is gone"
+    )
+    assert re.search(r"xxhash64\(1, .*?\)", plan), (
+        "seeded half missing or salt not FIRST: expected xxhash64(1, "
+        "<gram>) — a trailing salt makes h2 a pure function of h1 and "
+        "adds zero collision margin"
+    )
     gram_keys = re.findall(
-        r"struct\(h1, xxhash64\(([^)]*)\), h2, xxhash64\(1, ([^)]*)\)\)",
+        r"struct\(h1, xxhash64\((.*?)\), h2, xxhash64\(1, (.*?)\)\)",
         plan,
     )
-    assert gram_keys, f"two-seed 128-bit gram key missing from plan"
+    assert gram_keys, (
+        "two-seed 128-bit gram key struct not found in plan (both "
+        "xxhash64 halves are present per the asserts above, so the "
+        "struct packaging or field order changed)"
+    )

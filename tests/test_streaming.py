@@ -1340,3 +1340,86 @@ def test_join_state_plateaus_and_dedup_state_grows_under_shifted_replay(
     assert len(ww_data) >= 3, ww_rows
     assert ww_data[-1][2] < 2 * ww_data[0][2], ww_rows
     shutil.rmtree(str(root), ignore_errors=True)
+
+
+def test_state_memory_guard_pure_core():
+    """VERDICT r12 #3: the flip-rule runtime guard. The measured
+    in-heap cliff (PERF.md flip-point probe) has NO latency
+    early-warning, so the runner compares stateOperators.
+    memoryUsedBytes to the JVM heap per batch and warns past 0.5x.
+    This exercises the pure core on synthetic progress payloads."""
+    from gostream_spark.streaming.runner import (
+        STATE_MEMORY_GUARD_THRESHOLD,
+        state_pressure_warning,
+    )
+
+    heap = 1024 * 1048576  # 1 GiB
+    assert STATE_MEMORY_GUARD_THRESHOLD == 0.5
+
+    # Below threshold / degenerate payloads: silent.
+    assert state_pressure_warning(None, heap) is None
+    assert state_pressure_warning({}, heap) is None
+    assert state_pressure_warning({"stateOperators": []}, heap) is None
+    below = {"stateOperators": [{"memoryUsedBytes": int(0.4 * heap),
+                                 "numRowsTotal": 100}]}
+    assert state_pressure_warning(below, heap) is None
+    # Guard disabled when the heap reading is unavailable (0).
+    assert state_pressure_warning(below, 0) is None
+
+    # Multiple state operators SUM (a stream-stream join keeps two
+    # store sides; each alone under threshold must still trip).
+    summed = {
+        "stateOperators": [
+            {"memoryUsedBytes": int(0.3 * heap), "numRowsTotal": 1000},
+            {"memoryUsedBytes": int(0.3 * heap), "numRowsTotal": 2000},
+        ]
+    }
+    msg = state_pressure_warning(summed, heap)
+    assert msg is not None
+    assert "RocksDBStateStoreProvider" in msg
+    assert "3000 state rows" in msg
+    assert "60%" in msg  # used/heap ratio surfaced for the operator
+
+    # Missing memoryUsedBytes fields count as 0, not a crash.
+    assert state_pressure_warning(
+        {"stateOperators": [{"numRowsTotal": 5}]}, heap
+    ) is None
+
+
+def test_state_memory_guard_warns_once_per_query():
+    """The poll hook emits exactly ONE RuntimeWarning per query name
+    (it fires every poll slice otherwise) and never raises on a dead
+    gateway. Driven with a synthetic query object — the real cliff
+    needs GBs of state (tools/state_capacity_probe.py measures that);
+    the unit seam is the progress payload."""
+    import warnings as _warnings
+
+    from gostream_spark.streaming.runner import _poll_state_guard
+
+    class _FakeQuery:
+        name = "gs_fake"
+        lastProgress = {
+            "stateOperators": [
+                {"memoryUsedBytes": 900 * 1048576, "numRowsTotal": 42}
+            ]
+        }
+
+    warned: set = set()
+    heap = 1024 * 1048576
+    with pytest.warns(RuntimeWarning, match=r"state-memory guard.*gs_fake"):
+        _poll_state_guard(_FakeQuery(), heap, warned)
+    assert warned == {"gs_fake"}
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")  # a second warning would raise
+        _poll_state_guard(_FakeQuery(), heap, warned)
+        # Disabled guard (heap=0) is silent even for a fresh query.
+        _poll_state_guard(_FakeQuery(), 0, set())
+
+    class _DeadQuery:
+        name = "gs_dead"
+
+        @property
+        def lastProgress(self):
+            raise RuntimeError("gateway down")
+
+    _poll_state_guard(_DeadQuery(), heap, set())  # must not raise

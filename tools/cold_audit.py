@@ -97,10 +97,20 @@ def main() -> None:
         .trigger(processingTime="100 milliseconds")
         .start()
     )
+    # Break on warm-query failure too (ADVICE r12): a sink error would
+    # otherwise burn the whole 60 s deadline silently and skew every
+    # audited timing this warm-up exists to clean up.
     _deadline = time.time() + 60
     while time.time() < _deadline and not any(
         f.startswith("_batch") for f in os.listdir(_wout)
     ):
+        if _wq.exception() is not None or not _wq.isActive:
+            print(
+                "cold_audit WARNING: warm-up stream died before its "
+                f"first batch: {_wq.exception()}",
+                file=sys.stderr,
+            )
+            break
         time.sleep(0.05)
     _wq.stop()
     shutil.rmtree(_wout, ignore_errors=True)

@@ -49,6 +49,47 @@ def _load(path: str) -> dict:
     return d
 
 
+def trial_drift(trials: list[float] | None, rise: float = 0.15) -> bool:
+    """Session-state contamination signature (VERDICT r12 #4): trials
+    of one query inside a bench session rising MONOTONICALLY by more
+    than ``rise`` end-to-end. The r12 semdedup root-cause showed this
+    shape (4.60/5.14/6.06 s — 1.7x inflated vs idle AND rising across
+    the trial loop) is produced by accumulated whole-session JVM
+    state, not by the query's code: an idle warm+best-of-3 probe of
+    the same commit read flat 2.6 s. A genuine plan regression is
+    flat-but-slower across trials; ambient container load is noisy,
+    not monotone. So a monotone riser must be adjudicated against an
+    IDLE probe before it is read as a regression."""
+    if not trials or len(trials) < 3:
+        return False
+    monotone = all(b > a for a, b in zip(trials, trials[1:]))
+    return monotone and trials[-1] > (1.0 + rise) * trials[0]
+
+
+def report_trial_drift(record: dict, label: str) -> list[str]:
+    """Print-and-return the drifting queries of one bench record."""
+    drifters = sorted(
+        q
+        for q, ts in (record.get("query_trials_s") or {}).items()
+        if trial_drift(ts)
+    )
+    if drifters:
+        print(
+            f"session-state contaminated in {label} (trials rising "
+            "monotonically >15% end-to-end — the r12 semdedup "
+            "signature; compare against an idle warm+best-of-3 probe, "
+            "NOT across bench sessions):"
+        )
+        trials = record.get("query_trials_s") or {}
+        for q in drifters:
+            ts = trials[q]
+            print(
+                f"  {q}: {'/'.join(f'{t:.2f}' for t in ts)} s "
+                f"({ts[-1] / ts[0]:.2f}x across the trial loop)"
+            )
+    return drifters
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("old")
@@ -100,6 +141,9 @@ def main() -> int:
     # of narrated after the fact.
     trials_new = new.get("query_trials_s") or {}
     trials_old = old.get("query_trials_s") or {}
+    drifting = set(report_trial_drift(old, "OLD")) | set(
+        report_trial_drift(new, "NEW")
+    )
     stream_new = new.get("streaming_progress") or {}
     for label, rec in (("OLD", old), ("NEW", new)):
         io = rec.get("io_probe_ms")
@@ -127,6 +171,8 @@ def main() -> int:
         )
         adj = raw / per_q
         mark = "  <-- FLAG" if adj > args.thresh else ""
+        if mark and q in drifting:
+            mark = "  <-- FLAG (session-state drift: idle-probe first)"
         if mark:
             flags += 1
         print(f"{q:34s} {a:7.3f} {b:7.3f} {raw:5.2f}x {adj:5.2f}x{mark}")

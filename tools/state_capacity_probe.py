@@ -117,9 +117,44 @@ def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
         return [_json.loads(p.json) for p in q.recentProgress]
     finally:
         q.stop()
+        # RocksDB changelog checkpointing writes GBs of SST/changelog
+        # per sf4 arm; 16 arms of leaked mkdtemp dirs is real disk.
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def child(sf_dir: str, provider: str) -> None:
+def _jvm_mem_mib(spark) -> dict:
+    """JVM-process memory snapshot from /proc (Linux): resident set,
+    peak resident (VmHWM), and committed/used heap. RSS - committed
+    heap ≈ native footprint (RocksDB memtables + block cache + SST
+    page cache pins + JVM metaspace/threads) — the part that must be
+    budgeted as `spark.executor.memoryOverhead`, invisible to -Xmx.
+    Differencing RSS across arms with growing state rows at the SAME
+    heap cancels the constant JVM baseline and yields native B/row."""
+    try:
+        jvm = spark.sparkContext._jvm
+        pid = jvm.java.lang.ProcessHandle.current().pid()
+        rt = jvm.java.lang.Runtime.getRuntime()
+        fields = {}
+        with open(f"/proc/{pid}/status") as fh:
+            for ln in fh:
+                if ln.startswith(("VmRSS:", "VmHWM:")):
+                    k, v = ln.split(":", 1)
+                    fields[k] = int(v.strip().split()[0]) // 1024  # kB->MiB
+        return {
+            "rss_mib": fields.get("VmRSS", 0),
+            "rss_peak_mib": fields.get("VmHWM", 0),
+            "heap_committed_mib": int(rt.totalMemory() / 1048576),
+            "heap_used_mib": int(
+                (rt.totalMemory() - rt.freeMemory()) / 1048576
+            ),
+        }
+    except Exception:  # noqa: BLE001 — JVM gone or non-Linux /proc
+        return {}
+
+
+def child(sf_dir: str, provider: str, warmup_dir: str) -> None:
     from gostream_spark.session import get_spark
 
     spark = get_spark(app_name="state_capacity_probe")
@@ -133,7 +168,7 @@ def child(sf_dir: str, provider: str) -> None:
             "changelogCheckpointing.enabled",
             "true",
         )
-    _run_dedup_noop(spark, "/root/testdata/sf0.01", None)  # JIT warm-up
+    _run_dedup_noop(spark, warmup_dir, None)  # JIT warm-up
     rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
     gc0, t0 = _gc_ms(spark), time.perf_counter()
     out: dict = {
@@ -172,13 +207,23 @@ def child(sf_dir: str, provider: str) -> None:
                 max((b["bytes"] for b in batches), default=0) / 1048576, 1
             ),
             n_batches=len(batches),
+            **_jvm_mem_mib(spark),
         )
     except Exception as e:  # noqa: BLE001 — OOM arms die many ways
+        # _gc_ms is a Py4J round-trip; if the JVM is already dead (the
+        # OOM case this probe exists to catch) it raises INSIDE this
+        # handler and the CAPACITY_JSON line is lost, downgrading a
+        # classified error to a bare 'died' row. Never let it.
+        try:
+            gc_delta = _gc_ms(spark) - gc0
+        except Exception:  # noqa: BLE001
+            gc_delta = 0
         out.update(
             outcome="error",
             wall_s=round(time.perf_counter() - t0, 2),
-            gc_ms=_gc_ms(spark) - gc0 if spark._jvm else 0,
+            gc_ms=gc_delta,
             error=f"{type(e).__name__}: {str(e)[:300]}",
+            **_jvm_mem_mib(spark),
         )
         if isinstance(e, _StallTimeout) and e.progress:
             tail = [
@@ -207,22 +252,39 @@ def main() -> None:
     ap.add_argument("--provider", choices=("hdfs", "rocksdb"))
     ap.add_argument("--heaps", default="8g,1300m")
     ap.add_argument("--timeout", type=int, default=2400)
+    ap.add_argument(
+        "--warmup-dir",
+        default=os.environ.get(
+            "SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.01"
+        ),
+        help="small fixture for the JIT warm-up pass (restage_decade's "
+        "--src pattern: env/flag with the sandbox path as default, so "
+        "the probe ports to machines without /root/testdata)",
+    )
+    ap.add_argument(
+        "--providers",
+        default="hdfs,rocksdb",
+        help="comma list; e.g. --providers rocksdb for a native-memory-"
+        "only sweep",
+    )
     opts = ap.parse_args()
     if opts.child:
-        child(opts.sf_dir, opts.provider)
+        child(opts.sf_dir, opts.provider, opts.warmup_dir)
         return
 
     heaps = [h.strip() for h in opts.heaps.split(",") if h.strip()]
+    providers = [p.strip() for p in opts.providers.split(",") if p.strip()]
     print(
         "| fixture | heap | provider | outcome | wall | gc s | addBatch s "
-        "| commit s | state rows | state MiB |"
+        "| commit s | state rows | state MiB | rss MiB | rss peak "
+        "| heap comm | heap used |"
     )
-    print("|---|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for label, sf_dir in FIXTURES:
         if not os.path.isdir(sf_dir):
             continue
         for heap in heaps:
-            for provider in ("hdfs", "rocksdb"):
+            for provider in providers:
                 env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM=heap)
                 try:
                     p = subprocess.run(
@@ -234,6 +296,8 @@ def main() -> None:
                             sf_dir,
                             "--provider",
                             provider,
+                            "--warmup-dir",
+                            opts.warmup_dir,
                         ],
                         capture_output=True,
                         text=True,
@@ -266,7 +330,11 @@ def main() -> None:
                     f"| {r.get('add_batch_ms', 0) / 1000:.1f} "
                     f"| {r.get('commit_ms', 0) / 1000:.1f} "
                     f"| {r.get('state_rows', '-')} "
-                    f"| {r.get('state_mib', '-')} |"
+                    f"| {r.get('state_mib', '-')} "
+                    f"| {r.get('rss_mib', '-')} "
+                    f"| {r.get('rss_peak_mib', '-')} "
+                    f"| {r.get('heap_committed_mib', '-')} "
+                    f"| {r.get('heap_used_mib', '-')} |"
                 )
                 print(cells, flush=True)
                 if r.get("error"):
