@@ -178,6 +178,22 @@ def child(sf_dir: str, provider: str, warmup_dir: str) -> None:
     try:
         progress = _run_dedup_noop(spark, sf_dir, 1)
         wall = time.perf_counter() - t0
+        # Guard lead time (r13): evaluate the runtime guard's pure
+        # core on each batch's progress and report the first batch
+        # it would warn at — turns "the 0.5x flip rule warns before
+        # the ~0.7x cliff" from an inference into a per-arm reading.
+        from gostream_spark.streaming.runner import (
+            state_pressure_warning,
+        )
+
+        first_warn = next(
+            (
+                b.get("batchId")
+                for b in progress
+                if state_pressure_warning(b, rt.maxMemory())
+            ),
+            None,
+        )
         batches = [
             {
                 "add": (b.get("durationMs") or {}).get("addBatch", 0),
@@ -207,6 +223,7 @@ def child(sf_dir: str, provider: str, warmup_dir: str) -> None:
                 max((b["bytes"] for b in batches), default=0) / 1048576, 1
             ),
             n_batches=len(batches),
+            first_warn_batch=first_warn,
             **_jvm_mem_mib(spark),
         )
     except Exception as e:  # noqa: BLE001 — OOM arms die many ways
@@ -237,10 +254,26 @@ def child(sf_dir: str, provider: str, warmup_dir: str) -> None:
                 }
                 for b in e.progress
             ]
+            try:
+                from gostream_spark.streaming.runner import (
+                    state_pressure_warning,
+                )
+
+                fw = next(
+                    (
+                        b.get("batchId")
+                        for b in e.progress
+                        if state_pressure_warning(b, rt.maxMemory())
+                    ),
+                    None,
+                )
+            except Exception:  # noqa: BLE001
+                fw = None
             out.update(
                 n_batches=len(e.progress),
                 state_rows=max((b["rows"] for b in tail), default=0),
                 batch_tail=tail[-8:],
+                first_warn_batch=fw,
             )
     print("CAPACITY_JSON " + json.dumps(out), flush=True)
 
@@ -277,9 +310,9 @@ def main() -> None:
     print(
         "| fixture | heap | provider | outcome | wall | gc s | addBatch s "
         "| commit s | state rows | state MiB | rss MiB | rss peak "
-        "| heap comm | heap used |"
+        "| heap comm | heap used | warn@ |"
     )
-    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|---|---|---|---|---|---|---|")
     for label, sf_dir in FIXTURES:
         if not os.path.isdir(sf_dir):
             continue
@@ -334,7 +367,8 @@ def main() -> None:
                     f"| {r.get('rss_mib', '-')} "
                     f"| {r.get('rss_peak_mib', '-')} "
                     f"| {r.get('heap_committed_mib', '-')} "
-                    f"| {r.get('heap_used_mib', '-')} |"
+                    f"| {r.get('heap_used_mib', '-')} "
+                    f"| {r.get('first_warn_batch', '-')} |"
                 )
                 print(cells, flush=True)
                 if r.get("error"):
