@@ -245,6 +245,20 @@ def main() -> None:
         "streaming_progress": streaming_progress,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # Self-annotate the session-state drift signature (r13, VERDICT
+    # r12 #4): queries whose trials rise monotonically >15%
+    # end-to-end are inflated by accumulated whole-session JVM state
+    # (the r12 semdedup root-cause), not by their code — record them
+    # in the durable payload so a cross-round reader sees the
+    # contamination without needing tools/compare_bench.py.
+    try:
+        from tools.compare_bench import trial_drift
+
+        drifters = sorted(q for q, ts in trials_s.items() if trial_drift(ts))
+        if drifters:
+            payload["trial_drift"] = drifters
+    except Exception:  # noqa: BLE001 — annotation must never fail a run
+        pass
     # Durable full record: the driver captures a bounded TAIL of stdout,
     # and r7's single long JSON line was cut mid-dict there, losing ~11
     # queries' timings from the round archive. Write the complete
