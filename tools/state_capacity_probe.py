@@ -67,8 +67,10 @@ def _gc_ms(spark) -> int:
 
 
 class _StallTimeout(TimeoutError):
-    """Stream still running at the probe deadline; carries the partial
-    per-batch progress so a stalled arm still reports its curve."""
+    """Stream still running at the probe deadline — or dead mid-replay
+    (see _run_dedup_noop's except clause); either way it carries the
+    partial per-batch progress so a failed arm still reports its
+    curve (n_batches, state rows, first_warn_batch)."""
 
     def __init__(self, msg: str, progress: list[dict]):
         super().__init__(msg)
@@ -115,6 +117,25 @@ def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
                 "probe stream still running after 2100s", partial
             )
         return [_json.loads(p.json) for p in q.recentProgress]
+    except _StallTimeout:
+        raise
+    except Exception as e:  # noqa: BLE001
+        # A mid-replay death (StreamingQueryException from a task OOM
+        # — observed 1-in-8 on the r13 cliff-arm trials) must carry
+        # its partial curve too, or the arm reports outcome=error with
+        # n_batches/first_warn_batch lost (exactly the data that shows
+        # whether the guard warned before the death). Re-raise as
+        # _StallTimeout so the child's handler extracts the tail the
+        # same way; the message keeps the original exception type.
+        try:
+            partial = [_json.loads(p.json) for p in q.recentProgress]
+        except Exception:  # noqa: BLE001 — gateway may be dead
+            raise e from None
+        raise _StallTimeout(
+            f"stream died mid-replay: {type(e).__name__}: "
+            f"{str(e)[:200]}",
+            partial,
+        ) from e
     finally:
         q.stop()
         # RocksDB changelog checkpointing writes GBs of SST/changelog
