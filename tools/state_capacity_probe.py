@@ -116,7 +116,22 @@ def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
             raise _StallTimeout(
                 "probe stream still running after 2100s", partial
             )
-        return [_json.loads(p.json) for p in q.recentProgress]
+        out = [_json.loads(p.json) for p in q.recentProgress]
+        # Disk-budget reading (r13): du of the checkpoint tree (state
+        # snapshots + RocksDB changelog + offsets/commits) before the
+        # finally-block rmtree — the `spark.local.dir`/checkpoint
+        # space a production flip must budget alongside RAM. Stashed
+        # on the list object the caller already receives.
+        total = 0
+        for root, _dirs, files in os.walk(ckpt):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        out_with_disk = list(out)
+        _run_dedup_noop.last_ckpt_mib = round(total / 1048576, 1)
+        return out_with_disk
     except _StallTimeout:
         raise
     except Exception as e:  # noqa: BLE001
@@ -245,6 +260,7 @@ def child(sf_dir: str, provider: str, warmup_dir: str) -> None:
             ),
             n_batches=len(batches),
             first_warn_batch=first_warn,
+            ckpt_mib=getattr(_run_dedup_noop, "last_ckpt_mib", None),
             **_jvm_mem_mib(spark),
         )
     except Exception as e:  # noqa: BLE001 — OOM arms die many ways
