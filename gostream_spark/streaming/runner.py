@@ -87,20 +87,36 @@ def _capture_progress(q) -> None:
 # want an earlier heads-up than the measured 0.5x flip point can
 # lower it without code changes; it also lets a harness force-fire
 # the guard on a small fixture to validate the wiring end-to-end.
-STATE_MEMORY_GUARD_THRESHOLD = float(
-    os.environ.get("GOSTREAM_STATE_GUARD_THRESHOLD", "0.5")
-)
+# The env var is re-read at CALL time (not import time) so a long-
+# lived session — or a test monkeypatching os.environ — sees changes
+# without re-importing; the module constant is the documented default.
+STATE_MEMORY_GUARD_THRESHOLD = 0.5
+
+
+def _guard_threshold() -> float:
+    try:
+        return float(
+            os.environ.get(
+                "GOSTREAM_STATE_GUARD_THRESHOLD",
+                STATE_MEMORY_GUARD_THRESHOLD,
+            )
+        )
+    except ValueError:
+        return STATE_MEMORY_GUARD_THRESHOLD
 
 
 def state_pressure_warning(
     progress: dict | None,
     max_heap_bytes: int,
-    threshold: float = STATE_MEMORY_GUARD_THRESHOLD,
+    threshold: float | None = None,
 ) -> str | None:
     """Pure core of the guard (unit-testable on synthetic payloads):
     given one parsed StreamingQueryProgress dict, return a warning
     message if total stateOperators.memoryUsedBytes exceeds
-    ``threshold`` x ``max_heap_bytes``, else None."""
+    ``threshold`` x ``max_heap_bytes``, else None. ``threshold=None``
+    resolves GOSTREAM_STATE_GUARD_THRESHOLD at call time."""
+    if threshold is None:
+        threshold = _guard_threshold()
     if not progress or max_heap_bytes <= 0:
         return None
     used = sum(
@@ -310,11 +326,19 @@ def run_available_now(
         # committed batch's progress while the query is still running
         # (the cliff gives no latency early-warning — the gauge has to
         # be read before the stalling commit, not after termination).
+        # Each slice is clamped to the remaining deadline so a
+        # caller-supplied timeout_sec < 2 is honored (ADVICE r13) —
+        # awaitTermination(2) unconditionally would block up to 2s
+        # past a sub-second deadline.
         deadline = time.time() + timeout_sec
-        finished = q.awaitTermination(2)
+        finished = q.awaitTermination(
+            min(2.0, max(timeout_sec, 0.1))
+        )
         while not finished and time.time() < deadline:
             _poll_state_guard(q, max_heap, warned)
-            finished = q.awaitTermination(2)
+            finished = q.awaitTermination(
+                min(2.0, max(deadline - time.time(), 0.1))
+            )
         _poll_state_guard(q, max_heap, warned)
         if not finished:
             raise TimeoutError(

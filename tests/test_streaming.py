@@ -1342,17 +1342,21 @@ def test_join_state_plateaus_and_dedup_state_grows_under_shifted_replay(
     shutil.rmtree(str(root), ignore_errors=True)
 
 
-def test_state_memory_guard_pure_core():
+def test_state_memory_guard_pure_core(monkeypatch):
     """VERDICT r12 #3: the flip-rule runtime guard. The measured
     in-heap cliff (PERF.md flip-point probe) has NO latency
     early-warning, so the runner compares stateOperators.
     memoryUsedBytes to the JVM heap per batch and warns past 0.5x.
-    This exercises the pure core on synthetic progress payloads."""
+    This exercises the pure core on synthetic progress payloads.
+    The env knob is scrubbed so the default-threshold assertions do
+    not silently depend on the harness environment (ADVICE r13), and
+    call-time re-reading is pinned explicitly below."""
     from gostream_spark.streaming.runner import (
         STATE_MEMORY_GUARD_THRESHOLD,
         state_pressure_warning,
     )
 
+    monkeypatch.delenv("GOSTREAM_STATE_GUARD_THRESHOLD", raising=False)
     heap = 1024 * 1048576  # 1 GiB
     assert STATE_MEMORY_GUARD_THRESHOLD == 0.5
 
@@ -1384,6 +1388,17 @@ def test_state_memory_guard_pure_core():
     assert state_pressure_warning(
         {"stateOperators": [{"numRowsTotal": 5}]}, heap
     ) is None
+
+    # The env knob is resolved at CALL time, so a monkeypatched
+    # environment changes the default threshold without re-import
+    # (this is how the capacity probe force-fires the guard on small
+    # fixtures via GOSTREAM_STATE_GUARD_THRESHOLD=1e-7).
+    monkeypatch.setenv("GOSTREAM_STATE_GUARD_THRESHOLD", "0.3")
+    assert state_pressure_warning(below, heap) is not None  # 0.4 > 0.3
+    monkeypatch.setenv("GOSTREAM_STATE_GUARD_THRESHOLD", "not-a-float")
+    assert state_pressure_warning(below, heap) is None  # falls back 0.5
+    # An explicit threshold argument always wins over the env.
+    assert state_pressure_warning(below, heap, threshold=0.1) is not None
 
 
 def test_state_memory_guard_warns_once_per_query():

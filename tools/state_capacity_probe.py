@@ -120,8 +120,8 @@ def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
         # Disk-budget reading (r13): du of the checkpoint tree (state
         # snapshots + RocksDB changelog + offsets/commits) before the
         # finally-block rmtree — the `spark.local.dir`/checkpoint
-        # space a production flip must budget alongside RAM. Stashed
-        # on the list object the caller already receives.
+        # space a production flip must budget alongside RAM. Rides on
+        # the function attribute (last_ckpt_mib) read by child().
         total = 0
         for root, _dirs, files in os.walk(ckpt):
             for f in files:
@@ -129,9 +129,8 @@ def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
                     total += os.path.getsize(os.path.join(root, f))
                 except OSError:
                     pass
-        out_with_disk = list(out)
         _run_dedup_noop.last_ckpt_mib = round(total / 1048576, 1)
-        return out_with_disk
+        return out
     except _StallTimeout:
         raise
     except Exception as e:  # noqa: BLE001
@@ -152,7 +151,14 @@ def _run_dedup_noop(spark, sf_dir: str, mpt: int | None) -> list[dict]:
             partial,
         ) from e
     finally:
-        q.stop()
+        # In the mid-replay-death path the gateway may already be
+        # dead; an unguarded stop() raising here would REPLACE the
+        # in-flight _StallTimeout carrying the partial per-batch
+        # curve — the very data the recovery path preserves.
+        try:
+            q.stop()
+        except Exception:  # noqa: BLE001
+            pass
         # RocksDB changelog checkpointing writes GBs of SST/changelog
         # per sf4 arm; 16 arms of leaked mkdtemp dirs is real disk.
         import shutil
