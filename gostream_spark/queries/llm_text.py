@@ -322,7 +322,7 @@ FROM hits
 """
 
 
-@register("lang_id_heuristic", oracle=_LANGID_ORACLE, tags=("ext",))
+@register("lang_id_heuristic", oracle=_LANGID_ORACLE, tags=("L8", "ext"))
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension: stopword-profile language ID (n-gram-style
     heuristic). The fixture corpus is an English-ish word soup under

@@ -61,9 +61,20 @@ def test_registry_hygiene():
     rows_only_allowed: set[str] = set()
     table_re = re.compile(r"\b(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", re.I)
     known = set(TABLES)
+    # Coverage-frame invariant (VERDICT r13 #2): every registered
+    # query maps to >=1 SURVEY §2 row — a query tagged only with
+    # free-form tags ("ext") would silently escape COVERAGE.md's
+    # 69-row accounting (lang_id_heuristic did exactly that in r13).
+    import tools.gen_coverage as gc
+
+    row_ids = {row for row, _ in gc.ROWS}
     for name, q in all_queries().items():
         assert q.doc.strip(), f"{name} has no docstring"
         assert q.tags, f"{name} has no tags"
+        assert row_ids.intersection(q.tags), (
+            f"{name} maps to zero SURVEY rows (tags={q.tags}); add a "
+            "row tag like ('L8', 'ext')"
+        )
         if q.oracle is None:
             assert name in rows_only_allowed, f"unexpected rows-only query {name}"
         else:
