@@ -252,11 +252,20 @@ def main() -> None:
     # in the durable payload so a cross-round reader sees the
     # contamination without needing tools/compare_bench.py.
     try:
-        from tools.compare_bench import trial_drift
+        from tools.compare_bench import io_contamination, trial_drift
 
         drifters = sorted(q for q, ts in trials_s.items() if trial_drift(ts))
         if drifters:
             payload["trial_drift"] = drifters
+        # Self-flag an I/O-contaminated headline run (VERDICT r13 #3):
+        # the r13 driver session opened at io_probe 441 ms vs 44 at
+        # close — the page-cache-dirt pattern BASELINE.md documents —
+        # but the durable record carried no mark, unlike sentinel load
+        # and trial drift. The reason string rides in the record so a
+        # cross-round reader knows the raw total needs an idle rerun.
+        io_reason = io_contamination(payload["io_probe_ms"])
+        if io_reason:
+            payload["io_contaminated"] = io_reason
     except Exception:  # noqa: BLE001 — annotation must never fail a run
         pass
     # Durable full record: the driver captures a bounded TAIL of stdout,
@@ -283,20 +292,19 @@ def main() -> None:
             "query_load_ms", "sf")
     }
     print(json.dumps(stdout_payload))
-    print(
-        json.dumps(
-            {
-                "metric": payload["metric"],
-                "value": total,
-                "unit": "sec",
-                "sentinel_ms": sentinel_ms,
-                "io_probe_ms": payload["io_probe_ms"],
-                "sf": payload["sf"],
-                "n_queries": len(timings),
-                "full_record": "bench_out/bench_latest.json",
-            }
-        )
-    )
+    summary = {
+        "metric": payload["metric"],
+        "value": total,
+        "unit": "sec",
+        "sentinel_ms": sentinel_ms,
+        "io_probe_ms": payload["io_probe_ms"],
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "full_record": "bench_out/bench_latest.json",
+    }
+    if "io_contaminated" in payload:
+        summary["io_contaminated"] = True  # reason in the full record
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -16,9 +16,14 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from compare_bench import report_trial_drift, trial_drift  # noqa: E402
+from compare_bench import (  # noqa: E402
+    io_contamination,
+    report_trial_drift,
+    trial_drift,
+)
 
 R12_HISTORY = os.path.join(REPO, "bench_out", "history", "3ea313968dad.json")
+R13_RECORD = os.path.join(REPO, "BENCH_r13.json")
 
 
 def test_trial_drift_signature():
@@ -56,3 +61,53 @@ def test_replay_r12_history_flags_only_semdedup(capsys):
     assert "session-state contaminated" in out
     assert "idle warm+best-of-3" in out
     assert "4.60/5.14/6.05" in out  # 6.055 floats to 6.054999..., .2f = 6.05
+
+def test_io_contamination_signature():
+    """VERDICT r13 #3: the page-cache-dirt pattern must be flagged
+    mechanically. Rules: start > 3x end, or either edge > 3x the
+    66 ms idle band."""
+    # The r13 driver pair: loaded open, settled close -> contaminated.
+    assert "441" in (io_contamination({"start": 441.46, "end": 44.6}) or "")
+    # Settled idle pair -> clean.
+    assert io_contamination({"start": 50.0, "end": 52.0}) is None
+    # End-of-run load (co-tenant arriving mid-bench) -> contaminated.
+    reason = io_contamination({"start": 50.0, "end": 300.0})
+    assert reason and "end" in reason
+    # Elevated but inside 3x idle and inside 3x of each other: the
+    # documented r12 pair (262 start > 198 -> contaminated on the
+    # idle-band clause even though 262 < 3x77).
+    assert io_contamination({"start": 262.27, "end": 77.31})
+    # Borderline-clean: start exactly 3x end is NOT flagged (strict >).
+    assert io_contamination({"start": 150.0, "end": 50.0}) is None
+    # Degenerate inputs are quiet (None probe on non-Linux platforms).
+    assert io_contamination(None) is None
+    assert io_contamination({}) is None
+    assert io_contamination({"start": None, "end": None}) is None
+    assert io_contamination({"start": 40.0, "end": None}) is None
+
+
+@pytest.mark.skipif(
+    not os.path.exists(R13_RECORD), reason="r13 bench record not present"
+)
+def test_replay_r13_record_flags_io_contamination():
+    """The r13 driver record — io_probe 441 ms at open vs 44 ms at
+    close, the exact reading VERDICT r13 called out as unmarked —
+    must now flag."""
+    with open(R13_RECORD) as f:
+        record = json.load(f)
+    io = None
+    # Driver wrapper: the probe pair rides in the LAST stdout summary
+    # line of the tail (the first line is the parser-contract line).
+    for line in reversed(record.get("tail", "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                cand = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if "io_probe_ms" in cand:
+                io = cand["io_probe_ms"]
+                break
+    assert io == {"start": 441.46, "end": 44.6}
+    reason = io_contamination(io)
+    assert reason is not None and "441" in reason and "idle rerun" in reason

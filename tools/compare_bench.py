@@ -21,6 +21,41 @@ import argparse
 import json
 
 IDLE_SENTINEL_MS = 47.0  # BASELINE.md reference value for this container
+# Idle ceiling for bench.py's uncached 64 MiB io_probe read on this
+# container: settled end-of-run readings across r11-r13 sit at
+# 44-77 ms; 66 ms is the BASELINE.md idle-band ceiling.
+IDLE_IO_PROBE_MS = 66.0
+
+
+def io_contamination(
+    io: dict | None, idle_ms: float = IDLE_IO_PROBE_MS
+) -> str | None:
+    """I/O-contaminated-session signature (VERDICT r13 #3): the r13
+    driver record opened at io_probe 441 ms vs 44 ms at close — the
+    self-inflicted page-cache-dirt pattern BASELINE.md documents
+    (probe/sweep sessions dirty the cache; the first bench after them
+    reads elevated) — yet nothing in the durable record marked the
+    session, unlike sentinel load and trial drift. Returns a reason
+    string when the probe pair shows contamination, else None:
+    start > 3x end (loaded open, settled close — raw totals vs a
+    settled round are inflated), or either reading > 3x the idle
+    band (I/O load present at that edge of the run)."""
+    if not io:
+        return None
+    s, e = io.get("start"), io.get("end")
+    if s and e and s > 3 * e:
+        return (
+            f"io_probe start {s:.0f} ms > 3x end {e:.0f} ms — session "
+            "opened I/O-loaded and settled mid-run (page-cache-dirt "
+            "signature); adjudicate raw totals against an idle rerun"
+        )
+    for tag, v in (("start", s), ("end", e)):
+        if v and v > 3 * idle_ms:
+            return (
+                f"io_probe {tag} {v:.0f} ms > 3x the {idle_ms:.0f} ms "
+                "idle band — I/O load present at that edge of the run"
+            )
+    return None
 
 
 def _load(path: str) -> dict:
@@ -145,11 +180,18 @@ def main() -> int:
         report_trial_drift(new, "NEW")
     )
     stream_new = new.get("streaming_progress") or {}
+    io_contaminated: dict[str, str] = {}
     for label, rec in (("OLD", old), ("NEW", new)):
         io = rec.get("io_probe_ms")
         if io:
             print(f"io probe {label}: start={io.get('start')} ms "
                   f"end={io.get('end')} ms (uncached 64 MiB read)")
+        # Recorded by bench.py (r14+) or re-derived here for older
+        # records that only carry the raw probe pair.
+        reason = rec.get("io_contaminated") or io_contamination(io)
+        if reason:
+            io_contaminated[label] = reason
+            print(f"io-contaminated {label}: {reason}")
 
     def _spread(ts: list[float]) -> str:
         ss = sorted(ts)
@@ -173,6 +215,12 @@ def main() -> int:
         mark = "  <-- FLAG" if adj > args.thresh else ""
         if mark and q in drifting:
             mark = "  <-- FLAG (session-state drift: idle-probe first)"
+        elif mark and io_contaminated:
+            mark = (
+                "  <-- FLAG (io-contaminated "
+                + "/".join(sorted(io_contaminated))
+                + ": idle-rerun first)"
+            )
         if mark:
             flags += 1
         print(f"{q:34s} {a:7.3f} {b:7.3f} {raw:5.2f}x {adj:5.2f}x{mark}")
