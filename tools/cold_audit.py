@@ -43,6 +43,15 @@ def main() -> None:
         help="seed a true random permutation of run order (order-charge check)",
     )
     opts = ap.parse_args()
+    # Window probes (r14): the audit's totals swing ~1.2x with the
+    # I/O window (201.9 s idle vs 237.0 s at io_probe 151 ms, same
+    # tree, same session protocol) — record the same start/end pair
+    # bench.py records so the durable record self-documents its
+    # window and io_contamination() can adjudicate it.
+    from bench import _io_probe_ms, _load_sentinel_ms
+
+    sentinel_ms = _load_sentinel_ms()
+    io_start = _io_probe_ms()
     spark = get_spark(app_name="cold_audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -119,11 +128,11 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[n].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[n] = time.perf_counter() - t0
-    total = sum(times.values())
-    over = {n: t for n, t in times.items() if t > opts.threshold}
+    summary = cold_summary(times, opts.threshold)
     print(
-        f"cold audit sf0.01: {len(times)} queries, total {total:.1f}s, "
-        f"mean {total / len(times):.2f}s, over {opts.threshold}s: {len(over)}"
+        f"cold audit sf0.01: {summary['n']} queries, total "
+        f"{summary['total_s']}s, mean {summary['mean_s']}s, "
+        f"over {opts.threshold}s: {len(summary['over'])}"
     )
     print()
     print(f"| Query | cold sf0.01 |")
@@ -131,6 +140,83 @@ def main() -> None:
     for n, t in sorted(times.items(), key=lambda kv: -kv[1])[:20]:
         flag = " **> threshold**" if t > opts.threshold else ""
         print(f"| `{n}` | {t:.2f}s{flag} |")
+    # Durable record (r14, the cold-start-watch counterpart of
+    # bench_out/): full-audit runs land in cold_out/cold_latest.json
+    # with the prior record archived content-addressed, so the
+    # over-3 s cohort's round-over-round drift is comparable
+    # mechanically instead of via PERF.md prose. Filtered/partial runs
+    # (--only) stay stdout-only — they are probes, not the watch.
+    if not opts.only:
+        summary["sentinel_ms"] = sentinel_ms
+        # Flush the audit's OWN writeback backlog (311 queries of
+        # shuffle/scratch/checkpoint dirty pages — bench's 38-query
+        # end probe doesn't accumulate enough to matter), then take
+        # the end reading as the MIN of two samples 3 s apart: the
+        # first sample still contends with the tail of the flush,
+        # and a single elevated sample would mis-flag self-inflicted
+        # transients as ambient load. Sustained ambient load stays
+        # elevated across both samples and still flags.
+        try:
+            os.sync()
+        except (AttributeError, OSError):
+            pass
+        first = _io_probe_ms()
+        time.sleep(3)
+        second = _io_probe_ms()
+        io_end = min(x for x in (first, second) if x is not None) if (
+            first is not None or second is not None
+        ) else None
+        summary["io_probe_ms"] = {"start": io_start, "end": io_end}
+        try:
+            from compare_bench import io_contamination
+
+            reason = io_contamination(summary["io_probe_ms"])
+            if reason:
+                summary["io_contaminated"] = reason
+        except Exception:  # noqa: BLE001 — annotation never fails a run
+            pass
+        _write_record(summary, opts)
+
+
+def cold_summary(times: dict[str, float], threshold: float) -> dict:
+    """Pure summary of one audit's readings (unit-testable)."""
+    total = sum(times.values())
+    return {
+        "metric": "cold_first_run_wall_clock",
+        "unit": "sec",
+        "sf": 0.01,
+        "n": len(times),
+        "total_s": round(total, 1),
+        "mean_s": round(total / len(times), 2) if times else 0.0,
+        "threshold_s": threshold,
+        "over": {
+            n: round(t, 2)
+            for n, t in sorted(times.items(), key=lambda kv: -kv[1])
+            if t > threshold
+        },
+        "queries": {n: round(t, 3) for n, t in times.items()},
+    }
+
+
+def _write_record(summary: dict, opts) -> None:
+    import json
+
+    from bench import _archive_existing
+
+    summary["order"] = (
+        f"shuffle_seed={opts.shuffle_seed}"
+        if opts.shuffle_seed is not None
+        else "chronological"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = os.path.join(repo, "cold_out")
+    latest = os.path.join(out_dir, "cold_latest.json")
+    os.makedirs(out_dir, exist_ok=True)
+    _archive_existing(out_dir, latest)
+    with open(latest, "w") as f:
+        json.dump(summary, f, indent=2, sort_keys=True)
+        f.write("\n")
+    print(f"\nfull record: cold_out/cold_latest.json")
 
 
 if __name__ == "__main__":
