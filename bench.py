@@ -35,7 +35,6 @@ Instrumentation riding in the durable record (not the stdout line):
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import sys
@@ -46,70 +45,19 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gostream_spark.registry import all_queries  # noqa: E402
 from gostream_spark.session import get_spark  # noqa: E402
 
+# Probe/sentinel/archive helpers live in tools/io_probe.py (shared
+# with tools/cold_audit.py — ADVICE r14 decoupling). Re-exported here
+# under their historical names: the verify recipe and replay tests
+# address them as bench._io_probe_ms etc.
+from tools.io_probe import (  # noqa: E402,F401
+    _archive_existing,
+    _io_probe_ms,
+    _load_sentinel_ms,
+    _probe_once_ms,
+    io_probe_edge,
+)
+
 _REPO = os.path.dirname(os.path.abspath(__file__))
-_IO_PROBE_BYTES = 64 * 1024 * 1024
-
-
-def _probe_once_ms() -> float:
-    """One un-minimized run of the xorshift loop. Used PER QUERY so
-    late-session container load is visible next to the query that paid
-    it: the r6 winnowing anomaly (2.0-2.5x vs local with an idle
-    start-of-run sentinel) showed a single session-level probe cannot
-    see load arriving mid-bench. NOT best-of-N on purpose — spikes are
-    the signal here, not noise to minimize away."""
-    t0 = time.perf_counter()
-    x = 88172645463325252
-    for _ in range(2_000_00):
-        x ^= (x << 13) & 0xFFFFFFFFFFFFFFFF
-        x ^= x >> 7
-        x ^= (x << 17) & 0xFFFFFFFFFFFFFFFF
-    return round((time.perf_counter() - t0) * 1000, 2)
-
-
-def _load_sentinel_ms() -> float:
-    """Fixed CPU-bound, no-I/O, no-Spark probe timed alongside the
-    headline set: a pure-Python xorshift64* loop whose work is
-    constant across rounds, so its wall time measures CONTAINER LOAD
-    (CPU contention, frequency scaling), not the engine. Compare
-    `sentinel_ms` across BENCH_r*.json to normalize round-over-round
-    query ratios — the r3/r5 uniform ~1.4x slowdowns were load, and
-    this makes that check quantitative instead of argued from the
-    pattern (BASELINE.md records the reference value). Same workload
-    as the per-query probe, so the two are unit-compatible."""
-    return round(min(_probe_once_ms() for _ in range(3)), 2)
-
-
-def _io_probe_ms() -> float | None:
-    """Timed sequential read of a fixed 64 MiB scratch file with its
-    page cache dropped first (posix_fadvise DONTNEED — advisory, no
-    privileges needed on Linux). Measures the IO path the CPU sentinel
-    cannot see: a co-tenant hammering the disk or evicting the page
-    cache shows up here while sentinel_ms stays idle. Returns None on
-    platforms without posix_fadvise (the reading would be
-    cache-contaminated and misleading rather than merely noisy)."""
-    if not hasattr(os, "posix_fadvise"):
-        return None
-    path = os.path.join(_REPO, ".tmp", "io_probe.bin")
-    try:
-        if (
-            not os.path.exists(path)
-            or os.path.getsize(path) != _IO_PROBE_BYTES
-        ):
-            os.makedirs(os.path.dirname(path), exist_ok=True)
-            block = bytes(range(256)) * 4096  # 1 MiB, content irrelevant
-            with open(path, "wb") as f:
-                for _ in range(_IO_PROBE_BYTES // len(block)):
-                    f.write(block)
-                f.flush()
-                os.fsync(f.fileno())
-        with open(path, "rb") as f:
-            os.posix_fadvise(f.fileno(), 0, 0, os.POSIX_FADV_DONTNEED)
-            t0 = time.perf_counter()
-            while f.read(1024 * 1024):
-                pass
-            return round((time.perf_counter() - t0) * 1000, 2)
-    except OSError:
-        return None
 
 
 def _summarize_progress(captured: list[dict]) -> dict:
@@ -161,34 +109,19 @@ def _final_trial_batches(captured: list[dict]) -> list[dict]:
     return out
 
 
-def _archive_existing(out_dir: str, latest: str) -> None:
-    """Copy-on-start: before this run overwrites bench_latest.json,
-    preserve the existing record under history/<content-sha12>.json.
-    Content-addressed, so re-runs over an already-archived record are
-    no-ops and the history never holds duplicates (VERDICT r8: the
-    driver's r8 run silently shadowed the builder's committed
-    record)."""
-    if not os.path.exists(latest):
-        return
-    try:
-        with open(latest, "rb") as f:
-            content = f.read()
-        sha = hashlib.sha256(content).hexdigest()[:12]
-        hist = os.path.join(out_dir, "history")
-        os.makedirs(hist, exist_ok=True)
-        dest = os.path.join(hist, f"{sha}.json")
-        if not os.path.exists(dest):
-            with open(dest, "wb") as f:
-                f.write(content)
-    except OSError:
-        pass
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sentinel_ms = _load_sentinel_ms()
-    io_probe_start = _io_probe_ms()
+    # Session-edge io probes are min-of-3 with settle-before-start
+    # (VERDICT r14 #1): a single read at either edge could false-flag
+    # a clean headline on one of this box's documented one-off
+    # 150-485 ms spikes — or false-clean a loaded window on one lucky
+    # read. When the opening min is out of the idle band, resample for
+    # up to 60 s (the spike class settles in minutes); every attempt
+    # rides in the durable record.
+    io_start_edge = io_probe_edge(samples=3, settle_timeout_s=60.0)
+    io_probe_start = io_start_edge["ms"]
     spark = get_spark(app_name="gostream_spark_bench")
 
     from gostream_spark.streaming import runner as _runner
@@ -231,7 +164,16 @@ def main() -> None:
             }
         _runner.RECENT_PROGRESS.clear()
 
-    io_probe_end = _io_probe_ms()
+    io_end_edge = io_probe_edge(samples=3)
+    io_probe_end = io_end_edge["ms"]
+    io_probe_record = {
+        "start": io_probe_start,
+        "end": io_probe_end,
+        "start_samples": io_start_edge["samples"],
+        "end_samples": io_end_edge["samples"],
+    }
+    if "settle_rounds" in io_start_edge:
+        io_probe_record["start_settle_rounds"] = io_start_edge["settle_rounds"]
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_queries_wall_clock",
@@ -241,7 +183,7 @@ def main() -> None:
         "query_trials_s": trials_s,
         "sentinel_ms": sentinel_ms,
         "query_load_ms": load_ms,
-        "io_probe_ms": {"start": io_probe_start, "end": io_probe_end},
+        "io_probe_ms": io_probe_record,
         "streaming_progress": streaming_progress,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }

@@ -73,12 +73,27 @@ def test_io_contamination_signature():
     # End-of-run load (co-tenant arriving mid-bench) -> contaminated.
     reason = io_contamination({"start": 50.0, "end": 300.0})
     assert reason and "end" in reason
-    # Elevated but inside 3x idle and inside 3x of each other: the
-    # documented r12 pair (262 start > 198 -> contaminated on the
-    # idle-band clause even though 262 < 3x77).
-    assert io_contamination({"start": 262.27, "end": 77.31})
+    # The r14 driver pair: 262.27 > 3x77.31 (= 231.93), so the RATIO
+    # clause fires first (ADVICE r14 fixed this comment — the earlier
+    # text claimed the idle-band clause and mis-stated 262 < 3x77);
+    # pin the clause via the reason string.
+    reason = io_contamination({"start": 262.27, "end": 77.31})
+    assert reason and "opened I/O-loaded" in reason
+    # Same start with a settled 44 ms close: still the ratio clause.
+    reason = io_contamination({"start": 262.27, "end": 44.0})
+    assert reason and "opened I/O-loaded" in reason
     # Borderline-clean: start exactly 3x end is NOT flagged (strict >).
     assert io_contamination({"start": 150.0, "end": 50.0}) is None
+    # ADVICE r14: a fast-vs-faster pair with BOTH edges well under the
+    # idle band is load-free regardless of their ratio — the ratio
+    # clause is gated on start exceeding the band.
+    assert io_contamination({"start": 9.0, "end": 2.0}) is None
+    # ADVICE r14: 0.0 is a reading, not a missing value — a loaded
+    # open against a 0.0 close flags on the ratio clause (under the
+    # old truthiness check the clause was skipped entirely).
+    reason = io_contamination({"start": 100.0, "end": 0.0})
+    assert reason and "opened I/O-loaded" in reason
+    assert io_contamination({"start": 0.0, "end": 0.0}) is None
     # Degenerate inputs are quiet (None probe on non-Linux platforms).
     assert io_contamination(None) is None
     assert io_contamination({}) is None

@@ -48,7 +48,7 @@ def main() -> None:
     # tree, same session protocol) — record the same start/end pair
     # bench.py records so the durable record self-documents its
     # window and io_contamination() can adjudicate it.
-    from bench import _io_probe_ms, _load_sentinel_ms
+    from tools.io_probe import _io_probe_ms, _load_sentinel_ms
 
     sentinel_ms = _load_sentinel_ms()
     io_start = _io_probe_ms()
@@ -201,7 +201,7 @@ def cold_summary(times: dict[str, float], threshold: float) -> dict:
 def _write_record(summary: dict, opts) -> None:
     import json
 
-    from bench import _archive_existing
+    from tools.io_probe import _archive_existing
 
     summary["order"] = (
         f"shuffle_seed={opts.shuffle_seed}"

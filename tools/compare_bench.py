@@ -19,12 +19,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.io_probe import IDLE_IO_PROBE_MS  # noqa: E402,F401
 
 IDLE_SENTINEL_MS = 47.0  # BASELINE.md reference value for this container
-# Idle ceiling for bench.py's uncached 64 MiB io_probe read on this
-# container: settled end-of-run readings across r11-r13 sit at
-# 44-77 ms; 66 ms is the BASELINE.md idle-band ceiling.
-IDLE_IO_PROBE_MS = 66.0
 
 
 def io_contamination(
@@ -37,20 +39,23 @@ def io_contamination(
     reads elevated) — yet nothing in the durable record marked the
     session, unlike sentinel load and trial drift. Returns a reason
     string when the probe pair shows contamination, else None:
-    start > 3x end (loaded open, settled close — raw totals vs a
-    settled round are inflated), or either reading > 3x the idle
-    band (I/O load present at that edge of the run)."""
+    start > 3x end AND start above the idle band (loaded open, settled
+    close — raw totals vs a settled round are inflated; the band gate
+    keeps a fast-vs-faster pair like 9/2 ms, both well under idle,
+    from flagging — ADVICE r14), or either reading > 3x the idle band
+    (I/O load present at that edge of the run). Readings of 0.0 are
+    data, not missing (`is not None`, ADVICE r14)."""
     if not io:
         return None
     s, e = io.get("start"), io.get("end")
-    if s and e and s > 3 * e:
+    if s is not None and e is not None and s > 3 * e and s > idle_ms:
         return (
             f"io_probe start {s:.0f} ms > 3x end {e:.0f} ms — session "
             "opened I/O-loaded and settled mid-run (page-cache-dirt "
             "signature); adjudicate raw totals against an idle rerun"
         )
     for tag, v in (("start", s), ("end", e)):
-        if v and v > 3 * idle_ms:
+        if v is not None and v > 3 * idle_ms:
             return (
                 f"io_probe {tag} {v:.0f} ms > 3x the {idle_ms:.0f} ms "
                 "idle band — I/O load present at that edge of the run"
@@ -215,11 +220,18 @@ def main() -> int:
         mark = "  <-- FLAG" if adj > args.thresh else ""
         if mark and q in drifting:
             mark = "  <-- FLAG (session-state drift: idle-probe first)"
-        elif mark and io_contaminated:
+        elif mark and "NEW" in io_contaminated:
+            # NEW-side I/O load inflates NEW timings: the flag is
+            # contamination-suspect; adjudicate on an idle rerun.
+            mark = "  <-- FLAG (io-contaminated NEW: idle-rerun first)"
+        elif mark and "OLD" in io_contaminated:
+            # Only the OLD record is contaminated (ADVICE r14): OLD
+            # timings are the INFLATED side, so NEW reading slower
+            # anyway is stronger regression evidence, not weaker —
+            # say so instead of discounting the flag.
             mark = (
-                "  <-- FLAG (io-contaminated "
-                + "/".join(sorted(io_contaminated))
-                + ": idle-rerun first)"
+                "  <-- FLAG (OLD io-contaminated: old side inflated, "
+                "regression evidence strengthened)"
             )
         if mark:
             flags += 1
