@@ -47,11 +47,16 @@ def main() -> None:
     # I/O window (201.9 s idle vs 237.0 s at io_probe 151 ms, same
     # tree, same session protocol) — record the same start/end pair
     # bench.py records so the durable record self-documents its
-    # window and io_contamination() can adjudicate it.
-    from tools.io_probe import _io_probe_ms, _load_sentinel_ms
+    # window and io_contamination() can adjudicate it. The start edge
+    # is min-of-3 with settle-before-start as of r15 (same protocol
+    # bench.py adopted per VERDICT r14 #1; the end edge keeps its own
+    # sync + min-of-two-3s-apart protocol, which handles the audit's
+    # self-inflicted flush tail rather than ambient spikes).
+    from tools.io_probe import _io_probe_ms, _load_sentinel_ms, io_probe_edge
 
     sentinel_ms = _load_sentinel_ms()
-    io_start = _io_probe_ms()
+    io_start_edge = io_probe_edge(samples=3, settle_timeout_s=60.0)
+    io_start = io_start_edge["ms"]
     spark = get_spark(app_name="cold_audit")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -166,7 +171,16 @@ def main() -> None:
         io_end = min(x for x in (first, second) if x is not None) if (
             first is not None or second is not None
         ) else None
-        summary["io_probe_ms"] = {"start": io_start, "end": io_end}
+        summary["io_probe_ms"] = {
+            "start": io_start,
+            "end": io_end,
+            "start_samples": io_start_edge["samples"],
+            "end_samples": [x for x in (first, second) if x is not None],
+        }
+        if "settle_rounds" in io_start_edge:
+            summary["io_probe_ms"]["start_settle_rounds"] = io_start_edge[
+                "settle_rounds"
+            ]
         try:
             from compare_bench import io_contamination
 
