@@ -59,6 +59,21 @@ def main() -> None:
     from gostream_spark.registry import all_queries
     from gostream_spark.session import get_spark
 
+    # Same min-of-3 io edge the bench/cold instruments record (r15),
+    # so an adjudication row documents its own I/O window instead of
+    # relying on a separate hand-run probe. Import from THIS tree's
+    # tools (the probe may be pointed at an older --repo without it).
+    try:
+        sys.path.insert(
+            0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+        from tools.io_probe import io_probe_edge
+    except ImportError:  # pragma: no cover — running from an old tree
+        io_probe_edge = None
+    if io_probe_edge:
+        io0 = io_probe_edge(samples=3)
+        print(f"io probe start: min={io0['ms']} ms samples={io0['samples']}")
+
     s0 = _sentinel_ms()
     spark = get_spark(app_name="riser_probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,6 +92,9 @@ def main() -> None:
             trials.append(round(time.perf_counter() - t0, 3))
         print(f"{n}: best={min(trials):.3f}s trials={trials}")
     print(f"sentinel start={s0:.1f}ms end={_sentinel_ms():.1f}ms")
+    if io_probe_edge:
+        io1 = io_probe_edge(samples=3)
+        print(f"io probe end: min={io1['ms']} ms samples={io1['samples']}")
 
 
 if __name__ == "__main__":
