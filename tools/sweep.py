@@ -68,6 +68,18 @@ def main() -> int:
         "without an ordering, order-sensitive aggregates) that a "
         "shuffle-partition sweep cannot see",
     )
+    ap.add_argument(
+        "--duckdb-mem",
+        default=os.environ.get("SPARK_GRAFT_DUCKDB_MEM"),
+        help="DuckDB memory_limit (e.g. '64GB'). Default: DuckDB's own "
+        "default (80%% of RAM). At decade SFs set a cap WELL under "
+        "available RAM: an oracle whose operator state cannot spill "
+        "otherwise grows until the KERNEL OOM-kills the whole sweep "
+        "(observed r15: the sf3 full-registry sweep died at ~111 GB "
+        "anon RSS, zero engine failures at the time of death) — "
+        "capped, that one oracle raises OutOfMemoryException and is "
+        "reported as oracle-resource-bound instead of killing the run.",
+    )
     args = ap.parse_args()
     sf_dir = f"{args.root}/sf{args.sf}"
 
@@ -103,6 +115,8 @@ def main() -> int:
         qs = {n: f for n, f in qs.items() if n in keep}
 
     con = duckdb.connect()
+    if args.duckdb_mem:
+        con.execute(f"SET memory_limit='{args.duckdb_mem}'")
     for t in TABLES:
         # A table may be a single file OR a sharded directory (the
         # restage_sharded.py determinism axis) — glob the latter.
@@ -112,7 +126,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
-    bad, n_exact, n_rows = [], 0, 0
+    bad, oracle_oom, n_exact, n_rows = [], [], 0, 0
     for name, fn in qs.items():
         try:
             sdf = fn(spark, sf_dir)
@@ -121,7 +135,21 @@ def main() -> int:
                 for r in sdf.select(*sorted(sdf.columns)).collect()
             )
             if name in oracles:
-                ddf = con.execute(oracles[name]).fetchdf()
+                try:
+                    ddf = con.execute(oracles[name]).fetchdf()
+                except duckdb.OutOfMemoryException:
+                    # The ORACLE, not the engine, is resource-bound at
+                    # this SF: the Spark result above computed fine but
+                    # has nothing to compare against. Distinct category
+                    # and distinct exit code — NOT silently dropped,
+                    # NOT conflated with an engine failure.
+                    oracle_oom.append(name)
+                    print(
+                        f"ORACLE-OOM {name}: oracle exceeded the DuckDB "
+                        f"memory cap ({args.duckdb_mem}) — engine result "
+                        "uncompared at this SF"
+                    )
+                    continue
                 want = sorted(
                     tuple(canon_value(v) for v in row)
                     for row in ddf[sorted(ddf.columns)].itertuples(index=False)
@@ -137,11 +165,16 @@ def main() -> int:
         except Exception as e:  # surface, keep sweeping
             bad.append(f"{name} ({type(e).__name__})")
             print(f"ERROR {name}: {e}")
+    oom_note = (
+        f", oracle-resource-bound (uncompared): {oracle_oom}"
+        if oracle_oom
+        else ""
+    )
     print(
         f"sweep sf{args.sf}: {n_exact} exact-checked, {n_rows} rows-only, "
-        f"FAILURES: {bad or 'none'}"
+        f"FAILURES: {bad or 'none'}{oom_note}"
     )
-    return 1 if bad else 0
+    return 1 if bad else (2 if oracle_oom else 0)
 
 
 if __name__ == "__main__":
