@@ -42,10 +42,17 @@ single-task floor instead of the operator):
   The shift also decades the tumbling-window keyspace (10x distinct
   days), the one streaming state that id-salting alone leaves flat.
 
+- relational tables (r15): customer/orders/lineitem/part/supplier are
+  replicated as R disjoint sub-databases — every key column offset by
+  ``k * 10_000_000`` so FK edges stay inside a replica (joins fan out
+  1x, not Rx) while non-key values repeat verbatim (R-way exact value
+  ties: the shape that breaks any top-k/rank query lacking a total
+  ordering). region/nation stay shared symlinked dims. Pass
+  ``--no-tpch`` for the pre-r15 shape (relational tables symlinked at
+  sf0.1; only the documents/embeddings/events decade).
+
 Everything is deterministic (hash-based, no RNG), so reruns and
-cross-engine oracle checks reproduce bit-identically. The other
-eight tables are symlinked from sf0.1 so any query that loads a side
-table still resolves.
+cross-engine oracle checks reproduce bit-identically.
 """
 
 from __future__ import annotations
@@ -77,6 +84,13 @@ def main() -> int:
         action="store_true",
         help="replicate text verbatim (exact-duplicate stress regime) "
         "instead of salting tokens per replica",
+    )
+    ap.add_argument(
+        "--no-tpch",
+        action="store_true",
+        help="symlink the relational tables from --src instead of "
+        "replicating them (pre-r15 fixture shape: only documents/"
+        "embeddings/events decade; relational queries stay at sf0.1)",
     )
     args = ap.parse_args()
     shutil.rmtree(args.out, ignore_errors=True)
@@ -131,10 +145,52 @@ def main() -> int:
             f"TO '{evdir}/replica-{k}.parquet' (FORMAT PARQUET)"
         )
 
+    # Relational (TPC-H-shaped) tables: R disjoint sub-databases glued
+    # together — every key column gets the same per-replica offset, so
+    # FK edges stay INSIDE a replica (joins fan out 1x, not Rx) and the
+    # key spaces are disjoint. Non-key columns are verbatim: replicas
+    # therefore produce exact value TIES across the corpus (R copies of
+    # every group total under different keys), which is precisely the
+    # adversarial shape the registry's deterministic key tiebreakers
+    # must absorb — an engine/oracle divergence on any top-k/rank query
+    # without a total ordering surfaces here as a hash mismatch.
+    # region/nation stay shared dims (symlinked): their keysets are
+    # referenced by replicated FKs unchanged, mirroring how a real
+    # decade adds facts, not countries.
+    _TPCH_KEYS = {
+        "customer": ("c_custkey",),
+        "orders": ("o_orderkey", "o_custkey"),
+        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+        "part": ("p_partkey",),
+        "supplier": ("s_suppkey",),
+    }
     for t in TABLES:
         if t in ("documents", "embeddings", "events"):
             continue
-        os.symlink(f"{args.src}/{t}.parquet", f"{args.out}/{t}.parquet")
+        if t in _TPCH_KEYS and not args.no_tpch:
+            tdir = os.path.join(args.out, f"{t}.parquet")
+            os.makedirs(tdir)
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM "
+                    f"read_parquet('{args.src}/{t}.parquet')"
+                ).fetchall()
+            ]
+            for k in range(args.replicas):
+                sel = ", ".join(
+                    f"{c} + {k * ID_OFFSET} AS {c}"
+                    if c in _TPCH_KEYS[t]
+                    else c
+                    for c in cols
+                )
+                con.execute(
+                    f"COPY (SELECT {sel} FROM "
+                    f"read_parquet('{args.src}/{t}.parquet')) "
+                    f"TO '{tdir}/replica-{k}.parquet' (FORMAT PARQUET)"
+                )
+        else:
+            os.symlink(f"{args.src}/{t}.parquet", f"{args.out}/{t}.parquet")
 
     n_docs = con.execute(
         f"SELECT count(*) FROM read_parquet('{ddir}/*.parquet')"
@@ -165,6 +221,7 @@ def main() -> int:
     manifest = {
         "replicas": args.replicas,
         "salted": not args.verbatim,
+        "tpch_replicated": not args.no_tpch,
         "bm25_terms": [
             t if args.verbatim else f"{t}_0" for t in _BM25_TERMS
         ],
@@ -180,9 +237,13 @@ def main() -> int:
     with open(os.path.join(args.out, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
 
+    n_li = con.execute(
+        f"SELECT count(*) FROM read_parquet('{args.out}/lineitem.parquet"
+        + ("/*.parquet')" if not args.no_tpch else "')")
+    ).fetchone()[0]
     print(
         f"staged {args.out}: documents={n_docs} embeddings={n_vecs} "
-        f"events={n_ev}"
+        f"events={n_ev} lineitem={n_li}"
     )
     return 0
 
