@@ -80,6 +80,19 @@ def main() -> int:
         "capped, that one oracle raises OutOfMemoryException and is "
         "reported as oracle-resource-bound instead of killing the run.",
     )
+    ap.add_argument(
+        "--duckdb-temp",
+        default=os.environ.get("SPARK_GRAFT_DUCKDB_TEMP"),
+        help="DuckDB max_temp_directory_size (e.g. '40GB') — the DISK "
+        "twin of --duckdb-mem. A memory-capped oracle spills to "
+        ".tmp/duckdb_temp_* instead, and at decade SFs a quadratic "
+        "oracle can spill until the DEVICE fills (observed r15: the "
+        "ann_recall_at_k oracle at sf3 ate the 79 GB root disk and "
+        "died on 'No space left on device', with Spark shuffle spills "
+        "on the same device as collateral). Capped, the oracle raises "
+        "and is reported as oracle-resource-bound while the disk "
+        "stays usable for the engine arm.",
+    )
     args = ap.parse_args()
     sf_dir = f"{args.root}/sf{args.sf}"
 
@@ -117,6 +130,10 @@ def main() -> int:
     con = duckdb.connect()
     if args.duckdb_mem:
         con.execute(f"SET memory_limit='{args.duckdb_mem}'")
+    if args.duckdb_temp:
+        con.execute(
+            f"SET max_temp_directory_size='{args.duckdb_temp}'"
+        )
     for t in TABLES:
         # A table may be a single file OR a sharded directory (the
         # restage_sharded.py determinism axis) — glob the latter.
@@ -150,6 +167,25 @@ def main() -> int:
                         "uncompared at this SF"
                     )
                     continue
+                except duckdb.IOException as e:
+                    # Disk twin of the memory cap (r15: the sf3
+                    # ann_recall_at_k / graph_triangle_count oracles
+                    # spilled .tmp/duckdb_temp_* until the device
+                    # filled). Only the spill-exhaustion signature is
+                    # resource-bound; any other IO error (missing
+                    # fixture, corrupt parquet) stays a failure.
+                    if (
+                        "No space left" in str(e)
+                        or "max_temp_directory_size" in str(e)
+                    ):
+                        oracle_oom.append(name)
+                        print(
+                            f"ORACLE-DISK {name}: oracle spill exhausted "
+                            f"temp disk (cap {args.duckdb_temp or 'none'})"
+                            " — engine result uncompared at this SF"
+                        )
+                        continue
+                    raise
                 want = sorted(
                     tuple(canon_value(v) for v in row)
                     for row in ddf[sorted(ddf.columns)].itertuples(index=False)
