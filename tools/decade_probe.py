@@ -133,6 +133,10 @@ def main() -> None:
     if missing:
         raise SystemExit(f"not registered: {missing}")
     params = _manifest_params(opts.sf1_dir)
+    # Table label self-describes the probed fixture ("sf3" when
+    # pointed at .tmp/decadedata/sf3), so a PERF.md row pasted from
+    # the output names its actual scale step, not a hardcoded "sf1".
+    big = os.path.basename(os.path.normpath(opts.sf1_dir)) or "sf1"
     spark = get_spark(app_name="decade_probe")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -142,7 +146,7 @@ def main() -> None:
         ).save()
 
     checks: list[tuple[str, str]] = []
-    print("| Query | sf0.1 | sf1 | step | rows sf0.1 | rows sf1 |")
+    print(f"| Query | sf0.1 | {big} | step | rows sf0.1 | rows {big} |")
     print("|---|---|---|---|---|---|")
     for n in names:
         row = {}
@@ -172,7 +176,7 @@ def main() -> None:
             )
     if checks:
         print()
-        print("sf1 oracle re-checks (manifest-parameterized):")
+        print(f"{big} oracle re-checks (manifest-parameterized):")
         for n, verdict in checks:
             print(f"  {n}: {verdict}")
         if any(v != "ok" for _, v in checks):
