@@ -126,3 +126,125 @@ def test_replay_r13_record_flags_io_contamination():
     assert io == {"start": 441.46, "end": 44.6}
     reason = io_contamination(io)
     assert reason is not None and "441" in reason and "idle rerun" in reason
+
+from compare_bench import (  # noqa: E402
+    _load,
+    _recover_partial_queries,
+    _resolve_full_record,
+)
+
+R14_RECORD = os.path.join(REPO, "BENCH_r14.json")
+R15_RECORD = os.path.join(REPO, "BENCH_r15.json")
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(R14_RECORD) and os.path.exists(R15_RECORD)),
+    reason="r14/r15 driver wrappers not present",
+)
+def test_replay_load_driver_wrappers_resolve_full_records():
+    """VERDICT r15 #1: the documented `compare_bench BENCH_rN
+    BENCH_rN+1` invocation was dead for r13+ wrappers — the driver's
+    2000-char tail truncates before the 'queries' key, so _load raised
+    'not a bench record'. The wrapper must now resolve to the durable
+    full record (bench_out/history/ for superseded runs, the
+    full_record path for the latest) by run fingerprint, recovering
+    all 38 per-query timings, the trial lists, and the load probes."""
+    for path, total in ((R14_RECORD, 30.55), (R15_RECORD, 30.144)):
+        rec = _load(path)
+        assert len(rec["queries"]) == 38, path
+        assert rec["value"] == total, path
+        # Full-record instrumentation came along, not just the tail's
+        # partial pairs: every query has its trial list and load probe.
+        assert set(rec["query_trials_s"]) == set(rec["queries"]), path
+        assert set(rec["query_load_ms"]) == set(rec["queries"]), path
+        assert abs(sum(rec["queries"].values()) - total) < 0.02, path
+
+
+def test_resolve_full_record_rejects_stale_full_record_pointer(tmp_path):
+    """bench_latest.json is overwritten by every newer run; a wrapper
+    whose full_record pointer now names a DIFFERENT run must not be
+    resolved to it — the fingerprint gate rejects it (then the
+    history scan, empty here, also finds nothing)."""
+    out = tmp_path / "bench_out"
+    out.mkdir()
+    (out / "history").mkdir()
+    other_run = {
+        "value": 99.9,
+        "sentinel_ms": 50.0,
+        "io_probe_ms": {"start": 25.0, "end": 26.0},
+        "sf": 0.1,
+        "queries": {"q1": 99.9},
+    }
+    (out / "bench_latest.json").write_text(json.dumps(other_run))
+    # A fingerprint no real record (repo bench_out/ included) carries.
+    summary = {
+        "value": 123.456,
+        "sentinel_ms": 78.9,
+        "io_probe_ms": {"start": 11.11, "end": 22.22},
+        "sf": 0.1,
+        "n_queries": 38,
+        "full_record": "bench_out/bench_latest.json",
+    }
+    wrapper = tmp_path / "BENCH_rX.json"
+    wrapper.write_text(json.dumps({"parsed": summary, "tail": ""}))
+    assert _resolve_full_record(str(wrapper), summary) is None
+
+
+def test_resolve_full_record_ambiguous_history_refuses(tmp_path):
+    """Two history records with the same fingerprint: refuse to guess."""
+    out = tmp_path / "bench_out" / "history"
+    out.mkdir(parents=True)
+    rec = {
+        "value": 1.0,
+        "sentinel_ms": 50.0,
+        "io_probe_ms": {"start": 25.0, "end": 26.0},
+        "sf": 0.1,
+        "queries": {"q1": 1.0},
+    }
+    (out / "aaaa.json").write_text(json.dumps(rec))
+    (out / "bbbb.json").write_text(json.dumps(rec))
+    summary = {k: rec[k] for k in ("value", "sentinel_ms", "io_probe_ms", "sf")}
+    wrapper = tmp_path / "BENCH_rX.json"
+    wrapper.write_text(json.dumps({"parsed": summary, "tail": ""}))
+    with pytest.raises(SystemExit, match="multiple history"):
+        _resolve_full_record(str(wrapper), summary)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(R15_RECORD), reason="r15 driver wrapper not present"
+)
+def test_recover_partial_queries_from_real_r15_tail():
+    """The regex fallback on the REAL r15 tail (the one VERDICT r15
+    hand-parsed to 18 recoverable queries): complete '"name": secs'
+    pairs before the next top-level key, the orphan leading value
+    dropped, and no query_load_ms (millisecond) pairs bleeding in."""
+    with open(R15_RECORD) as f:
+        tail = json.load(f)["tail"]
+    pairs = _recover_partial_queries(tail)
+    assert 15 <= len(pairs) < 38
+    # Spot values straight from the tail text (seconds, not load-ms).
+    assert pairs["semantic_dedup_scaled"] == 0.911
+    assert pairs["winnowing_candidate_pairs"] == 0.981
+    assert all(v < 10 for v in pairs.values()), pairs
+    # The load-ms section (e.g. skew_salted_join: 59.81) is excluded —
+    # the recovered value is the seconds reading from the queries dict.
+    assert pairs["skew_salted_join"] == 0.423
+
+
+def test_load_falls_back_to_partial_tail_when_unresolvable(tmp_path, capsys):
+    """A wrapper with no resolvable full record but per-query pairs in
+    the truncated tail: _load warns and returns the partial set."""
+    tail = (
+        '1.139, "alpha": 0.911, "beta": 0.203, '
+        '"sentinel_ms": 56.55, "query_load_ms": {"alpha": 59.81}, "sf": 0.1}\n'
+        '{"metric": "headline_queries_wall_clock", "value": 30.1, '
+        '"unit": "sec", "n_queries": 38}\n'
+    )
+    wrapper = tmp_path / "BENCH_rX.json"
+    wrapper.write_text(
+        json.dumps({"parsed": {"value": 30.1, "n_queries": 38}, "tail": tail})
+    )
+    rec = _load(str(wrapper))
+    assert rec["queries"] == {"alpha": 0.911, "beta": 0.203}
+    out = capsys.readouterr().out
+    assert "recovered 2/38" in out and "NOT comparable" in out

@@ -130,3 +130,49 @@ def test_no_tpch_keeps_symlink_shape(staged_no_tpch):
     assert _count(f"{staged_no_tpch}/lineitem.parquet") == _count(
         f"{SRC}/lineitem.parquet"
     )
+
+
+def test_offset_headroom_guard_refuses_oversized_keys(tmp_path):
+    """ADVICE r15: a source whose key values reach ID_OFFSET would
+    stage replicas with OVERLAPPING key spaces (FK edges crossing
+    replicas, joins fanning out Rx) — the stager must refuse at stage
+    time, before writing anything. Build a source with one oversized
+    l_orderkey and check the refusal names table, column, and cap."""
+    src = tmp_path / "badsrc"
+    src.mkdir()
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{src}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"COPY (SELECT * REPLACE (l_orderkey + 10_000_000 AS l_orderkey) "
+        f"FROM read_parquet('{SRC}/lineitem.parquet')) "
+        f"TO '{src}/lineitem.parquet' (FORMAT PARQUET)"
+    )
+    out = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "restage_decade.py"),
+            "--src",
+            str(src),
+            "--replicas",
+            "2",
+            "--out",
+            str(out),
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode != 0
+    msg = proc.stderr + proc.stdout
+    assert "lineitem.l_orderkey" in msg
+    assert "10000000" in msg or "ID_OFFSET" in msg
+    assert "refusing to stage" in msg
+    # Refusal happens BEFORE the output tree is touched.
+    assert not out.exists()

@@ -71,6 +71,46 @@ from gostream_spark.io import TABLES  # noqa: E402
 
 ID_OFFSET = 10_000_000
 
+# Key columns that receive the per-replica offset (used both by the
+# staging loop and the headroom guard below).
+_TPCH_KEYS = {
+    "customer": ("c_custkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "part": ("p_partkey",),
+    "supplier": ("s_suppkey",),
+}
+_CORE_KEYS = {
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id", "user_id"),
+}
+
+
+def _assert_offset_headroom(con, src: str, no_tpch: bool) -> None:
+    """ADVICE r15: replica key disjointness silently breaks if any
+    source key value >= ID_OFFSET (e.g. a TPC-H source around sf1.7+,
+    where l_orderkey exceeds 10M) — joins would then fan out across
+    replicas and nothing downstream would notice except wrong decade
+    numbers. One cheap SELECT max() per table at stage time; fail
+    loudly instead of staging a corrupt fixture."""
+    keys = dict(_CORE_KEYS)
+    if not no_tpch:
+        keys.update(_TPCH_KEYS)
+    for t, cols in sorted(keys.items()):
+        exprs = ", ".join(f"max({c})" for c in cols)
+        row = con.execute(
+            f"SELECT {exprs} FROM read_parquet('{src}/{t}.parquet')"
+        ).fetchone()
+        for c, v in zip(cols, row):
+            if v is not None and v >= ID_OFFSET:
+                raise SystemExit(
+                    f"{t}.{c} max {v} >= ID_OFFSET {ID_OFFSET}: replica "
+                    "key spaces would overlap (FK edges would cross "
+                    "replicas and joins fan out Rx) — refusing to stage "
+                    "a corrupt fixture. Raise ID_OFFSET for this source."
+                )
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -93,8 +133,9 @@ def main() -> int:
         "embeddings/events decade; relational queries stay at sf0.1)",
     )
     args = ap.parse_args()
-    shutil.rmtree(args.out, ignore_errors=True)
     con = duckdb.connect()
+    _assert_offset_headroom(con, args.src, args.no_tpch)
+    shutil.rmtree(args.out, ignore_errors=True)
 
     ddir = os.path.join(args.out, "documents.parquet")
     os.makedirs(ddir)
@@ -157,13 +198,6 @@ def main() -> int:
     # region/nation stay shared dims (symlinked): their keysets are
     # referenced by replicated FKs unchanged, mirroring how a real
     # decade adds facts, not countries.
-    _TPCH_KEYS = {
-        "customer": ("c_custkey",),
-        "orders": ("o_orderkey", "o_custkey"),
-        "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
-        "part": ("p_partkey",),
-        "supplier": ("s_suppkey",),
-    }
     for t in TABLES:
         if t in ("documents", "embeddings", "events"):
             continue

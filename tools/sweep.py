@@ -171,13 +171,15 @@ def main() -> int:
                     # Disk twin of the memory cap (r15: the sf3
                     # ann_recall_at_k / graph_triangle_count oracles
                     # spilled .tmp/duckdb_temp_* until the device
-                    # filled). Only the spill-exhaustion signature is
-                    # resource-bound; any other IO error (missing
-                    # fixture, corrupt parquet) stays a failure.
-                    if (
-                        "No space left" in str(e)
-                        or "max_temp_directory_size" in str(e)
-                    ):
+                    # filled). Only the ENOSPC spill-exhaustion
+                    # signature is resource-bound; any other IO error
+                    # (missing fixture, corrupt parquet) stays a
+                    # failure. Note (ADVICE r15): hitting the
+                    # max_temp_directory_size cap itself surfaces as
+                    # OutOfMemoryException ("failed to offload data
+                    # block..."), caught by the handler above — there
+                    # is no IOException substring for it.
+                    if "No space left" in str(e):
                         oracle_oom.append(name)
                         print(
                             f"ORACLE-DISK {name}: oracle spill exhausted "
