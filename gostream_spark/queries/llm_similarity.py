@@ -1386,16 +1386,28 @@ def semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- L3/L5 ext: kNN label-disagreement (mislabel candidates) ------------
 
-_MISLABEL_ORACLE = f"""
+def mislabel_oracle(probe_below: int | None = None) -> str:
+    """DuckDB oracle for ``knn_label_disagreement`` with an optional
+    probe-panel bound (VERDICT r15 #2): at decade fixtures the
+    probes-x-corpus pair join is what blows the one-box oracle's
+    memory/spill caps, so the decade sweep bounds the PROBE side to
+    replica 0 (`vec_id < ID_OFFSET`) in BOTH arms — the neighbor
+    corpus stays the full input, so the ground truth is still a
+    full-corpus neighbor search, just for a fixed panel. Default
+    (None) reproduces the registered oracle exactly."""
+    probe = f" AND vec_id < {probe_below}" if probe_below is not None else ""
+    return f"""
 WITH sub AS (
   SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+), probes AS (
+  SELECT vec_id, embedding, label FROM sub WHERE TRUE{probe}
 ), pairs AS (
   SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
          row_number() OVER (
            PARTITION BY a.vec_id
            ORDER BY round({_duck_cosine('a.embedding', 'b.embedding')}, 6) DESC,
                     b.vec_id) AS rn
-  FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+  FROM probes a JOIN sub b ON a.vec_id <> b.vec_id
 ), votes AS (
   SELECT vec_id, own_label, nb_label, count(*) AS v
   FROM pairs WHERE rn <= 5 GROUP BY vec_id, own_label, nb_label
@@ -1411,8 +1423,13 @@ WHERE voted_label <> own_label AND n_votes >= 3
 """
 
 
+_MISLABEL_ORACLE = mislabel_oracle()
+
+
 @register("knn_label_disagreement", oracle=_MISLABEL_ORACLE, tags=("L3", "L5", "ext"))
-def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+def knn_label_disagreement(
+    spark: SparkSession, sf_dir: str, probe_below: int | None = None
+) -> DataFrame:
     """Label-noise detection by NEIGHBOR VOTE (the Confident-Learning
     / cleanlab family's simplest member): a vector whose 5 nearest
     neighbors majority-vote a DIFFERENT label (>=3 of 5) is a
@@ -1433,7 +1450,15 @@ def knn_label_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", "embedding", "label", l2_norm(F.col("embedding")).alias("nrm")
         )
     )
-    a = sub.select(
+    # probe_below (decade-sweep knob, default None = every subset
+    # vector probes): bound the PROBE side while the neighbor corpus
+    # stays full — panel x corpus, not corpus x corpus, so the decade
+    # sweep's one-box oracle stays inside its resource caps while the
+    # engine arm still searches the entire input per probe (r15 #2).
+    probes = (
+        sub if probe_below is None else sub.filter(F.col("vec_id") < probe_below)
+    )
+    a = probes.select(
         F.col("vec_id"),
         F.col("label").alias("own_label"),
         F.col("embedding").alias("ea"),

@@ -230,7 +230,18 @@ def skew_profile_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- L3 ext: ANN quality evaluation — recall@10 of IVF vs exact ---------
 
-_RECALL_ORACLE = f"""
+def recall_oracle(probe_below: int | None = None) -> str:
+    """DuckDB oracle for ``ann_recall_at_k`` with an optional
+    probe-panel bound (VERDICT r15 #2): the exact ground-truth arm is
+    deliberately panel x corpus, and at decade fixtures an UNBOUNDED
+    panel (every 25th vector of the whole decade) makes that product
+    quadratic in corpus size — the one-box oracle's spill filled the
+    device at sf3. Bounding the panel to replica 0 in BOTH arms keeps
+    ground truth a full-corpus search per probe while the oracle's
+    work stays linear in corpus. Default (None) reproduces the
+    registered oracle exactly."""
+    probe = f" AND vec_id < {probe_below}" if probe_below is not None else ""
+    return f"""
 WITH elems AS (
   SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
   FROM embeddings
@@ -242,7 +253,8 @@ WITH elems AS (
 ), centroids AS (
   SELECT label AS c_label, list(c ORDER BY pos) AS cv FROM cent_elems GROUP BY label
 ), probes AS (
-  SELECT vec_id AS probe_id, embedding AS qv FROM embeddings WHERE vec_id % 25 = 0
+  SELECT vec_id AS probe_id, embedding AS qv FROM embeddings
+  WHERE vec_id % 25 = 0{probe}
 ), cellrank AS (
   SELECT p.probe_id, c.c_label,
          row_number() OVER (PARTITION BY p.probe_id
@@ -278,8 +290,13 @@ GROUP BY x.probe_id
 """
 
 
+_RECALL_ORACLE = recall_oracle()
+
+
 @register("ann_recall_at_k", oracle=_RECALL_ORACLE, tags=("L3", "L5", "ext"))
-def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_recall_at_k(
+    spark: SparkSession, sf_dir: str, probe_below: int | None = None
+) -> DataFrame:
     """ANN QUALITY EVALUATION — the measurement loop every
     approximate-index deployment runs before trusting it: for a probe
     panel (every 25th vector), compute exact brute-force top-10 AND
@@ -309,8 +326,17 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
         ).alias("cv")
     )
+    # probe_below (decade-sweep knob, default None = every 25th vector
+    # probes): bound the panel to replica 0 at decade fixtures so the
+    # ground-truth product stays panel x corpus — linear in corpus —
+    # in both arms, instead of growing quadratically with the decade
+    # input (VERDICT r15 #2). The exact/IVF arms still search the
+    # ENTIRE input per probe.
+    panel = emb.filter(F.col("vec_id") % 25 == 0)
+    if probe_below is not None:
+        panel = panel.filter(F.col("vec_id") < probe_below)
     probes = F.broadcast(
-        emb.filter(F.col("vec_id") % 25 == 0).select(
+        panel.select(
             F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qv")
         )
     )

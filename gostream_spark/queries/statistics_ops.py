@@ -816,10 +816,30 @@ def user_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Graph analytics: triangle counting on the co-occurrence graph ------
 
-_TRIANGLE_ORACLE = """
+def triangle_oracle(orderkey_below: int | None = None) -> str:
+    """DuckDB oracle for ``graph_triangle_count`` with an optional
+    replica bound (VERDICT r15 #2): the decade restager builds R
+    disjoint sub-databases (every lineitem/part key offset per
+    replica, non-key columns — including p_brand — verbatim), so the
+    corpus co-occurrence graph is exactly R identical copies merged:
+    per-pair support s = R * s_replica0 for EVERY pair, the discrete
+    quantile threshold scales by the same R, and the thresholded edge
+    set — hence the triangle counts — is identical to replica 0's.
+    An oracle restricted to replica 0 (`l_orderkey < ID_OFFSET`) is
+    therefore exact for the FULL decade input by construction, while
+    its self-join stays sf0.1-sized; the engine arm runs the whole
+    input unscoped. Default (None) reproduces the registered oracle
+    (the invariants are pinned by tests/test_restage_decade.py and
+    the sweep's replica-consistency check)."""
+    filt = (
+        f"\n  WHERE l_orderkey < {orderkey_below}"
+        if orderkey_below is not None
+        else ""
+    )
+    return f"""
 WITH bl AS (
   SELECT DISTINCT l_orderkey, p_brand
-  FROM lineitem JOIN part ON p_partkey = l_partkey
+  FROM lineitem JOIN part ON p_partkey = l_partkey{filt}
 ), co_all AS (
   SELECT a.p_brand AS ba, b.p_brand AS bb, CAST(count(*) AS BIGINT) AS s
   FROM bl a JOIN bl b
@@ -841,6 +861,9 @@ SELECT brand, CAST(count(*) AS BIGINT) AS n_triangles FROM (
   UNION ALL SELECT c FROM tri
 ) GROUP BY brand
 """
+
+
+_TRIANGLE_ORACLE = triangle_oracle()
 
 
 @register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("J1", "A1", "ext"))

@@ -78,3 +78,71 @@ def test_salted_phi_changes_mg_capacity():
     big = list(_mg_candidates_fn(100)(iter([batch])))[0]
     assert len(small) <= 4
     assert set(big["token"]) == {"a", "b", "c", "d", "e", "f"}
+
+
+def test_quadratic_evaluator_builders_reproduce_registered_oracles():
+    """r16 (VERDICT r15 #2): the three quadratic ground-truth
+    evaluators grew probe/replica scoping knobs for decade sweeps —
+    contract freeze requires their builders at defaults to BE the
+    registered oracles."""
+    from gostream_spark.queries.llm_similarity import mislabel_oracle
+    from gostream_spark.queries.skew_and_ivf import recall_oracle
+    from gostream_spark.queries.statistics_ops import triangle_oracle
+
+    assert mislabel_oracle() == get_query("knn_label_disagreement").oracle
+    assert recall_oracle() == get_query("ann_recall_at_k").oracle
+    assert triangle_oracle() == get_query("graph_triangle_count").oracle
+
+
+def test_quadratic_evaluator_scoped_oracles_differ_from_defaults():
+    from gostream_spark.queries.llm_similarity import mislabel_oracle
+    from gostream_spark.queries.skew_and_ivf import recall_oracle
+    from gostream_spark.queries.statistics_ops import triangle_oracle
+
+    assert "vec_id < 10000000" in mislabel_oracle(10_000_000)
+    assert "vec_id < 10000000" in recall_oracle(10_000_000)
+    assert "l_orderkey < 10000000" in triangle_oracle(10_000_000)
+
+
+def test_probe_below_default_matches_two_arg_call(spark, sf_dir):
+    """An explicit probe_below ABOVE every fixture id must equal the
+    registered two-arg call row-for-row (default-preserving knob),
+    and a bound of 0 must empty the probe side."""
+    from gostream_spark.queries.llm_similarity import knn_label_disagreement
+    from gostream_spark.queries.skew_and_ivf import ann_recall_at_k
+
+    for fn in (knn_label_disagreement, ann_recall_at_k):
+        plain = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        knobbed = sorted(
+            map(tuple, fn(spark, sf_dir, probe_below=10_000_000).collect())
+        )
+        assert plain == knobbed, fn.__name__
+        assert fn(spark, sf_dir, probe_below=0).count() == 0, fn.__name__
+
+
+def test_decade_scope_only_fires_on_manifested_fixtures(tmp_path):
+    """scoped_overrides is keyed on the restager's manifest.json: the
+    driver-gate fixtures must sweep byte-for-byte unscoped."""
+    import json as _json
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from tools.decade_scope import scoped_overrides
+
+    assert scoped_overrides("/root/testdata/sf0.01") == {}
+    assert scoped_overrides(str(tmp_path)) == {}
+    (tmp_path / "manifest.json").write_text(_json.dumps({"replicas": 3}))
+    ov = scoped_overrides(str(tmp_path))
+    assert set(ov) == {
+        "knn_label_disagreement",
+        "ann_recall_at_k",
+        "graph_triangle_count",
+    }
+    # knn/ann scope BOTH arms; triangle scopes only the oracle.
+    assert ov["knn_label_disagreement"][0] == {"probe_below": 10_000_000}
+    assert ov["ann_recall_at_k"][0] == {"probe_below": 10_000_000}
+    assert ov["graph_triangle_count"][0] == {}
+    assert "l_orderkey < 10000000" in ov["graph_triangle_count"][1]

@@ -176,3 +176,29 @@ def test_offset_headroom_guard_refuses_oversized_keys(tmp_path):
     assert "refusing to stage" in msg
     # Refusal happens BEFORE the output tree is touched.
     assert not out.exists()
+
+
+def test_triangle_oracle_replica_scoping_exact_on_replicated_fixture(staged):
+    """r16 (VERDICT r15 #2): the decade sweep checks the UNSCOPED
+    engine arm of graph_triangle_count against a replica-0-restricted
+    oracle, on the argument that verbatim non-key columns + in-replica
+    order keys make per-pair support exactly R * s_replica0, so the
+    quantile-thresholded edge set — hence triangle counts — equals
+    replica 0's. Pin the argument on the staged fixture: the full
+    unscoped oracle and the replica-0-scoped oracle must return
+    identical rows."""
+    sys.path.insert(0, REPO)
+    from gostream_spark.queries.statistics_ops import triangle_oracle
+    from tools.restage_decade import ID_OFFSET
+
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{staged}/{t}.parquet/*.parquet')"
+        )
+    full = sorted(map(tuple, con.execute(triangle_oracle()).fetchall()))
+    scoped = sorted(
+        map(tuple, con.execute(triangle_oracle(ID_OFFSET)).fetchall())
+    )
+    assert full and full == scoped

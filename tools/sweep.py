@@ -127,6 +127,28 @@ def main() -> int:
         keep = set(args.only.split(","))
         qs = {n: f for n, f in qs.items() if n in keep}
 
+    # Decade fixtures (restage_decade.py manifests): scope the three
+    # quadratic ground-truth evaluators so the one-box oracle stays
+    # inside its resource caps while the engine arm runs the full
+    # input (VERDICT r15 #2) — probe panels bounded to replica 0 in
+    # both arms (knn/ann), oracle-side replica restriction where the
+    # replication invariant makes it exact (triangle). Empty on plain
+    # fixtures: the driver-gate sweep is unaffected.
+    from tools.decade_scope import scoped_overrides
+
+    overrides = scoped_overrides(sf_dir)
+    for n, (kw, _) in sorted(overrides.items()):
+        if n in qs:
+            print(
+                f"DECADE-SCOPED {n}: "
+                + (
+                    f"probe panel bounded to replica 0 ({kw}) in both arms"
+                    if kw
+                    else "oracle restricted to replica 0 (exact by the "
+                    "replication invariant); engine arm unscoped"
+                )
+            )
+
     con = duckdb.connect()
     if args.duckdb_mem:
         con.execute(f"SET memory_limit='{args.duckdb_mem}'")
@@ -146,14 +168,15 @@ def main() -> int:
     bad, oracle_oom, n_exact, n_rows = [], [], 0, 0
     for name, fn in qs.items():
         try:
-            sdf = fn(spark, sf_dir)
+            kw, scoped_sql = overrides.get(name, ({}, None))
+            sdf = fn(spark, sf_dir, **kw)
             got = sorted(
                 tuple(canon_value(v) for v in r)
                 for r in sdf.select(*sorted(sdf.columns)).collect()
             )
             if name in oracles:
                 try:
-                    ddf = con.execute(oracles[name]).fetchdf()
+                    ddf = con.execute(scoped_sql or oracles[name]).fetchdf()
                 except duckdb.OutOfMemoryException:
                     # The ORACLE, not the engine, is resource-bound at
                     # this SF: the Spark result above computed fine but
