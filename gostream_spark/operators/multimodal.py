@@ -3,7 +3,7 @@ payloads + typed metadata structs, with Pandas-UDF decode plumbing.
 
 The fixtures carry no real image/audio bytes, and this container has
 no codec libraries (PIL/cv2/soundfile/librosa/av/imageio re-checked
-absent each round through r9, 2026-08-15) — so the DECODE step is stubbed (a clearly-marked
+absent each round through r16, 2026-08-17) — so the DECODE step is stubbed (a clearly-marked
 NotImplementedError for real codecs, a deterministic byte-level fake
 for tests), while everything Spark-side is real and load-bearing at
 100 TB: the (payload BINARY, meta STRUCT) schema, partition-inherited

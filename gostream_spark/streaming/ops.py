@@ -118,7 +118,7 @@ def running_count_stateful(events: DataFrame) -> DataFrame:
     composite state) is the intended upgrade, but its Python driver
     worker requires ``google.protobuf``, which this environment lacks
     (verified: STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE
-    ImportError; gate re-checked absent each round through r9 (2026-08-15))
+    ImportError; gate re-checked absent each round through r16 (2026-08-17))
     — on a cluster image with protobuf, swap this
     function's body for a StatefulProcessor with the same state
     schema; the operator contract is unchanged."""
