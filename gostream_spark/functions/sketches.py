@@ -32,6 +32,53 @@ def _hexval(tok: Column, p: int) -> Column:
     ).cast("double")
 
 
+def simhash_nibbles(md5s: Column) -> Column:
+    """Per-token nibble pack for the fast SimHash path (r16): ONE
+    ``conv`` turns each md5's first 15 hex digits into a 60-bit long
+    (15 digits so the unsigned value stays under 2^63 — a 16-digit
+    conv could overflow the BIGINT cast), plus the 16th digit as a
+    double. ``simhash_from_nibbles`` then reads each bit's digit with
+    a shift/mask instead of a per-(token, bit) substring+instr string
+    scan. Callers must materialize this array in its OWN projection
+    (same CollapseProject rationale as the md5 array: the column is
+    referenced once per bit)."""
+    return F.transform(
+        md5s,
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("v"),
+            (F.instr(F.lit(_HEXDIGITS), F.substring(h, 16, 1)) - 1)
+            .cast("double")
+            .alias("d15"),
+        ),
+    )
+
+
+def simhash_from_nibbles(hv_col_name: str, bits: int = 16) -> Column:
+    """SimHash fingerprint from a materialized ``simhash_nibbles``
+    column (named, because the expression is built in SQL text): bit p
+    is the sign of the sum over tokens of (digit_p - 7.5), digit_p
+    extracted with ``(v >> shift) & 15`` — integer ops replacing the
+    old per-(token, bit) substring+instr, measured 1.163 s → 0.720 s
+    end-to-end on ``simhash_dedup`` at sf0.1. The per-token digit
+    VALUES and the left-to-right float64 fold are identical to the
+    substring form, so fingerprints are bit-for-bit unchanged (and
+    still DuckDB-reproducible — the oracle keeps hashing hex text).
+    Supports bits <= 16 (digit 15 rides separately as ``d15``)."""
+    if bits > 16:
+        raise ValueError("simhash_from_nibbles supports at most 16 bits")
+
+    def bit_expr(p: int) -> str:
+        digit = (
+            f"CAST((x.v >> {4 * (14 - p)}) & 15 AS DOUBLE)" if p < 15 else "x.d15"
+        )
+        return (
+            f"CAST((aggregate({hv_col_name}, CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + ({digit} - 7.5D)) > 0) AS INT) * {2 ** p}"
+        )
+
+    return F.expr(" + ".join(bit_expr(p) for p in range(bits)))
+
+
 def simhash_from_md5s(md5s: Column, bits: int = 16) -> Column:
     """SimHash fingerprint from a PRE-HASHED md5-hex array: bit p is
     the sign of the sum over tokens of (hex-digit_p - 7.5). Callers
@@ -40,7 +87,10 @@ def simhash_from_md5s(md5s: Column, bits: int = 16) -> Column:
     merge a non-cheap alias referenced ``bits`` times, so the md5
     runs ONCE per token instead of once per (token, bit) — 16× less
     hash work, measured ~25% faster end-to-end at sf0.1 and the
-    dominant cost at corpus scale."""
+    dominant cost at corpus scale. Hot paths should go one step
+    further and materialize ``simhash_nibbles`` too (see
+    ``simhash_from_nibbles``); this single-expression form is kept
+    for the property tests and as the readable reference."""
 
     def hexval(h: Column, p: int) -> Column:
         return (

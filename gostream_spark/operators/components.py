@@ -49,21 +49,37 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     id_col = nodes.columns[0]
     labels = nodes.select(F.col(id_col).alias("id")).withColumn("lbl", F.col("id"))
-    for _ in range(max_iter):
+
+    def propagate(lbls: DataFrame) -> DataFrame:
         nbr_min = (
-            sym.join(labels.withColumnRenamed("id", "src"), "src")
+            sym.join(lbls.withColumnRenamed("id", "src"), "src")
             .groupBy("dst")
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("dst", "id")
         )
-        proposed = labels.join(nbr_min, "id", "left").select(
+        return lbls.join(nbr_min, "id", "left").select(
             "id",
             F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
             F.col("lbl").alias("old_lbl"),
         )
-        proposed = proposed.localCheckpoint(eager=True)
-        changed = proposed.filter(F.col("lbl") < F.col("old_lbl")).count()
-        labels = proposed.select("id", "lbl")
+
+    # r16: TWO propagation rounds per materialize/convergence-check
+    # cycle. The fixpoint is unique, label updates are monotone
+    # (least), and a propagation at the fixpoint is the identity, so
+    # checking only every second round changes nothing semantically —
+    # it halves the per-round fixed cost (one localCheckpoint job +
+    # one count job each) that dominates on the shallow near-clique
+    # graphs banding produces (diameter 2-3). A round-2 no-change
+    # still certifies the fixpoint: labels can only fall, so if round
+    # 2k..2k+1 moved nothing, nothing will move again. Worst-case
+    # round budget is unchanged (max_iter propagations). Measured on
+    # neardup_cluster_components at sf0.1: 1.543 s vs 1.807 s.
+    for _ in range(max(max_iter // 2, 1)):
+        p1 = propagate(labels).select("id", "lbl")
+        p2 = propagate(p1)
+        p2 = p2.localCheckpoint(eager=True)
+        changed = p2.filter(F.col("lbl") < F.col("old_lbl")).count()
+        labels = p2.select("id", "lbl")
         if changed == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster"))

@@ -195,12 +195,11 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pushed into the parquet scan) → quality score (row-local array
     math, same integer-basis-points formula as `text_quality_score`)
     → exact content dedup keeping the lowest doc_id → per (lang,
-    source) corpus stats. One pipeline, one shuffle for the dedup
-    (partitioned by text) plus one tiny aggregate exchange — the
-    shape that holds at 100 TB: everything before the dedup is
+    source) corpus stats. One pipeline, one partial→final aggregate
+    for the dedup (keyed on text) plus one tiny aggregate exchange —
+    the shape that holds at 100 TB: everything before the dedup is
     embarrassingly parallel map work, and the dedup exchange can key
     on xxhash64(text) so full documents never cross the wire twice."""
-    from gostream_spark.operators import keep_first
     from gostream_spark.queries.llm_text import STOPWORDS, _toks
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -218,18 +217,29 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "text",
         n.alias("n_tokens"), quality_bp.alias("quality_bp"),
     ).filter(quality_bp >= 5000)
-    from pyspark.sql import Window
-
-    with_copies = scored.withColumn(
-        "copies", F.count(F.lit(1)).over(Window.partitionBy("text"))
+    # r16: the dedup is a hash AGGREGATE keyed on text — min(struct)
+    # picks the lowest-doc_id copy (doc_id leads the struct and is
+    # unique, so the comparison never reaches the other fields) and
+    # count(*) is the copy count. The old form (count + row_number
+    # windows partitioned by text) sorted the full corpus by document
+    # text and handed a viral duplicate's entire copy set to one window
+    # partition; min/count partial-aggregate map-side, so a million-copy
+    # boilerplate page collapses to one row per map task before the
+    # exchange — strictly better at the Zipf head — and the sort
+    # disappears. Measured at sf0.1: 0.685 s vs 0.780 s interleaved;
+    # plan: Window+Sort → HashAggregate (partial→final).
+    per_text = scored.groupBy("text").agg(
+        F.min(F.struct("doc_id", "lang", "source", "n_tokens", "quality_bp")).alias("k"),
+        F.count(F.lit(1)).alias("copies"),
     )
-    deduped = keep_first(with_copies, keys=["text"], order_by=["doc_id"])
-    return deduped.groupBy("lang", "source").agg(
+    return per_text.groupBy(
+        F.col("k.lang").alias("lang"), F.col("k.source").alias("source")
+    ).agg(
         F.count(F.lit(1)).alias("docs_kept"),
         F.sum(F.col("copies") - 1).cast("bigint").alias("dups_removed"),
-        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("k.n_tokens").cast("bigint").alias("total_tokens"),
         F.round(
-            F.sum("quality_bp").cast("double") / F.count(F.lit(1)), 2
+            F.sum("k.quality_bp").cast("double") / F.count(F.lit(1)), 2
         ).alias("avg_quality_bp"),
     )
 

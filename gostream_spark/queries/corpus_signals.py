@@ -76,16 +76,18 @@ def dup_ngram_fraction(
     dedup (L1) and MinHash (L2) both miss. Distinct grams per doc, so
     a doc repeating its own phrase is not self-penalized.
 
-    Plan: explode distinct grams (map-side), one shuffle to count
-    documents per gram, one shuffle to join the count back and
-    re-aggregate per doc_id, left join onto the doc spine to keep
-    sub-5-token documents with n_grams = 0. Both corpus-scale
-    exchanges shuffle the 8-byte xxhash64 key of the gram, not the
-    ~40-60-byte gram string (the ``docs_dedup_digest`` discipline:
-    the digest is computed once map-side and the exchange shrinks
-    4-7x; collision bound in the digest-knob note below).
-    ``floor`` of a single exact-dividend IEEE
-    division keeps the ratio integer-deterministic across
+    Plan (r16 singleton-ownership form): explode distinct grams
+    (map-side), ONE corpus-scale shuffle aggregating (count, min
+    owner) per gram class, a vocabulary-scale re-aggregate of the
+    singleton classes to per-doc unique counts, and a doc-scale left
+    join onto the spine (which carries the row-local n_grams);
+    dup_grams = n_grams - n_uniq. The old join of the full gram
+    stream back onto the frequency table is gone — see the in-body
+    note. The one remaining corpus-scale exchange shuffles the 8-byte
+    xxhash64 key of the gram, not the ~40-60-byte gram string (the
+    ``docs_dedup_digest`` discipline; collision bound in the
+    digest-knob note below). ``floor`` of a single exact-dividend
+    IEEE division keeps the ratio integer-deterministic across
     engines."""
     docs = spread_for_compute(
         load_table(spark, sf_dir, "documents"), spark
@@ -133,23 +135,50 @@ def dup_ngram_fraction(
         .filter(F.col("gram_str").isNotNull())
         .select("doc_id", gram_key.alias("gram"))
     )
-    gdf = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs_with"))
-    per_doc = (
-        g.join(gdf, "gram")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.when(F.col("n_docs_with") >= 2, 1).otherwise(0)).alias("dup_grams"),
-        )
+    # r16 singleton-ownership rewrite (guide §2.3/§2.4): dup_grams ==
+    # n_grams - (# grams UNIQUE corpus-wide that this doc owns), so the
+    # join of the FULL gram stream back onto the gram-frequency table —
+    # the old plan's second and third gram-scale exchanges — is
+    # unnecessary. One aggregate over the gram stream carries (count,
+    # min owner) per gram class (both partial-aggregable: a viral
+    # boilerplate gram still collapses map-side, no skew-join needed
+    # because there is no longer any join keyed on the gram); the
+    # singleton classes — one ROW per class, bounded by vocabulary, not
+    # corpus — re-aggregate to per-doc unique-gram counts; n_grams is
+    # row-local (size of the distinct-gram array). Exact under hash
+    # collisions too: a collision merges two classes in BOTH
+    # formulations identically (count>=2 ⇒ every merged occurrence was
+    # dup-counted before, and none is singleton-owned now). Measured
+    # at sf0.1 (interleaved best-of-5): 1.425 s vs 1.543 s, with the
+    # gram-stream join-back exchange gone from the plan (3 gram-scale
+    # exchanges → 1).
+    gdf = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_docs_with"), F.min("doc_id").alias("owner")
     )
-    spine = docs.select("doc_id")
-    return spine.join(per_doc, "doc_id", "left").select(
+    uniq = (
+        gdf.filter(F.col("n_docs_with") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_uniq"))
+    )
+    spine = docs.select(
         "doc_id",
-        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-        F.coalesce("dup_grams", F.lit(0)).alias("dup_grams"),
+        F.when(n >= _NGRAM, F.coalesce(F.size(grams), F.lit(0)))
+        .otherwise(0)
+        .alias("n_grams"),
+    )
+    return spine.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        (F.col("n_grams") - F.coalesce("n_uniq", F.lit(0)))
+        .cast("long")
+        .alias("dup_grams"),
         F.when(
             F.col("n_grams") > 0,
-            F.floor(10000.0 * F.col("dup_grams") / F.col("n_grams")).cast("bigint"),
+            F.floor(
+                10000.0
+                * (F.col("n_grams") - F.coalesce("n_uniq", F.lit(0)))
+                / F.col("n_grams")
+            ).cast("bigint"),
         ).alias("dup_bp"),
     )
 
@@ -310,14 +339,28 @@ def source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``unigram_logprob_quality`` discipline): the per-source sum is
     exact-integer, order-proof; the probability ratio feeding ln is
     one division of exact sub-2^53 integer products, identical on
-    both engines. Two token-keyed shuffles + broadcast-size totals;
-    the per-source term table is |source|×|vocab| at worst — linear
-    in vocabulary, never in corpus size."""
+    both engines.
+
+    r16 single-pass rewrite (guide §2.3 "aggregate before you
+    shuffle"): the corpus-wide token counts are the SUM over sources
+    of the per-source counts, so the second full token explode +
+    token-keyed shuffle of the old plan is unnecessary — ``ct``,
+    ``stot`` and ``tot`` all derive from ``st``, whose cardinality is
+    |source|×|vocab| (vocabulary-bounded at ANY corpus size, never
+    corpus rows). Because three consumers read ``st`` and Spark's
+    exchange reuse does not fire across differently-keyed aggregates,
+    ``st`` is materialized once with an eager ``localCheckpoint`` —
+    legitimate precisely because it is vocabulary-bounded (the same
+    reason the old plan could afford to shuffle it); the corpus is
+    now scanned and exploded exactly ONCE per run. Measured at sf0.1
+    (interleaved best-of-4): 0.884 s vs 1.630 s, and the plan drops
+    from 6 exchanges / 2 corpus explodes to 1 corpus explode."""
     tok = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(F.split("text", " ")).alias("token")
     )
     st = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cnt_s"))
-    ct = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    st = st.localCheckpoint(eager=True)
+    ct = st.groupBy("token").agg(F.sum("cnt_s").alias("cnt"))
     stot = st.groupBy("source").agg(F.sum("cnt_s").alias("tot_s"))
     tot = ct.agg(F.sum("cnt").alias("tot"))  # 1-row dim
     ratio = (F.col("cnt_s") * F.col("tot")).cast("double") / (

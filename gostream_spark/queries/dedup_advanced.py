@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
-from gostream_spark.functions.sketches import simhash_from_md5s
+from gostream_spark.functions.sketches import simhash_from_nibbles, simhash_nibbles
 from gostream_spark.io import load_table, spread_for_compute
 from gostream_spark.operators import topk_ranked
 from gostream_spark.operators.prefix_join import prefix_filtered_jaccard_pairs
@@ -105,11 +105,19 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_distinct(F.split("text", " "))
     # Materialize the per-token md5 array in its own projection:
     # CollapseProject won't inline a non-cheap alias referenced 16
-    # times, so each token hashes ONCE (not once per bit).
+    # times, so each token hashes ONCE (not once per bit). r16: the
+    # nibble pack (one conv per token) gets the same treatment, and
+    # the 16 bit folds then read shift/mask integers instead of
+    # re-scanning hex text per (token, bit) — measured 1.163 s →
+    # 0.720 s at sf0.1, fingerprints bit-identical (see
+    # functions.sketches.simhash_from_nibbles).
     hexed = docs.select("doc_id", F.transform(toks, lambda t: F.md5(t)).alias("md5s"))
-    fp = hexed.select(
+    packed = hexed.select(
+        "doc_id", simhash_nibbles(F.col("md5s")).alias("hv")
+    )
+    fp = packed.select(
         "doc_id",
-        simhash_from_md5s(F.col("md5s"), _SIMHASH_BITS).alias("simhash"),
+        simhash_from_nibbles("hv", _SIMHASH_BITS).alias("simhash"),
     )
     from pyspark.sql import Window
 
@@ -369,10 +377,16 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexed = docs.select(
         "doc_id", F.transform(toks, lambda t: F.md5(t)).alias("md5s")
     )
-    fp = hexed.select(
+    # r16: same nibble-pack fast path as simhash_dedup (fingerprints
+    # bit-identical; the text-NOT-NULL filter above keeps the
+    # coalesce a dead arm exactly as before).
+    packed = hexed.select(
+        "doc_id", simhash_nibbles(F.col("md5s")).alias("hv")
+    )
+    fp = packed.select(
         "doc_id",
         F.coalesce(
-            simhash_from_md5s(F.col("md5s"), _SIMHASH_BITS), F.lit(0)
+            simhash_from_nibbles("hv", _SIMHASH_BITS), F.lit(0)
         ).alias("simhash"),
     )
     probe_keys = F.array(

@@ -71,30 +71,39 @@ def _mg_candidates_fn(capacity: int):
     ) -> Iterator[pd.DataFrame]:
         """Per-partition Misra-Gries summary over whitespace tokens.
 
-        Streams the partition's Arrow batches through one bounded dict
-        of at most ``capacity`` counters (tokenizing inside the worker
-        so only compact text rows — not one row per token — cross the
-        Arrow boundary), then emits the surviving candidate tokens.
-        Memory is O(k) however large the partition is.
+        r16 vectorized form (guide §4.2 — hand whole batches to
+        native code instead of looping rows in Python): each Arrow
+        batch is reduced to exact token counts with pandas
+        ``value_counts`` (C speed), merged into the running summary,
+        and the summary is then shrunk with the MERGEABLE-SUMMARIES
+        decrement (Agarwal et al., "Mergeable summaries", PODS 2012):
+        subtract the (capacity+1)-th largest count from everything and
+        drop the non-positive rest. That is weighted Misra-Gries —
+        total undercount ≤ W/(capacity+1) for partition token mass W —
+        so any token with partition share ≥ W/phi_inv (> W/(2·phi_inv
+        + 1)) survives, and a GLOBAL phi-heavy token is phi-heavy in
+        at least one partition by pigeonhole: the candidate set
+        remains a provable superset, exactly the guarantee the
+        row-at-a-time loop gave (the exact verification pass
+        downstream is unchanged either way). Candidate SETS can differ
+        from the sequential form (both are valid MG summaries; the
+        pass-2 verification makes the query output identical — pinned
+        by the exact oracle). Memory stays O(capacity) per partition;
+        the Python loop is now over DISTINCT tokens per batch, not
+        occurrences. Measured at sf0.1: 0.604 s vs 0.750 s
+        end-to-end.
         """
-        counters: dict[str, int] = {}
+        counters: pd.Series | None = None
         for pdf in batches:
-            for toks in pdf["text"].str.split(" "):
-                for tok in toks:
-                    if tok in counters:
-                        counters[tok] += 1
-                    elif len(counters) < capacity:
-                        counters[tok] = 1
-                    else:
-                        # Decrement-all step; drop zeroed counters.
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
-        yield pd.DataFrame({"token": list(counters.keys())})
+            vc = pdf["text"].str.split(" ").explode().value_counts()
+            counters = vc if counters is None else counters.add(vc, fill_value=0)
+            if len(counters) > capacity:
+                counters = counters.sort_values(ascending=False)
+                d = counters.iloc[capacity]
+                counters = counters.iloc[:capacity] - d
+                counters = counters[counters > 0]
+        toks = [] if counters is None else list(counters.index)
+        yield pd.DataFrame({"token": toks})
 
     return _misra_gries_candidates
 

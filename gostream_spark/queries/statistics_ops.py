@@ -157,53 +157,72 @@ def market_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the funnel_single_pass discipline, r7): a shuffle on l_orderkey
     builds each order's sorted distinct brand SET; the pair list, the
     brand marginals, and the order count are row-local array algebra
-    over that frame. vs the former self-join formulation this drops
-    the plan from 10 hash exchanges + 1 sort-merge join to 7
-    exchanges + 0 SMJ (pinned: tests/test_plans.py::
-    test_market_basket_no_self_join) — at 100 TB that removes two
-    full-relation sorts and a join whose probe side is the entire
-    distinct (order, brand) relation. ReuseExchange does NOT fire
-    across the three branches (Spark dedupes aggregate expression ids,
-    so the subplans are not object-identical); each branch re-runs the
-    scan+broadcast-join, which is the cheap part. The former join
-    formulation survives as the DuckDB oracle. Pair fan-out stays
-    bounded by per-basket brand count squared; brand marginals and the
-    order count are broadcast-size. Lift is one double expression over
-    exact integer counts — identical on both engines."""
+    over that frame, emitted as ONE unified marker stream so a single
+    partial→final aggregate computes all three statistics in one pass
+    over the fact table (r16 — see the in-body note; the r7 form ran
+    the scan + basket shuffle once per statistic). vs the original
+    self-join formulation this drops the plan from 10 hash exchanges
+    + 1 sort-merge join to 3 exchanges + 0 SMJ (pinned:
+    tests/test_plans.py::test_market_basket_no_self_join) — at 100 TB
+    that removes two full-relation sorts, a join whose probe side is
+    the entire distinct (order, brand) relation, and three redundant
+    fact-table passes. The former join formulation survives as the
+    DuckDB oracle. Pair fan-out stays bounded by per-basket brand
+    count squared; brand marginals and the order count are
+    broadcast-size. Lift is one double expression over exact integer
+    counts — identical on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
-        # NOT localCheckpoint'ed: four consumers do re-run the cheap
-        # broadcast-join scan (ReuseExchange does not fire across
-        # these branches), but materializing the basket frame was
-        # MEASURED SLOWER (2.12 s vs 1.62 s at sf0.1) — the
-        # checkpoint write of full brand arrays costs more than the
-        # pruned recomputes it saves. At 100 TB the same trade-off is
-        # config, not code: persist baskets only when the fact scan
-        # dominates the basket-frame write.
     )
-    # All (a < b) pairs of the sorted set, generated row-locally:
-    # element i pairs with every later element — no self-join.
-    pair_structs = F.expr(
-        "flatten(transform(brands, (x, i) -> "
-        "transform(slice(brands, i + 2, size(brands)), "
-        "y -> struct(x AS brand_a, y AS brand_b))))"
+    # r16 one-pass form: the THREE aggregates the query needs (pair
+    # counts, per-brand marginals, the order count) all derive from
+    # the basket frame, and exchange reuse does not fire across
+    # differently-keyed aggregate branches — the old plan re-ran the
+    # scan + broadcast-join + basket shuffle once per branch (4×
+    # total; materializing the fat brand-array frame instead was
+    # MEASURED SLOWER at 2.12 s vs 1.62 s in r7, because the
+    # checkpoint wrote full arrays). Instead, each basket row-locally
+    # emits ONE unified stream — its (a < b) brand pairs, its
+    # per-brand marginal markers (brand_b NULL), and one order marker
+    # (both NULL) — so a single partial→final aggregate keyed on the
+    # pair computes all three statistics in one pass over the fact
+    # table. The aggregated frame is bounded by |brands|² (never
+    # corpus-scale), so materializing IT with an eager localCheckpoint
+    # is free, and the final assembly joins tiny frames only.
+    # Measured at sf0.1 (interleaved best-of-4): 2.090 s vs 2.318 s;
+    # plan: 7 exchanges / 4 fact-table passes → 3 exchanges (basket
+    # shuffle + unified aggregate + tiny assembly) / 1 fact pass.
+    unified = baskets.select(
+        F.explode(
+            F.expr(
+                "concat("
+                " flatten(transform(brands, (x, i) ->"
+                "   transform(slice(brands, i + 2, size(brands)),"
+                "     y -> struct(x AS brand_a, y AS brand_b)))),"
+                " transform(brands, x -> struct(x AS brand_a, CAST(NULL AS STRING) AS brand_b)),"
+                " array(struct(CAST(NULL AS STRING) AS brand_a, CAST(NULL AS STRING) AS brand_b)))"
+            )
+        ).alias("p")
     )
+    counts = unified.groupBy(
+        F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.localCheckpoint(eager=True)
     pairs = (
-        baskets.select(F.explode(pair_structs).alias("p"))
-        .groupBy(F.col("p.brand_a").alias("brand_a"), F.col("p.brand_b").alias("brand_b"))
-        .agg(F.count(F.lit(1)).alias("pair_cnt"))
-        .filter(F.col("pair_cnt") >= 5)
+        counts.filter(F.col("brand_a").isNotNull() & F.col("brand_b").isNotNull())
+        .filter(F.col("cnt") >= 5)
+        .withColumnRenamed("cnt", "pair_cnt")
     )
-    bc = (
-        baskets.select(F.explode("brands").alias("p_brand"))
-        .groupBy("p_brand")
-        .agg(F.count(F.lit(1)).alias("brand_cnt"))
+    bc = counts.filter(
+        F.col("brand_a").isNotNull() & F.col("brand_b").isNull()
+    ).select(F.col("brand_a").alias("p_brand"), F.col("cnt").alias("brand_cnt"))
+    n = counts.filter(F.col("brand_a").isNull()).select(
+        F.col("cnt").alias("n_orders")
     )
-    n = baskets.select(F.count(F.lit(1)).alias("n_orders"))
     return (
         pairs.join(
             F.broadcast(bc.withColumnsRenamed({"p_brand": "brand_a", "brand_cnt": "cnt_a"})),

@@ -427,12 +427,20 @@ def bm25_topk(
     accumulation anywhere, so the ranking is engine-exact at 6
     decimals.
 
-    100 TB shape: tf is one explode + agg keyed (doc, term) with the
-    term filter pushed into the scan stage; df and the corpus stats
-    are tiny and broadcast; scoring is row-local; top-k is
-    TakeOrdered. In a full search engine the tf table IS the inverted
-    index — materialize it bucketed by term and the per-query cost is
-    a term-bucket lookup, not a corpus scan.
+    100 TB shape (r16 single-pass form, guide §2.3/§2.4): the query
+    has a FIXED handful of terms, so per-doc term frequencies are
+    row-local array counts — no token explode, no (doc, term) shuffle,
+    no corpus-cardinality doc-length join. One scan computes
+    (dl, tf_1..tf_k) per doc; one global aggregate yields every
+    corpus statistic the formula needs (N, Σdl, and df_t = #docs with
+    tf_t > 0) in a single 1-row broadcast; scoring is row-local over
+    the same base frame (the one re-read of the corpus an explicit
+    two-pass statistic requires); top-k is TakeOrdered. Measured at
+    sf0.1 (interleaved best-of-4): 1.066 s vs 1.225 s, plan 4
+    exchanges + 3 broadcasts → 1 broadcast + TakeOrdered, token
+    Generate gone. In a full search engine the inverted index
+    replaces the per-query corpus passes entirely; this shape is the
+    ad-hoc-query path.
 
     terms (probe knob, default the registered 3-term query): the
     decade fixture salts the vocabulary per replica, so the probe
@@ -440,42 +448,55 @@ def bm25_topk(
     corpus — to get a non-degenerate retrieval decade reading; oracle
     parity holds for any term tuple via ``bm25_oracle``."""
     docs = load_table(spark, sf_dir, "documents")
-    sized = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
-    stats = sized.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
+    toks = F.split("text", " ")
+
+    def tf_col(term: str):
+        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
+
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("dl"),
+        *[tf_col(t).alias(f"tf{i + 1}") for i, t in enumerate(terms)],
     )
-    tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .filter(F.col("token").isin(*terms))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n, dfc, tfc, dl = F.col("n_docs"), F.col("df"), F.col("tf"), F.col("dl")
-    avgdl = F.col("sum_dl").cast("double") / n
-    sc = (
-        F.log(F.lit(1) + (n - dfc + 0.5) / (dfc + 0.5))
-        * (tfc * 2.2)
-        / (tfc + 1.2 * (0.25 + 0.75 * dl / avgdl))
-    )
-    scored = (
-        tf.join(F.broadcast(dfreq), "token")
-        .join(sized, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "token", sc.alias("sc"))
-    )
-    per_doc = scored.groupBy("doc_id").agg(
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
         *[
-            F.max(F.when(F.col("token") == t, F.col("sc"))).alias(f"s{i + 1}")
-            for i, t in enumerate(terms)
-        ]
+            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0)).alias(f"df{i + 1}")
+            for i in range(len(terms))
+        ],
+    )
+    n = F.col("n_docs")
+    avgdl = F.col("sum_dl").cast("double") / n
+
+    def sc(i: int):
+        # identical IEEE sequence to the oracle's per-(doc, term) score;
+        # NULL (absent term) keeps the old max-of-singleton semantics
+        tfc, dfc = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
+        return F.when(
+            tfc > 0,
+            F.log(F.lit(1) + (n - dfc + 0.5) / (dfc + 0.5))
+            * (tfc * 2.2)
+            / (tfc + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
+        )
+
+    scored = (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", *[sc(i).alias(f"s{i + 1}") for i in range(len(terms))])
+        .filter(
+            sum(
+                (F.col(f"s{i + 1}").isNotNull().cast("int") for i in range(len(terms))),
+                F.lit(0),
+            )
+            > 0
+        )
     )
     bm25 = F.round(
         sum(F.coalesce(F.col(f"s{i + 1}"), F.lit(0)) for i in range(len(terms))),
         6,
     )
     return topk_ranked(
-        per_doc.select("doc_id", bm25.alias("bm25")), 20,
+        scored.select("doc_id", bm25.alias("bm25")), 20,
         F.col("bm25").desc(), F.col("doc_id"),
     )
 
@@ -624,12 +645,17 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the id join IS the doc-to-embedding link."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    lex = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tk"))
-        .filter(F.col("tk").isin(*_BM25_TERMS))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
-    )
+    # r16: hit counting is row-local (size of the filtered token
+    # array) — the token explode + per-doc shuffle of the old lexical
+    # channel served no purpose for a fixed term set. Measured at
+    # sf0.1: 1.006 s vs 1.060 s interleaved; the lexical channel is
+    # now scan → TakeOrdered with zero exchanges.
+    lex = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", " "), lambda t: t.isin(*_BM25_TERMS))
+        ).cast("long").alias("hits"),
+    ).filter(F.col("hits") > 0)
     lexr = topk_ranked(lex, 20, F.col("hits").desc(), F.col("doc_id")).select(
         "doc_id", F.col("rn").alias("r_lex")
     )

@@ -75,10 +75,15 @@ def test_corpus_prep_single_wide_exchange(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_prep_pipeline")
     # lang filter pushed into the documents scan
     assert "In(lang" in plan
-    # exactly two exchanges: the text-keyed dedup shuffle (shared by
-    # both windows via WindowGroupLimit) and the tiny final aggregate
+    # exactly two exchanges: the text-keyed dedup aggregate and the
+    # tiny final (lang, source) aggregate. r16: the dedup is a
+    # min(struct)/count hash aggregate — partial aggregation collapses
+    # a viral duplicate's copy set map-side (the old count+row_number
+    # windows sorted the corpus by text and gave the Zipf head to one
+    # window partition); no Window/Sort may reappear.
     assert plan.count("Exchange hashpartitioning") == 2
-    assert "WindowGroupLimit" in plan
+    assert "partial_min" in plan or "partial min" in plan.lower()
+    assert "WindowGroupLimit" not in plan and "WindowExec" not in plan
 
 
 def test_digest_dedup_prunes_text_before_exchange(spark, sf_dir):
@@ -250,12 +255,17 @@ def test_training_assembly_scale_shapes(spark, sf_dir):
 
 
 def test_bm25_broadcasts_stats_take_ordered(spark, sf_dir):
-    # df/corpus-stats sides broadcast; ranking is TakeOrdered — the
-    # corpus-scale legs (tf x doc-length) may shuffle on doc_id but a
-    # sort-merge against the tiny stats sides would be wrong
+    # r16 single-pass shape: per-doc term frequencies are row-local
+    # array counts (fixed term set), so the token explode, the
+    # (doc, term) shuffle and the doc-length join are all gone — ONE
+    # 1-row stats broadcast (N, Σdl, df_t) and TakeOrdered remain.
+    # A reappearing Generate (explode) or doc-keyed hash exchange is
+    # the regression this pins.
     plan = _plan(spark, sf_dir, "bm25_topk")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("BroadcastExchange") >= 2
+    assert plan.count("BroadcastExchange") == 1
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "Generate" not in plan
     assert "SortMergeJoin" not in plan
 
 
@@ -678,10 +688,15 @@ def test_market_basket_no_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "market_basket_pair_lift")
     # pairs come from row-local array algebra over per-order brand
     # sets, not a sort-merge self-join of the (order, brand) relation;
-    # the r7 rewrite dropped 10 exchanges + 1 SMJ to 7 + 0
+    # the r7 rewrite dropped 10 exchanges + 1 SMJ to 7 + 0, and the
+    # r16 unified-marker-stream form runs the fact table ONCE: the
+    # final plan assembles tiny slices of the checkpointed unified
+    # counts frame (visible as Scan ExistingRDD), so at most the
+    # assembly exchanges remain
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 7
+    assert plan.count("Exchange hashpartitioning") <= 3
+    assert "Scan ExistingRDD" in plan
     # marginals and the order count stay broadcast-side
     assert plan.count("BroadcastHashJoin") >= 2
 
@@ -749,15 +764,17 @@ def test_q11_q13_q16_shapes(spark, sf_dir):
 
 
 def test_semdedup_scaled_pairs_stay_inside_fine_clusters(spark, sf_dir):
-    # The scale-regime variant: refinement sort is one window exchange
-    # on label; pairs form only through the (label, sub_cluster)
-    # equi-join — never a cartesian; keeper ranking adds one vec_id
-    # exchange. Three hash exchanges total, zero cross-cluster pairs.
+    # The scale-regime variant, r16 row-local form: ONE hash exchange
+    # on label feeds the refinement window; the capacity-capped fine
+    # clusters (≤32 rows) are collected into single rows and all pair
+    # scoring happens inside the cluster array — zero joins of any
+    # kind, so cross-cluster pairs are impossible by construction.
     plan = _plan(spark, sf_dir, "semantic_dedup_scaled")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 3
-    # the pair join keys on BOTH the coarse and the fine cluster id
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    # grouping still keys on BOTH the coarse and the fine cluster id
     joined = plan.replace(" ", "")
     assert "sub_cluster" in joined and "label" in joined
 
