@@ -106,7 +106,22 @@ def candidate_pairs(g: DataFrame, t_num: int, t_den: int) -> DataFrame:
     doc_a < doc_b on output. Exposed separately so diagnostics
     (tools/prefix_join_stats.py) measure the REAL candidate stream."""
     ub_num, ub_den = t_num, t_num + t_den
-    prefix = prefix_rows(g, t_num, t_den)
+    # r16 (guide §2.4/§5): materialize the prefix frame ONCE with an
+    # eager localCheckpoint. Spark's ReuseExchange does not fire across
+    # the two self-join arms (alias dedup rewrites one side's expr ids
+    # and the canonical forms diverge), so without this the ENTIRE
+    # prefix pipeline — scan, shingle explode, dfreq aggregate+join,
+    # per-doc collect+array_sort — executed twice, once per arm
+    # (6 parquet scans in the r16 before-plan). The checkpointed frame
+    # is the NARROW decision stream of guide §8 (doc_id, xxhash64 s,
+    # n, pos, in_idx ≈ 30 B/row, prefix-length not corpus-text-length),
+    # which is what makes the materialize side of the
+    # materialize-vs-recompute trade cheap; checkpointing the shingle
+    # ARRAY table g as well was measured SLOWER (1.95 s vs 1.81 s at
+    # sf0.1 — writing full arrays costs more than the re-scan saves,
+    # the same trade market_basket documented in r7). Measured: 2.220 s
+    # -> 1.813 s at sf0.1, identical output rows.
+    prefix = prefix_rows(g, t_num, t_den).localCheckpoint(eager=True)
     return (
         prefix.alias("a")
         .join(

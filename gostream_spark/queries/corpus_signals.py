@@ -565,13 +565,34 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
         )
     )
-    w = Window.partitionBy("source").orderBy(
-        F.col("importance_u").desc(), F.col("doc_id")
-    )
+    # r16: per-source top-1 as a partial-aggregable min(struct) — the
+    # struct sorts by (-importance, doc_id), so the minimum is exactly
+    # the (importance DESC, doc_id ASC) row_number()==1 row of the old
+    # sort window, but the per-source extreme now collapses MAP-SIDE
+    # instead of sort-shuffling every doc score to one reducer per
+    # source (guide §2.3 "aggregate before you shuffle"; a window
+    # cannot partial-aggregate). Measured at sf0.1: 1.153 s -> 0.959 s;
+    # plan: Exchange+Sort+Window -> partial/final HashAggregate.
+    # Negation is safe: importance_u is a sum of |w_u| <= ~1e7 terms
+    # over < 2^40 tokens, far inside long range.
     return (
-        doc_scores.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("source", "doc_id", "importance_u", "n_tokens")
+        doc_scores.groupBy("source")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("importance_u")).alias("ni"),
+                    F.col("doc_id").alias("doc_id"),
+                    F.col("importance_u").alias("imp"),
+                    F.col("n_tokens").alias("nt"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "source",
+            F.col("s.doc_id").alias("doc_id"),
+            F.col("s.imp").alias("importance_u"),
+            F.col("s.nt").alias("n_tokens"),
+        )
     )
 
 

@@ -560,6 +560,9 @@ def test_dsir_bounded_broadcasts_only(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # r16: the per-source top-1 is a partial-aggregable min(struct),
+    # not a sort window — doc scores collapse map-side per source
+    assert "Window" not in plan
 
 
 def test_pit_join_is_equi_on_user(spark, sf_dir):
