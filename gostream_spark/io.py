@@ -95,7 +95,23 @@ def ensure_session_conf(spark: SparkSession, events: bool = False) -> None:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
+#: Per-session memo of the spread decision, keyed by scan path (r16,
+#: guide §5 "the driver should do almost no data work"): the
+#: ``df.rdd.getNumPartitions()`` probe materializes the plan into an
+#: RDD on the DRIVER — measured 100-500 ms of pure driver time per
+#: call — and every caller probes the same fixture table in the same
+#: session, where the split count cannot change (same files, same
+#: ``maxPartitionBytes``). Spark itself memoizes the underlying file
+#: listing per session (FileStatusCache) for exactly this reason. The
+#: WeakKeyDictionary keys on the live SparkSession so a restarted
+#: session re-probes, and the probe itself stays the ground truth —
+#: no re-implementation of FilePartition packing arithmetic.
+_SPREAD_DECISIONS: "weakref.WeakKeyDictionary[SparkSession, dict]" = None  # type: ignore[assignment]
+
+
+def spread_for_compute(
+    df: DataFrame, spark: SparkSession, cache_key: str | None = None
+) -> DataFrame:
     """Decouple compute parallelism from input splits for stages whose
     per-row cost dwarfs the scan (hash sketches, edit distance,
     feature extraction).
@@ -109,11 +125,43 @@ def spread_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
     tasks; there, one round-robin exchange of the raw rows buys
     full-width parallelism for everything downstream — the classic
     fix for "1 task, 31 idle cores" on compute-bound jobs.
+
+    ``cache_key``: scan identity (use ``table_path(sf_dir, name)``) to
+    memoize the probe per session — a pushed filter/projection does not
+    change the split count, so filtered loads of the same table share
+    the key. ``None`` probes every call (arbitrary plans).
     """
+    global _SPREAD_DECISIONS
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    if cache_key is None:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+        return df.repartition(target)
+    if _SPREAD_DECISIONS is None:
+        import weakref
+
+        _SPREAD_DECISIONS = weakref.WeakKeyDictionary()
+    per_session = _SPREAD_DECISIONS.setdefault(spark, {})
+    key = (cache_key, target)
+    spread = per_session.get(key)
+    if spread is None:
+        spread = df.rdd.getNumPartitions() < target
+        per_session[key] = spread
+    return df.repartition(target) if spread else df
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str = "documents", where=None
+) -> DataFrame:
+    """``load_table`` + optional filter + ``spread_for_compute`` with
+    the table path as the per-session probe cache key — the standard
+    opening of every CPU-heavy corpus query. A pushed filter does not
+    change the scan's split count, so filtered loads share the
+    unfiltered table's cached decision."""
+    df = load_table(spark, sf_dir, name)
+    if where is not None:
+        df = df.filter(where)
+    return spread_for_compute(df, spark, cache_key=table_path(sf_dir, name))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -41,22 +41,37 @@ def connected_components(
     """
     a, b = edges.columns
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    # Materialize the edge list ONCE — BEFORE the symmetrizing union,
+    # so the candidate-generation lineage (shingle -> minhash -> bands)
+    # executes exactly once regardless of whether ReuseExchange fires
+    # across the two union arms (r16; measured neutral-to-better at
+    # sf0.1, and the guarantee is structural instead of
+    # optimizer-dependent). The union of the checkpointed frame with
+    # its swap is row-identical to symmetrizing first.
+    e = e.localCheckpoint(eager=True)
     sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # Materialize the edge list ONCE: its lineage is the whole
-    # candidate-generation pipeline (shingle -> minhash -> bands), and
-    # the iteration joins against it every round — without this each
-    # BSP round would re-run candidate generation from the scan.
-    sym = sym.localCheckpoint(eager=True)
     id_col = nodes.columns[0]
     labels = nodes.select(F.col(id_col).alias("id")).withColumn("lbl", F.col("id"))
 
-    def propagate(lbls: DataFrame) -> DataFrame:
-        nbr_min = (
-            sym.join(lbls.withColumnRenamed("id", "src"), "src")
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-            .withColumnRenamed("dst", "id")
-        )
+    def propagate(lbls: DataFrame, first: bool = False) -> DataFrame:
+        if first:
+            # r16 (guide §2.4): in round 1 every node's label IS its id,
+            # so the neighbor minimum needs no join against the label
+            # frame — one aggregate over sym replaces join+aggregate
+            # (one fewer shuffle of the edge list). Bit-identical to
+            # propagate() from identity labels by construction.
+            nbr_min = (
+                sym.groupBy("dst")
+                .agg(F.min("src").alias("nbr_lbl"))
+                .withColumnRenamed("dst", "id")
+            )
+        else:
+            nbr_min = (
+                sym.join(lbls.withColumnRenamed("id", "src"), "src")
+                .groupBy("dst")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+                .withColumnRenamed("dst", "id")
+            )
         return lbls.join(nbr_min, "id", "left").select(
             "id",
             F.least(F.col("lbl"), F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"),
@@ -74,8 +89,8 @@ def connected_components(
     # 2k..2k+1 moved nothing, nothing will move again. Worst-case
     # round budget is unchanged (max_iter propagations). Measured on
     # neardup_cluster_components at sf0.1: 1.543 s vs 1.807 s.
-    for _ in range(max(max_iter // 2, 1)):
-        p1 = propagate(labels).select("id", "lbl")
+    for it in range(max(max_iter // 2, 1)):
+        p1 = propagate(labels, first=it == 0).select("id", "lbl")
         p2 = propagate(p1)
         p2 = p2.localCheckpoint(eager=True)
         changed = p2.filter(F.col("lbl") < F.col("old_lbl")).count()

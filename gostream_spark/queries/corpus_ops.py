@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions.sketches import top_token_run_max
-from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.io import load_spread, load_table, spread_for_compute
 from gostream_spark.registry import register
 
 _HEXDIGITS = "0123456789abcdef"
@@ -1014,7 +1014,7 @@ def exact_substr_dedup(
     # digest is the CPU of this operator, and a single-file fixture
     # scan would otherwise evaluate it all in one task (no-op at
     # real-split layouts — see io.py).
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     toks = F.split("text", " ")
     d = docs.select(
         "doc_id",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.io import load_spread, load_table, spread_for_compute
 from gostream_spark.registry import register
 
 _NGRAM = 5
@@ -89,9 +89,9 @@ def dup_ngram_fraction(
     digest-knob note below). ``floor`` of a single exact-dividend
     IEEE division keeps the ratio integer-deterministic across
     engines."""
-    docs = spread_for_compute(
-        load_table(spark, sf_dir, "documents"), spark
-    ).select("doc_id", F.split("text", " ").alias("toks"))
+    docs = load_spread(spark, sf_dir).select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
     n = F.size("toks")
     grams = F.array_distinct(
         F.transform(

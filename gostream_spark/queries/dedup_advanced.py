@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
 from gostream_spark.functions.sketches import simhash_from_nibbles, simhash_nibbles
-from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.io import load_spread, load_table, spread_for_compute
 from gostream_spark.operators import topk_ranked
 from gostream_spark.operators.prefix_join import prefix_filtered_jaccard_pairs
 from gostream_spark.queries.llm_similarity import _duck_cosine
@@ -101,7 +101,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     design). md5-derived bits make it exactly reproducible in the
     DuckDB oracle; production would swap in xxhash64 bits (cheaper,
     Spark-internal)."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     toks = F.array_distinct(F.split("text", " "))
     # Materialize the per-token md5 array in its own projection:
     # CollapseProject won't inline a non-cheap alias referenced 16
@@ -234,7 +234,7 @@ def _bottomk_band_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank-centrality queries."""
     from gostream_spark.functions.sketches import bottomk_sketch
 
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     toks = F.split("text", " ")
     n = F.size(toks)
     shingles = F.array_distinct(
@@ -367,11 +367,10 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isnotnull(<full simhash fold>) from the probe-key join — which
     # evaluated the per-doc fingerprint aggregate a SECOND time
     # inside the scan filter (r10 registry audit).
-    docs = spread_for_compute(
-        load_table(spark, sf_dir, "documents").filter(
-            (F.col("doc_id") % 5 == 0) & F.col("text").isNotNull()
-        ),
+    docs = load_spread(
         spark,
+        sf_dir,
+        where=(F.col("doc_id") % 5 == 0) & F.col("text").isNotNull(),
     )
     toks = F.array_distinct(F.split("text", " "))
     hexed = docs.select(
@@ -448,7 +447,7 @@ def simhash64_xxhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     locality is pinned in tests/test_properties.py."""
     from gostream_spark.functions.sketches import simhash64_from_xxhashes
 
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     toks = F.array_distinct(F.split("text", " "))
     # Token-set key via to_json: JSON string escaping is collision-proof
     # for ARBITRARY token bytes — a whitespace-split token may legally
@@ -603,7 +602,7 @@ def winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan, zero shuffles; fingerprints land in (doc, position)
     form ready for an inverted-index join. Hashes are 8-hex md5
     prefixes compared lexicographically, exact in both engines."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     fps = _winnow_selected(docs)
     return fps.select(
         "doc_id",
@@ -663,9 +662,7 @@ def winnowing_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     mining, and a production run would drop the head (stop-fingerprint
     cut) the same way frequent-shingle cuts work in MinHash. 1-in-5
     doc subset keeps the fixture-scale index small."""
-    docs = spread_for_compute(
-        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0), spark
-    )
+    docs = load_spread(spark, sf_dir, where=F.col("doc_id") % 5 == 0)
     sel = _winnow_selected(docs)
     posts = sel.select(
         "doc_id",
@@ -925,7 +922,7 @@ def neardup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding (`minhash_lsh_buckets`), which trades recall for the same
     pruning.
     """
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     toks = F.split("text", " ")
     n_t = F.size(toks)
     # Clamp the slice length: the n_t >= 3 row filter does not stop

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from gostream_spark.functions import cosine_similarity
-from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.io import load_spread, load_table, spread_for_compute
 from gostream_spark.operators import topk_per_group, topk_ranked
 from gostream_spark.registry import register
 
@@ -502,7 +502,7 @@ def minhash_md5_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs come from equal (band, band_hash) buckets via a
     hash-partitioned groupBy, never an all-pairs join; md5 costs a
     little more per shingle but buys cross-engine verifiability."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     stacked = minhash_md5_band_table(docs).drop("doc_id")
     buckets = stacked.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("bucket_size")
@@ -563,7 +563,7 @@ def minhash_bottomk_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned groupBy on (band, band_hash); no join anywhere
     in candidate generation). Docs with < 8 distinct shingles are
     excluded (their bottom-8 sketch is undefined)."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     toks = F.split("text", " ")
     n = F.size(toks)
     n_sh = F.greatest(n - 2, F.lit(0))  # slice(.., -1) throws on empty text

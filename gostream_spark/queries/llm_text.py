@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.io import load_spread, load_table, spread_for_compute
 from gostream_spark.operators import keep_first, topk_ranked
 from gostream_spark.registry import register
 
@@ -391,7 +391,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the r8-advice collision class), i.e. a false-positive dedup
     merge; both engines compute the identical prefixed form, so
     cross-engine md5 equality is preserved byte-for-byte."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     canon = F.array_join(
         F.transform(
             F.array_sort(F.array_distinct(_toks())),
@@ -426,7 +426,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate, and a BPE-ish greedy regex segmentation (≤4-letter
     chunks; both engines' regex engines produce identical
     non-overlapping greedy matches). Row-local only."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     bpe = F.aggregate(
         F.transform(_toks(), lambda t: F.ceil(F.length(t) / 4.0)),
         F.lit(0).cast("bigint"),
@@ -471,7 +471,7 @@ def rolling_hash_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-windowed here for cross-engine exactness; production uses a
     true O(1)-slide polynomial rolling hash with the same boundary
     rule. Row-local; no shuffle."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     n = F.length("text")
     # Degenerate-size guard: under 8 chars, sequence(1, n-7) would
     # DESCEND ([1, 0]) and probe bogus positions where the oracle's
@@ -554,7 +554,7 @@ def token_entropy_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     length, not corpus size): zero shuffles, fuses into the curation
     scan. ln/division rounded at 4 decimals for cross-engine hash
     stability."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     tk = _toks()
     cnt = lambda u: F.size(F.filter(tk, lambda x: x == u))  # noqa: E731
     clnc = F.aggregate(

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.io import load_spread, load_table, spread_for_compute
 from gostream_spark.operators.multimodal import (
     decode_features,
     decode_features_arrow,
@@ -34,7 +34,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     checksum equals the ascii sum the oracle computes — the decode
     plumbing (binary schema, Arrow batches, partition inheritance) is
     the real thing; only the codec itself is a stand-in."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     packed = docs.select(
         "doc_id",
         pack_payload(
@@ -51,7 +51,7 @@ def multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffers through the worker (head checksum is a numpy reduceat over
     the raw data buffer), where the pandas path would materialize
     every blob as a Python bytes object. Same exact oracle."""
-    docs = spread_for_compute(load_table(spark, sf_dir, "documents"), spark)
+    docs = load_spread(spark, sf_dir)
     packed = docs.select(
         "doc_id",
         pack_payload(

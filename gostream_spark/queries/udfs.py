@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf, udtf
 from pyspark.sql.udtf import AnalyzeResult
 
-from gostream_spark.io import load_table, spread_for_compute
+from gostream_spark.io import load_spread, load_table, spread_for_compute
 from gostream_spark.registry import register
 
 # --- U1 scalar pandas UDF ----------------------------------------------
@@ -179,9 +179,7 @@ def mapinpandas_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql.execution.arrow.maxRecordsPerBatch; partitioning is
     inherited (spread_for_compute only exchanges when the input's
     splits would leave Python workers idle)."""
-    docs = spread_for_compute(
-        load_table(spark, sf_dir, "documents"), spark
-    ).select("doc_id", "text")
+    docs = load_spread(spark, sf_dir).select("doc_id", "text")
     return docs.mapInPandas(
         _doc_features, schema="doc_id bigint, n_words bigint, n_chars bigint, caps_ratio_pct bigint"
     )
