@@ -547,11 +547,24 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (1 + F.count(F.when(is_target, 1))).alias("cnt_t"),
         (1 + F.count(F.when(~is_target, 1))).alias("cnt_r"),
     )
-    totals = stats.agg(
-        F.sum("cnt_t").alias("n_t"), F.sum("cnt_r").alias("n_r")
-    )
+    # r16 (guide §2.4): the totals used to be a SEPARATE aggregate over
+    # stats — and because stats was referenced twice (totals + the
+    # weights crossJoin), the whole token explode + md5 pipeline ran a
+    # THIRD time to rebuild it (3 corpus passes in the before-plan).
+    # The grand totals are now window sums OVER the stats frame itself:
+    # the frame is hard-bounded at 64 rows (the bucket domain), so the
+    # single-group window is safe at any corpus size — same
+    # constant-partition idiom as operators/ranking.topk_ranked, and
+    # the same integer sums, bit-for-bit. 3 explode passes -> 2.
+    w0 = Window.partitionBy(F.spark_partition_id() * F.lit(0))
     q = lambda c: F.floor(1e6 * F.log(c)).cast("long")  # noqa: E731
-    weights = stats.crossJoin(F.broadcast(totals)).select(
+    weights = stats.select(
+        "bucket",
+        "cnt_t",
+        "cnt_r",
+        F.sum("cnt_t").over(w0).alias("n_t"),
+        F.sum("cnt_r").over(w0).alias("n_r"),
+    ).select(
         "bucket",
         (q(F.col("cnt_t")) - q(F.col("n_t")) - q(F.col("cnt_r")) + q(F.col("n_r")))
         .alias("w_u"),

@@ -554,15 +554,21 @@ def test_scd2_collapsed_single_user_shuffle(spark, sf_dir):
 
 def test_dsir_bounded_broadcasts_only(spark, sf_dir):
     # the 64-row bucket-weight table broadcasts back onto the token
-    # stream (BroadcastHashJoin); the only nested-loop join is the
-    # 64-row x 1-row totals expansion — nothing data-sized crosses
+    # stream (BroadcastHashJoin); no nested-loop/cartesian join and no
+    # third corpus pass: the grand totals are window sums OVER the
+    # 64-row stats frame (the old separate totals aggregate made
+    # Catalyst rebuild the token explode+md5 pipeline a third time)
     plan = _plan(spark, sf_dir, "dsir_importance_weights")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
-    # r16: the per-source top-1 is a partial-aggregable min(struct),
-    # not a sort window — doc scores collapse map-side per source
-    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly the 2 unavoidable corpus passes (stats arm + scoring arm)
+    assert plan.count("Generate explode") == 2
+    # r16: the per-source top-1 is a partial-aggregable min(struct) —
+    # the ONLY Window is the bounded 64-row totals fold over stats,
+    # never a doc-cardinality sort window (no Sort feeds a Window)
+    assert plan.count("Window") == 1
+    assert "row_number" not in plan
 
 
 def test_pit_join_is_equi_on_user(spark, sf_dir):
