@@ -948,6 +948,29 @@ def test_simhash64_duplicate_and_locality_invariants(spark, seed):
     assert mean_lo < mean_hi, (mean_lo, mean_hi)
 
 
+def test_winnowing_all_tied_window_picks_rightmost(spark):
+    """Deterministic pin of the rightmost-tie rule (r16 regression
+    class: the CASE-probe rewrite's first cut probed LEFTMOST-first —
+    it survived sf0.1, where ties never move a selection, and was
+    caught by the sf0.01 oracle). A constant-token doc makes every
+    shingle hash identical, so every window is an all-way tie and the
+    selected positions must be each window's RIGHT edge: 1-based
+    {W, W+1, …, m}. A leftmost-first probe yields {1, …, m-W+1}."""
+    from gostream_spark.queries.dedup_advanced import (
+        _WINNOW_K,
+        _WINNOW_W,
+        _winnow_selected,
+    )
+
+    n_toks = 10
+    df = spark.createDataFrame(
+        [(1, " ".join(["aa"] * n_toks))], "doc_id LONG, text STRING"
+    )
+    row = _winnow_selected(df).collect()[0]
+    m = n_toks - (_WINNOW_K - 1)
+    assert sorted(row.fps) == list(range(_WINNOW_W, m + 1)), row.fps
+
+
 _winnow_vocab = ["aa", "bb", "cc", "dd", "ee"]
 
 
