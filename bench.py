@@ -3,7 +3,12 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
-followed by a short truncation-proof summary line; the complete
+followed by a truncation-proof summary line that ALSO carries the
+per-query seconds (VERDICT r16 #1 — the driver's 2000-char stdout
+tail cut the full line before its "queries" key, emptying the
+driver-side per-query PERF/scaling tables; the summary is sized to
+fit the tail, with a length guard that drops the dict if the query
+set ever outgrows the budget); the complete
 payload is also written to bench_out/bench_latest.json (committed) so
 the durable per-query record never depends on the driver's stdout
 tail window. Any pre-existing bench_latest.json is first archived to
@@ -58,6 +63,46 @@ from tools.io_probe import (  # noqa: E402,F401
 )
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
+
+# The driver captures a bounded TAIL of stdout (~2000 chars, VERDICT
+# r15/r16 forensics). The final summary line must parse from that tail
+# alone, so its serialized length is guarded below this budget — with
+# headroom for the tail window also catching the end of the previous
+# line.
+_SUMMARY_LINE_BUDGET = 1900
+
+
+def build_summary_line(payload: dict) -> str:
+    """The final truncation-proof stdout line (VERDICT r16 #1): the
+    short summary now CARRIES the per-query seconds (38 entries ≈
+    1.3 KB — fits the driver's tail window), so the driver's per-query
+    PERF/scaling tables populate without bench_out/ forensics. The
+    io-probe edge pair stays (it is part of the run fingerprint that
+    resolves a wrapper to the durable record — tools/compare_bench) but
+    the per-edge samples ride only in the full record, keeping the line
+    short. If the line ever outgrows the tail budget (more queries
+    added), the per-query dict is dropped from the summary rather than
+    risking a mid-line truncation that parses as nothing — the full
+    line above it and the durable record still carry everything."""
+    io = payload.get("io_probe_ms") or {}
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "queries": payload["queries"],
+        "sentinel_ms": payload["sentinel_ms"],
+        "io_probe_ms": {"start": io.get("start"), "end": io.get("end")},
+        "sf": payload["sf"],
+        "n_queries": len(payload["queries"]),
+        "full_record": "bench_out/bench_latest.json",
+    }
+    if "io_contaminated" in payload:
+        summary["io_contaminated"] = True  # reason in the full record
+    line = json.dumps(summary)
+    if len(line) > _SUMMARY_LINE_BUDGET:
+        del summary["queries"]
+        line = json.dumps(summary)
+    return line
 
 
 def _summarize_progress(captured: list[dict]) -> dict:
@@ -234,19 +279,7 @@ def main() -> None:
             "query_load_ms", "sf")
     }
     print(json.dumps(stdout_payload))
-    summary = {
-        "metric": payload["metric"],
-        "value": total,
-        "unit": "sec",
-        "sentinel_ms": sentinel_ms,
-        "io_probe_ms": payload["io_probe_ms"],
-        "sf": payload["sf"],
-        "n_queries": len(timings),
-        "full_record": "bench_out/bench_latest.json",
-    }
-    if "io_contaminated" in payload:
-        summary["io_contaminated"] = True  # reason in the full record
-    print(json.dumps(summary))
+    print(build_summary_line(payload))
 
 
 if __name__ == "__main__":
