@@ -30,6 +30,10 @@ Instrumentation riding in the durable record (not the stdout line):
   start and end — the CPU probe is blind to disk/page-cache
   contention, which is exactly the load class the r8 cross-round
   deltas could not rule out;
+- a full-width memory-bandwidth probe (one stream-summing fork per
+  CPU, median worker ms) at both session edges (r17, VERDICT r16 #7)
+  — the r16 degraded windows were host memory-path contention that
+  both probes above read as NORMAL;
 - for streaming queries, the micro-batch StreamingQueryProgress
   breakdown per timed trial (triggerExecution / addBatch / state
   commit ms, input rows, batch count) plus the full per-batch
@@ -60,6 +64,7 @@ from tools.io_probe import (  # noqa: E402,F401
     _load_sentinel_ms,
     _probe_once_ms,
     io_probe_edge,
+    membw_probe_ms,
 )
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -167,6 +172,13 @@ def main() -> None:
     # rides in the durable record.
     io_start_edge = io_probe_edge(samples=3, settle_timeout_s=60.0)
     io_probe_start = io_start_edge["ms"]
+    # Full-width memory-path burn at both session edges (VERDICT r16
+    # #7): the one probe class that would have flagged the r16 degraded
+    # windows (1.5-1.7x on every parallel stage) in the record itself —
+    # the CPU sentinel and io probe are blind to host memory-path
+    # contention. Taken BEFORE the Spark session exists (and after it
+    # is idle at the end), so the probe measures the host, not the JVM.
+    membw_start = membw_probe_ms()
     spark = get_spark(app_name="gostream_spark_bench")
 
     from gostream_spark.streaming import runner as _runner
@@ -211,6 +223,7 @@ def main() -> None:
 
     io_end_edge = io_probe_edge(samples=3)
     io_probe_end = io_end_edge["ms"]
+    membw_end = membw_probe_ms()
     io_probe_record = {
         "start": io_probe_start,
         "end": io_probe_end,
@@ -229,6 +242,7 @@ def main() -> None:
         "sentinel_ms": sentinel_ms,
         "query_load_ms": load_ms,
         "io_probe_ms": io_probe_record,
+        "membw_probe_ms": {"start": membw_start, "end": membw_end},
         "streaming_progress": streaming_progress,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -239,7 +253,11 @@ def main() -> None:
     # in the durable payload so a cross-round reader sees the
     # contamination without needing tools/compare_bench.py.
     try:
-        from tools.compare_bench import io_contamination, trial_drift
+        from tools.compare_bench import (
+            io_contamination,
+            membw_contamination,
+            trial_drift,
+        )
 
         drifters = sorted(q for q, ts in trials_s.items() if trial_drift(ts))
         if drifters:
@@ -253,6 +271,13 @@ def main() -> None:
         io_reason = io_contamination(payload["io_probe_ms"])
         if io_reason:
             payload["io_contaminated"] = io_reason
+        # Memory-path contention self-flag (VERDICT r16 #7): the load
+        # class the sentinel and io probes cannot see; an elevated
+        # membw edge marks every parallel-stage timing in this record
+        # as adjudicate-against-idle-rerun.
+        mb_reason = membw_contamination(payload["membw_probe_ms"])
+        if mb_reason:
+            payload["membw_contaminated"] = mb_reason
     except Exception:  # noqa: BLE001 — annotation must never fail a run
         pass
     # Durable full record: the driver captures a bounded TAIL of stdout,

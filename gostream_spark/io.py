@@ -157,7 +157,16 @@ def load_spread(
     the table path as the per-session probe cache key — the standard
     opening of every CPU-heavy corpus query. A pushed filter does not
     change the scan's split count, so filtered loads share the
-    unfiltered table's cached decision."""
+    unfiltered table's cached decision.
+
+    The shared-key assumption holds because fixture tables are
+    UNPARTITIONED single-directory parquet whose file set is fixed for
+    the session (ADVICE r16): on a Hive-partitioned table a
+    partition-pruning ``where`` WOULD change the split count, and a
+    first filtered load would cache the wrong spread decision for later
+    unfiltered loads — if partitioned tables are ever added, fold the
+    filter's pruning status into the cache key (perf-only risk either
+    way; the decision only gates a repartition)."""
     df = load_table(spark, sf_dir, name)
     if where is not None:
         df = df.filter(where)

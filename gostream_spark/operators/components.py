@@ -18,14 +18,21 @@ Scale properties:
 - ``localCheckpoint`` truncates the lineage each round, so the plan
   does not grow with iterations (the classic iterative-DataFrame
   trap);
-- the per-iteration ``count()`` is the driver-side convergence check
-  every BSP framework has — it moves ONE long, not the data.
+- the convergence check is an ``observe`` metric collected by the
+  checkpoint job itself (r17) — it moves ONE long to the driver and
+  costs zero extra jobs or data passes.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+# Unique Observation names across calls in one session (deterministic —
+# a plain counter, no wall clock).
+_OBS_IDS = itertools.count()
 
 
 def connected_components(
@@ -82,19 +89,36 @@ def connected_components(
     # cycle. The fixpoint is unique, label updates are monotone
     # (least), and a propagation at the fixpoint is the identity, so
     # checking only every second round changes nothing semantically —
-    # it halves the per-round fixed cost (one localCheckpoint job +
-    # one count job each) that dominates on the shallow near-clique
-    # graphs banding produces (diameter 2-3). A round-2 no-change
-    # still certifies the fixpoint: labels can only fall, so if round
-    # 2k..2k+1 moved nothing, nothing will move again. Worst-case
-    # round budget is unchanged (max_iter propagations). Measured on
-    # neardup_cluster_components at sf0.1: 1.543 s vs 1.807 s.
-    for it in range(max(max_iter // 2, 1)):
+    # it halves the per-round fixed cost that dominates on the shallow
+    # near-clique graphs banding produces (diameter 2-3). A round-2
+    # no-change still certifies the fixpoint: labels can only fall, so
+    # if round 2k..2k+1 moved nothing, nothing will move again.
+    # Measured on neardup_cluster_components at sf0.1: 1.543 s vs
+    # 1.807 s.
+    #
+    # r17 (VERDICT r16 #5): the changed-label count rides the
+    # checkpoint materialization itself via ``observe`` — the metric is
+    # collected by the SAME job that writes the checkpoint, so the
+    # separate per-cycle count() job (a full pass over the label frame
+    # plus a driver round-trip per 2 rounds — real latency at scale) is
+    # gone. Pinned by tests/test_components.py: DataFrame.count is
+    # never invoked inside this loop.
+    #
+    # The cycle budget rounds max_iter UP to an even number of
+    # propagations (ceil(max_iter/2) cycles x 2 rounds), so a caller
+    # passing an odd bound sized to a graph's diameter always gets AT
+    # LEAST max_iter propagations (ADVICE r16: the old floor-division
+    # form ran max_iter-1 on odd budgets).
+    for it in range(max((max_iter + 1) // 2, 1)):
         p1 = propagate(labels, first=it == 0).select("id", "lbl")
         p2 = propagate(p1)
+        obs = Observation(f"cc_changed_{next(_OBS_IDS)}")
+        p2 = p2.observe(
+            obs,
+            F.count(F.when(F.col("lbl") < F.col("old_lbl"), 1)).alias("changed"),
+        )
         p2 = p2.localCheckpoint(eager=True)
-        changed = p2.filter(F.col("lbl") < F.col("old_lbl")).count()
         labels = p2.select("id", "lbl")
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels.select("id", F.col("lbl").alias("cluster"))

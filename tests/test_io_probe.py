@@ -109,6 +109,35 @@ def test_contamination_ignores_sample_keys():
     assert reason and "441" in reason
 
 
+def test_membw_probe_runs_and_reads_milliseconds():
+    """The full-width memory-path probe (VERDICT r16 #7) must return a
+    positive float on this platform (fork + numpy available). Sized
+    down so the test costs ~nothing; the bench uses the full-width
+    defaults."""
+    from tools.io_probe import membw_probe_ms
+
+    ms = membw_probe_ms(n_procs=2, mb=8, best_of=1)
+    assert ms is not None and ms > 0
+
+
+def test_membw_contamination_rule():
+    """Above-ceiling readings at either edge flag; in-band pairs and
+    missing probes stay quiet (the probe is advisory — a None must
+    never mark a record contaminated)."""
+    from compare_bench import membw_contamination
+    from tools.io_probe import IDLE_MEMBW_MS
+
+    assert membw_contamination(None) is None
+    assert membw_contamination({"start": None, "end": None}) is None
+    ok = {"start": IDLE_MEMBW_MS - 5, "end": IDLE_MEMBW_MS - 8}
+    assert membw_contamination(ok) is None
+    hot_start = {"start": IDLE_MEMBW_MS * 1.6, "end": IDLE_MEMBW_MS - 8}
+    reason = membw_contamination(hot_start)
+    assert reason and "memory-path" in reason
+    hot_end = {"start": IDLE_MEMBW_MS - 8, "end": IDLE_MEMBW_MS * 1.6}
+    assert membw_contamination(hot_end)
+
+
 def test_bench_reexports_probe_helpers():
     """The verify recipe and the r13/r14 replay protocol address the
     probes as bench._io_probe_ms etc.; the ADVICE r14 refactor moved

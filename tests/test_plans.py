@@ -651,6 +651,41 @@ def test_graph_queries_no_cartesian(spark, sf_dir):
         assert plan.count("BroadcastNestedLoopJoin") == 0, name
 
 
+def test_exact_substr_gram_pipeline_runs_once(spark, sf_dir):
+    """VERDICT r16 #4: the r16 claim that exact_substr_dedup's explicit
+    ``repartition("k")`` makes the keeper aggregate and the join-back
+    share ONE exchange is a RUNTIME property (AQE stage reuse) that a
+    static explain cannot show — the committed after-plan still printed
+    the gram pipeline twice. Pin it at runtime: after execution, the
+    final adaptive plan must materialize the gram-key repartition
+    exactly once and read it back through a ReusedExchange, i.e. the
+    scan + gram explode + digest pipeline executed once."""
+    import re
+
+    df = get_query("exact_substr_dedup").fn(spark, sf_dir)
+    df.collect()  # a noop write would execute a CLONED QueryExecution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    # the adaptive toString appends the pre-execution "== Initial
+    # Plan ==" section, which legitimately prints the subtree twice —
+    # assert on the FINAL section only.
+    final = plan.split("== Initial Plan ==")[0]
+    # a ReusedExchange line repeats the exchange description, so count
+    # only lines that MATERIALIZE the gram-key exchange
+    reps = [
+        line
+        for line in final.splitlines()
+        if re.search(r"Exchange hashpartitioning\(k#\d+", line)
+        and "ReusedExchange" not in line
+    ]
+    assert len(reps) == 1, f"gram-key exchange materialized {len(reps)}x"
+    assert final.count("ReusedExchange") == 1
+    # exactly two parquet scans execute: the gram pipeline's and the
+    # final clean-text assembly's — a third means the gram pipeline ran
+    # twice after all
+    assert final.count("Scan parquet") == 2
+
+
 def test_branching_dag_reuses_one_exchange(spark, sf_dir):
     # fork-shaped consumer DAG: the orderkey shuffle materializes once
     # and the second branch reads it back as ReusedExchange. Under AQE

@@ -22,6 +22,7 @@ def ab(variants: dict, trials: int = 3, label: bool = True) -> dict[str, list[fl
     Interleaves trials across variants; one untimed warm-up each."""
     names = list(variants)
     out: dict[str, list[float]] = {n: [] for n in names}
+    spark = None
     for n in names:
         df = variants[n]()
         spark = df.sparkSession
@@ -30,9 +31,12 @@ def ab(variants: dict, trials: int = 3, label: bool = True) -> dict[str, list[fl
         df.write.format("noop").mode("overwrite").save()
     for t in range(trials):
         for n in names:
-            df0 = variants[n]()
+            # ADVICE r16: the session comes from the warm-up pass — the
+            # old form built a throwaway DataFrame per trial just to
+            # reach sparkSession. Plan construction stays INSIDE the
+            # timed region per the docstring.
             if label:
-                df0.sparkSession.sparkContext.setJobDescription(f"trial{t}:{n}")
+                spark.sparkContext.setJobDescription(f"trial{t}:{n}")
             t0 = time.perf_counter()
             variants[n]().write.format("noop").mode("overwrite").save()
             out[n].append(round(time.perf_counter() - t0, 3))

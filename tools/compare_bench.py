@@ -27,9 +27,34 @@ import sys
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 
-from tools.io_probe import IDLE_IO_PROBE_MS  # noqa: E402,F401
+from tools.io_probe import IDLE_IO_PROBE_MS, IDLE_MEMBW_MS  # noqa: E402,F401
 
 IDLE_SENTINEL_MS = 47.0  # BASELINE.md reference value for this container
+
+
+def membw_contamination(
+    probe: dict | None, idle_ms: float = IDLE_MEMBW_MS
+) -> str | None:
+    """Memory-path-contention signature (VERDICT r16 #7): the r16
+    evening windows multiplied every parallel stage by ~1.5-1.7x while
+    the CPU sentinel and io probe read NORMAL — host memory-path
+    contention is invisible to both. The full-width membw probe's idle
+    band is tight (21-24 ms calibrated, <10% spread), so any edge above
+    the ceiling is a real contention reading, and parallel-query
+    timings from that session must be adjudicated against an idle
+    rerun."""
+    if not probe:
+        return None
+    for tag in ("start", "end"):
+        v = probe.get(tag)
+        if v is not None and v > idle_ms:
+            return (
+                f"membw_probe {tag} {v:.1f} ms above the {idle_ms:.0f} ms "
+                "idle ceiling — host memory-path contention at that edge "
+                "(the r16 degraded-window class); parallel-stage timings "
+                "are inflated"
+            )
+    return None
 
 
 def io_contamination(
@@ -328,6 +353,19 @@ def main() -> int:
         if reason:
             io_contaminated[label] = reason
             print(f"io-contaminated {label}: {reason}")
+        mb = rec.get("membw_probe_ms")
+        if mb:
+            print(
+                f"membw probe {label}: start={mb.get('start')} ms "
+                f"end={mb.get('end')} ms (full-width stream-sum median)"
+            )
+        mb_reason = rec.get("membw_contaminated") or membw_contamination(mb)
+        if mb_reason:
+            # same adjudication rule as io contamination: that side's
+            # parallel timings are inflated; idle-rerun before reading
+            # a FLAG as a regression
+            io_contaminated.setdefault(label, mb_reason)
+            print(f"membw-contaminated {label}: {mb_reason}")
 
     def _spread(ts: list[float]) -> str:
         ss = sorted(ts)

@@ -156,6 +156,76 @@ def io_probe_edge(
     return out
 
 
+# Idle ceiling for the full-width membw probe on this container
+# (best-of-2 median-worker, 32 procs x 64 MiB stream-sum): idle
+# readings calibrated at round-17 open sit at 21.4-23.4 ms across 6
+# back-to-back runs. The r16 degraded windows (~1.5-1.7x on every
+# parallel query) came from host memory-path contention that neither
+# the scalar CPU sentinel nor the io probe can see (OPTIMIZATION_r16.md
+# forensics) — this probe is the class that would have flagged them in
+# the record itself, and its idle spread (<10%) is tight enough that a
+# 1.5x signal clears the ceiling unambiguously.
+IDLE_MEMBW_MS = 30.0
+
+_MEMBW_MB = 64
+_MEMBW_PASSES = 2
+
+
+def _membw_worker(mb: int) -> float:
+    """One worker's share of the parallel memory-path burn: stream-sum
+    a buffer far larger than any per-core cache slice, so the
+    aggregate across workers is bound by the host's memory path, not
+    registers or L1/L2 (the r16 burn experiment showed a
+    register-bound loop reads NORMAL in a degraded window). Returns
+    the worker's own streaming milliseconds — allocation and a warm
+    pass are excluded, so the reading is traffic, not page faults or
+    pool dispatch."""
+    import numpy as np
+
+    a = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+    float(a.sum())  # warm pass: fault the pages in untimed
+    t0 = time.perf_counter()
+    s = 0.0
+    for _ in range(_MEMBW_PASSES):
+        s += float(a.sum())
+    return (time.perf_counter() - t0) * 1000
+
+
+def membw_probe_ms(
+    n_procs: int | None = None, mb: int = _MEMBW_MB, best_of: int = 2
+) -> float | None:
+    """Full-width parallel memory-bandwidth probe (VERDICT r16 #7):
+    fork one worker per CPU, each stream-summing a 64 MiB float64
+    buffer concurrently, and report the best-of-N MEDIAN worker
+    streaming milliseconds. This is the one load class the existing
+    probes are blind to — the r16 evening degradation multiplied every
+    parallel Spark stage by ~1.5-1.7x while the single-thread xorshift
+    sentinel and the 64 MiB disk read both read normal. Memory-path
+    contention from a co-tenant (or the host) shows up here as a
+    proportionally elevated reading. Per-worker timing excludes
+    allocation/fork/dispatch noise; the median ignores stragglers from
+    scheduler jitter while every worker still contends for the memory
+    path during the measurement. Returns None when the probe cannot
+    run (no fork, no numpy) — a missing reading must never fail a
+    bench run."""
+    try:
+        import multiprocessing as mp
+
+        import numpy  # noqa: F401 — fail fast before forking
+
+        n = n_procs or os.cpu_count() or 1
+        ctx = mp.get_context("fork")
+        best: float | None = None
+        with ctx.Pool(n) as pool:
+            for _ in range(max(1, best_of)):
+                times = sorted(pool.map(_membw_worker, [mb] * n))
+                ms = times[len(times) // 2]
+                best = ms if best is None else min(best, ms)
+        return round(best, 2)
+    except Exception:  # noqa: BLE001 — probe is advisory only
+        return None
+
+
 def _archive_existing(out_dir: str, latest: str) -> None:
     """Copy-on-start: before this run overwrites the <latest> record,
     preserve the existing one under history/<content-sha12>.json.
