@@ -427,20 +427,28 @@ def bm25_topk(
     accumulation anywhere, so the ranking is engine-exact at 6
     decimals.
 
-    100 TB shape (r16 single-pass form, guide §2.3/§2.4): the query
-    has a FIXED handful of terms, so per-doc term frequencies are
-    row-local array counts — no token explode, no (doc, term) shuffle,
-    no corpus-cardinality doc-length join. One scan computes
-    (dl, tf_1..tf_k) per doc; one global aggregate yields every
-    corpus statistic the formula needs (N, Σdl, and df_t = #docs with
-    tf_t > 0) in a single 1-row broadcast; scoring is row-local over
-    the same base frame (the one re-read of the corpus an explicit
-    two-pass statistic requires); top-k is TakeOrdered. Measured at
-    sf0.1 (interleaved best-of-4): 1.066 s vs 1.225 s, plan 4
-    exchanges + 3 broadcasts → 1 broadcast + TakeOrdered, token
-    Generate gone. In a full search engine the inverted index
-    replaces the per-query corpus passes entirely; this shape is the
-    ad-hoc-query path.
+    100 TB shape: tf is one explode + agg keyed (doc, term) with the
+    term filter applied in the explode stage; df and the corpus stats
+    are tiny and broadcast; the doc-length attach is a join whose
+    PROBE side (tf — only docs containing a query term) is the small
+    side, so AQE broadcasts it and the corpus-cardinality sized table
+    streams map-side, never shuffling; scoring is row-local; top-k is
+    TakeOrdered. In a full search engine the tf table IS the inverted
+    index — materialize it bucketed by term and the per-query cost is
+    a term-bucket lookup, not a corpus scan.
+
+    r17 note (VERDICT r16 #2 confirm-or-revert): the r16 "row-local
+    array counts" rewrite (per-term ``F.filter`` over the token array,
+    zero Generate, one 1-row broadcast) was REVERTED to this form.
+    Clean-window interleaved A/B read the r16 form SLOWER at both
+    scales — sf0.1: 0.458 s (this form) vs 0.566 s; sf1 decade
+    fixture: 0.498 s vs 0.637 s — because k+1 lambda traversals of
+    every token array cost more than one codegen'd explode streaming
+    tokens through an IN filter, and the join this form pays never
+    touches corpus-scale data (AQE broadcasts the tf side). A hybrid
+    (dl carried through the explode, no sized join) also lost to this
+    form at both scales (0.545/0.618 s) — the wider Generate costs
+    more than the map-side join it removes.
 
     terms (probe knob, default the registered 3-term query): the
     decade fixture salts the vocabulary per replica, so the probe
@@ -448,55 +456,42 @@ def bm25_topk(
     corpus — to get a non-degenerate retrieval decade reading; oracle
     parity holds for any term tuple via ``bm25_oracle``."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-
-    def tf_col(term: str):
-        return F.size(F.filter(toks, lambda x: x == F.lit(term))).cast("long")
-
-    base = docs.select(
-        "doc_id",
-        F.size(toks).cast("long").alias("dl"),
-        *[tf_col(t).alias(f"tf{i + 1}") for i, t in enumerate(terms)],
+    sized = docs.select("doc_id", F.size(F.split("text", " ")).cast("long").alias("dl"))
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").cast("long").alias("sum_dl")
     )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-        *[
-            F.sum(F.when(F.col(f"tf{i + 1}") > 0, 1).otherwise(0)).alias(f"df{i + 1}")
-            for i in range(len(terms))
-        ],
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    n = F.col("n_docs")
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n, dfc, tfc, dl = F.col("n_docs"), F.col("df"), F.col("tf"), F.col("dl")
     avgdl = F.col("sum_dl").cast("double") / n
-
-    def sc(i: int):
-        # identical IEEE sequence to the oracle's per-(doc, term) score;
-        # NULL (absent term) keeps the old max-of-singleton semantics
-        tfc, dfc = F.col(f"tf{i + 1}"), F.col(f"df{i + 1}")
-        return F.when(
-            tfc > 0,
-            F.log(F.lit(1) + (n - dfc + 0.5) / (dfc + 0.5))
-            * (tfc * 2.2)
-            / (tfc + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
-        )
-
+    sc = (
+        F.log(F.lit(1) + (n - dfc + 0.5) / (dfc + 0.5))
+        * (tfc * 2.2)
+        / (tfc + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    )
     scored = (
-        base.crossJoin(F.broadcast(stats))
-        .select("doc_id", *[sc(i).alias(f"s{i + 1}") for i in range(len(terms))])
-        .filter(
-            sum(
-                (F.col(f"s{i + 1}").isNotNull().cast("int") for i in range(len(terms))),
-                F.lit(0),
-            )
-            > 0
-        )
+        tf.join(F.broadcast(dfreq), "token")
+        .join(sized, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "token", sc.alias("sc"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("token") == t, F.col("sc"))).alias(f"s{i + 1}")
+            for i, t in enumerate(terms)
+        ]
     )
     bm25 = F.round(
         sum(F.coalesce(F.col(f"s{i + 1}"), F.lit(0)) for i in range(len(terms))),
         6,
     )
     return topk_ranked(
-        scored.select("doc_id", bm25.alias("bm25")), 20,
+        per_doc.select("doc_id", bm25.alias("bm25")), 20,
         F.col("bm25").desc(), F.col("doc_id"),
     )
 

@@ -255,17 +255,15 @@ def test_training_assembly_scale_shapes(spark, sf_dir):
 
 
 def test_bm25_broadcasts_stats_take_ordered(spark, sf_dir):
-    # r16 single-pass shape: per-doc term frequencies are row-local
-    # array counts (fixed term set), so the token explode, the
-    # (doc, term) shuffle and the doc-length join are all gone — ONE
-    # 1-row stats broadcast (N, Σdl, df_t) and TakeOrdered remain.
-    # A reappearing Generate (explode) or doc-keyed hash exchange is
-    # the regression this pins.
+    # df/corpus-stats sides broadcast; ranking is TakeOrdered — the
+    # corpus-scale legs (tf x doc-length) may shuffle on doc_id but a
+    # sort-merge against the tiny stats sides would be wrong. (The r16
+    # zero-Generate row-local form was REVERTED in r17: interleaved
+    # A/B read it slower at both sf0.1 and sf1 — see the query
+    # docstring for the numbers.)
     plan = _plan(spark, sf_dir, "bm25_topk")
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("BroadcastExchange") == 1
-    assert plan.count("Exchange hashpartitioning") == 0
-    assert "Generate" not in plan
+    assert plan.count("BroadcastExchange") >= 2
     assert "SortMergeJoin" not in plan
 
 
