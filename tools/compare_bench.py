@@ -219,10 +219,13 @@ def _load(path: str) -> dict:
                     if "queries" in cand:
                         parsed = cand
                         break
-        if "queries" not in parsed:
-            # The 2000-char tail truncates before the queries key on
-            # 38-query records (VERDICT r15 #1): resolve the summary to
-            # the durable full record bench.py wrote, by fingerprint.
+        if "queries" not in parsed or "query_trials_s" not in parsed:
+            # Resolve the summary to the durable full record bench.py
+            # wrote, by fingerprint (VERDICT r15 #1). Since r17 the
+            # summary line itself carries the per-query seconds, but
+            # the full record still adds trial lists, per-query load
+            # probes and streaming breakdowns — upgrade when resolvable,
+            # keep whatever the summary carried when not.
             full = _resolve_full_record(path, parsed)
             if full is not None:
                 parsed = full
